@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/precheck.py [sfDir] [outDir] [--skip-verify] [keys...]
+
+1. runs `sbt runMain graft.Verify <sfDir> <outDir>` (unless --skip-verify)
+2. registers the ten parquet tables as DuckDB views
+3. for each query in oracle_sql.json: runs the SQL, loads our parquet,
+   sorts columns by name (driver behavior), compares exactly.
+"""
+import json, subprocess, sys, glob, os
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/root/repo/target/verify_out"
+    only = set(args[2:])
+    if "--skip-verify" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            cwd="/root/repo", capture_output=True, text=True, timeout=3000)
+        sys.stdout.write("\n".join(r.stdout.splitlines()[-3:]) + "\n")
+        if r.returncode != 0:
+            print(r.stdout[-4000:]); print(r.stderr[-4000:])
+            sys.exit(1)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchdf()
+            exp = exp[sorted(exp.columns)]
+            got = got[sorted(got.columns)]
+            if list(exp.columns) != list(got.columns):
+                print(f"FAIL {name}: columns exp={list(exp.columns)} "
+                      f"got={list(got.columns)}"); n_fail += 1; continue
+            if len(exp) != len(got):
+                print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+                n_fail += 1; continue
+            bad = None
+            for c in exp.columns:
+                e, g = exp[c], got[c]
+                try:
+                    eq = (e == g) | (e.isna() & g.isna())
+                except Exception:
+                    eq = e.astype(str) == g.astype(str)
+                if not eq.all():
+                    i = int((~eq).idxmax())
+                    bad = (c, i, e.iloc[i], g.iloc[i],
+                           int((~eq).sum()))
+                    break
+            if bad:
+                c, i, ev, gv, n = bad
+                print(f"FAIL {name}: col {c} row {i}: oracle={ev!r} "
+                      f"spark={gv!r} ({n} diffs)")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(exp)} rows)")
+                n_pass += 1
+        except Exception as ex:
+            print(f"FAIL {name}: {type(ex).__name__}: {ex}")
+            n_fail += 1
+    # queries without oracle: rows-only
+    run = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
+           if os.path.isdir(p)}
+    for name in sorted(run - set(oracle)):
+        if only and name not in only:
+            continue
+        n = con.execute(f"SELECT count(*) FROM read_parquet("
+                        f"'{out_dir}/{name}/*.parquet')").fetchone()[0]
+        print(f"ROWS {name}: {n} rows (no oracle)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
