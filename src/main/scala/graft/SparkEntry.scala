@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** The §2 inventory: key → (Spark impl, optional DuckDB oracle). */
   def registry: Map[String, Q] =
-    ops.Aggregates.queries
+    ops.Scans.queries ++ ops.Relational.queries ++ ops.Aggregates.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -70,7 +70,23 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    * µs TimestampType refuses to read directly. We read the raw ns longs
+    * (legacy conf) and truncate to µs with exact integer division —
+    * identical to DuckDB's ns→µs truncation, so oracle timestamps agree. */
+  private val eventsRaw: StructType = st(
+    "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
+    "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
+
   /** Read one of the ten tables with its explicit schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    }
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregators (SURVEY.md §2.4 `agg_udaf`,
+  * `agg_vector_mean`) — the `Aggregator[IN, BUF, OUT]` UDAF surface.
+  *
+  * Both are partial-aggregation friendly: `reduce` runs map-side per
+  * partition, `merge` combines the small fixed-size buffers at the
+  * exchange — the shuffle carries one buffer per (partition × group),
+  * never raw rows. That is the property that keeps them viable at
+  * 100 TB.
+  */
+object Udafs {
+
+  /** Quantity-weighted average discount with an exact fixed-point
+    * buffer: qty and discount are 2-decimal values, so `round(x*100)`
+    * is lossless and the sums are exact Longs (no float-order
+    * nondeterminism). finish() mirrors the oracle's
+    * CAST(SUM(..) AS DOUBLE)/CAST(SUM(..) AS DOUBLE). */
+  object WeightedAvgDiscount
+      extends Aggregator[(Double, Double), (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) = {
+      val q2 = math.round(in._1 * 100) // qty, scale-2 fixed point
+      val d2 = math.round(in._2 * 100) // discount, scale-2 fixed point
+      (b._1 + q2 * d2, b._2 + q2)      // scale-4 / scale-2 sums
+    }
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Long, Long)): Double =
+      if (b._2 == 0L) Double.NaN
+      else java.math.BigDecimal.valueOf(b._1, 4).doubleValue() /
+        java.math.BigDecimal.valueOf(b._2, 2).doubleValue()
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Element-wise mean of fixed-dim float vectors. Buffer = one
+    * Array[Double] of sums + count: O(dim) memory per group regardless
+    * of input size. Output is rounded downstream (float-sum order is
+    * partition-dependent; round(·,6) absorbs the ~1e-13 noise). */
+  class VecMean(dim: Int)
+      extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (Array.fill(dim)(0.0), 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim && i < v.length) { b._1(i) += v(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    override def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0L) Seq.empty
+      else b._1.map(_ / b._2).toSeq
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
+}

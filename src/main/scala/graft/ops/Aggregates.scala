@@ -2,31 +2,33 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Determinism, Q, Tables}
+import graft.core.{Q, Tables}
 import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+import graft.functions.Udafs
 
 /** SURVEY.md §2.4 — aggregations.
   *
   * Reference evidence: transformation + analysis claims in
-  * /root/reference/README.md:2,10; approx/vector aggregates are
+  * /root/reference/README.md:2,10; approx/vector/UDAF aggregates are
   * north-star additions (BASELINE.json).
   *
-  * 100 TB notes: all groupBys here run as partial (map-side) + final
+  * 100 TB notes: every groupBy here runs as partial (map-side) + final
   * HashAggregate — the shuffle carries one row per (partition × group),
   * not per input row. Group cardinalities are tiny (flags, segments,
-  * brands), so the exchange is negligible at any scale. The exact
-  * `countDistinct` is the one op whose shuffle grows with data
-  * (distinct values must co-locate); `agg_approx_distinct` (HLL) is the
-  * constant-memory 100 TB counterpart and should be preferred there.
+  * brands), so the exchange is negligible at any scale. Exact
+  * `countDistinct` is the one op whose shuffle grows with distinct
+  * values; `agg_approx_distinct` (HLL sketch, constant memory) is the
+  * 100 TB counterpart.
   */
 object Aggregates {
 
-  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   /** TPC-H Q1-shaped pricing summary — also the flagship `entry`. */
   def aggHash(spark: SparkSession, dir: String): DataFrame =
     ordered(
-      li(spark, dir)
+      t(spark, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -42,21 +44,166 @@ object Aggregates {
           count(lit(1)).as("count_order")))
 
   private val aggHashSql =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
-      |  COUNT(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY ALL NULLS FIRST"""
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${O.dsum("l_quantity")} AS sum_qty,
+       |  ${O.dsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(${O.revenue}) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(${O.revenue} * ${O.onePlus("l_tax")}) AS DOUBLE) AS sum_charge,
+       |  ${O.davg("l_quantity")} AS avg_qty,
+       |  ${O.davg("l_extendedprice")} AS avg_price,
+       |  ${O.davg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |${O.OrderAll}"""
+
+  /** Exact distinct per group. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_customers")))
+
+  private val aggDistinctSql =
+    s"""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+       |  COUNT(*) AS n_customers
+       |FROM customer GROUP BY c_mktsegment
+       |${O.OrderAll}"""
+
+  /** HLL approximate distinct — the constant-memory counterpart of
+    * `agg_distinct` for 100 TB (sketches merge at the exchange; the
+    * shuffle never carries the distinct values themselves). Result is
+    * implementation-specific → no SQL oracle (rows-only check);
+    * correctness vs exact counts is asserted in ScalaTest. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n_events")))
+
+  /** Rollup with subtotals + grand total (reporting). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    val joined = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+    ordered(
+      joined.rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("total"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("total"), col("n_orders")))
+  }
+
+  private val aggRollupSql =
+    s"""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       |  ${O.dsum("o_totalprice")} AS total, COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |${O.OrderAll}"""
+
+  /** Cube: all grouping combinations of (returnflag × linestatus). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n")))
+
+  private val aggCubeSql =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  ${O.dsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |${O.OrderAll}"""
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: event_type → columns, decimal-exact sum(value) per bucket.
+    * Pivot values are pinned (no discovery pass over the data). */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "events")
+        .groupBy((col("user_id") % 5).as("bucket"))
+        .pivot("event_type", EventTypes)
+        .agg(sum(money(col("value"))).cast("double")))
+
+  private val aggPivotSql = {
+    val cells = EventTypes.map(v =>
+      s"CAST(SUM(CASE WHEN event_type = '$v' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS $v")
+      .mkString(",\n|  ")
+    s"""SELECT user_id % 5 AS bucket,
+       |  $cells
+       |FROM events GROUP BY user_id % 5
+       |${O.OrderAll}"""
+  }
+
+  /** Custom typed UDAF (`Aggregator[IN,BUF,OUT]`): quantity-weighted
+    * average discount, exact fixed-point buffer. */
+  def aggUdaf(spark: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(Udafs.WeightedAvgDiscount)
+    ordered(
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(wavg(col("l_quantity"), col("l_discount")).as("wavg_disc"),
+          count(lit(1)).as("n")))
+  }
+
+  private val aggUdafSql =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+       |    / ${O.dsum("l_quantity")} AS wavg_disc,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag
+       |${O.OrderAll}"""
+
+  /** Vector aggregate: element-wise mean embedding per label via a
+    * custom Aggregator over array<float>, flattened to (label, pos,
+    * mean_v) for exact comparison. */
+  def aggVectorMean(spark: SparkSession, dir: String): DataFrame = {
+    val vm = udaf(new Udafs.VecMean(64))
+    ordered(
+      t(spark, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(vm(col("embedding")).as("mean"))
+        .select(col("label"), posexplode(col("mean")))
+        .select(col("label"), col("pos"), round6(col("col")).as("mean_v")))
+  }
+
+  private val aggVectorMeanSql =
+    s"""SELECT label, pos, round(avg(x), 6) AS mean_v FROM (
+       |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) - 1 AS pos
+       |  FROM embeddings)
+       |GROUP BY label, pos
+       |${O.OrderAll}"""
 
   val queries: Map[String, Q] = Map(
-    "agg_hash" -> Q(aggHash _, aggHashSql)
+    "agg_hash" -> Q(aggHash _, aggHashSql),
+    "agg_distinct" -> Q(aggDistinct _, aggDistinctSql),
+    "agg_approx_distinct" -> Q.noOracle(aggApproxDistinct _),
+    "agg_rollup" -> Q(aggRollup _, aggRollupSql),
+    "agg_cube" -> Q(aggCube _, aggCubeSql),
+    "agg_pivot" -> Q(aggPivot _, aggPivotSql),
+    "agg_udaf" -> Q(aggUdaf _, aggUdafSql),
+    "agg_vector_mean" -> Q(aggVectorMean _, aggVectorMeanSql)
   )
 }

@@ -1,0 +1,380 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+
+/** SURVEY.md §2.2 (projection/filter), §2.3 (joins), §2.6 (sort/top-k),
+  * §2.7 (set ops).
+  *
+  * Reference evidence: "transform it using PySpark" (README.md:10),
+  * dim lookups for SCD (README.md:6), incremental-load delta detection
+  * (README.md:4), integrity reconciliation (README.md:12).
+  *
+  * 100 TB notes per operator are inline; the recurring themes:
+  *  - dimensions are broadcast (`broadcast(dim)`) so the fact table
+  *    never shuffles for a lookup join;
+  *  - fact⋈fact joins shuffle on the join key once and let AQE split
+  *    skewed partitions;
+  *  - global top-k compiles to TakeOrderedAndProject (per-partition
+  *    heap + driver merge of k rows), never a full global sort.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // ---- §2.2 projection / filter ------------------------------------
+
+  /** Projection with renames + derived net-price column (exact decimal
+    * arithmetic per Determinism rules, surfaced as double). */
+  def projectDerive(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").as("qty"),
+        (money(col("l_extendedprice")) * oneMinus(col("l_discount"))
+          * onePlus(col("l_tax"))).cast(DoubleType).as("net_price")))
+
+  private val projectDeriveSql =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+       |  CAST(${O.revenue} * ${O.onePlus("l_tax")} AS DOUBLE) AS net_price
+       |FROM lineitem
+       |${O.OrderAll}"""
+
+  /** Compound predicate: LIKE + BETWEEN + IN + IS NOT NULL, all pushed
+    * into the parquet scan by Catalyst. */
+  def filterPred(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "part").filter(
+        col("p_name").like("%widget%") &&
+          col("p_size").between(10, 40) &&
+          col("p_type").isin("ECONOMY", "PROMO") &&
+          col("p_retailprice") > 500.0 &&
+          col("p_brand").isNotNull))
+
+  private val filterPredSql =
+    s"""SELECT * FROM part
+       |WHERE p_name LIKE '%widget%' AND p_size BETWEEN 10 AND 40
+       |  AND p_type IN ('ECONOMY','PROMO') AND p_retailprice > 500.0
+       |  AND p_brand IS NOT NULL
+       |${O.OrderAll}"""
+
+  // ---- §2.3 joins ---------------------------------------------------
+
+  /** Broadcast hash join: the fact side never shuffles — the dim ships
+    * to every executor. At 100 TB this is the only sane plan for
+    * fact⋈dim; Spark would pick it from stats, we pin it with a hint. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "lineitem")
+        .join(broadcast(t(spark, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          dsumExpr(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items")))
+
+  private val joinBroadcastSql =
+    s"""SELECT p_brand, CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |${O.OrderAll}"""
+
+  /** Big⋈big sort-merge join (merge hint pins the plan): both sides
+    * shuffle-partition on the key; at scale, bucketing both tables on
+    * orderkey would eliminate this exchange entirely. */
+  def joinSortMerge(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "orders").hint("merge")
+        .join(t(spark, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("total_price")))
+
+  private val joinSortMergeSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+       |  ${O.dsum("l_extendedprice")} AS total_price
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |${O.OrderAll}"""
+
+  /** Left outer join keeps orders with zero lineitems (integrity). */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "orders")
+        .join(t(spark, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(
+          count(col("l_orderkey")).as("n_items"),
+          coalesce(dsum(col("l_quantity")), lit(0.0)).as("sum_qty")))
+
+  private val joinLeftOuterSql =
+    s"""SELECT o_orderkey, o_orderstatus, COUNT(l_orderkey) AS n_items,
+       |  COALESCE(${O.dsum("l_quantity")}, 0.0) AS sum_qty
+       |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderkey, o_orderstatus
+       |${O.OrderAll}"""
+
+  /** Full outer join — the SCD2 delta-detection core: staged extract vs
+    * current dim, detecting adds / drops / matches in one pass. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val a = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("a_key"), col("c_mktsegment").as("a_seg"))
+    val b = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("b_key"), col("c_acctbal").as("b_bal"))
+    ordered(
+      a.join(b, col("a_key") === col("b_key"), "full_outer")
+        .select(
+          coalesce(col("a_key"), col("b_key")).as("c_custkey"),
+          col("a_key").isNotNull.as("in_a"),
+          col("b_key").isNotNull.as("in_b"),
+          col("a_seg"), col("b_bal")))
+  }
+
+  private val joinFullOuterSql =
+    s"""SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       |  a.c_custkey IS NOT NULL AS in_a,
+       |  b.c_custkey IS NOT NULL AS in_b,
+       |  a.c_mktsegment AS a_seg, b.c_acctbal AS b_bal
+       |FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) a
+       |FULL JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) b
+       |  ON a.c_custkey = b.c_custkey
+       |${O.OrderAll}"""
+
+  /** Left semi: customers with ≥1 order (EXISTS). No row multiplication
+    * — at scale this beats join+distinct because the probe side short-
+    * circuits on first match. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "customer")
+        .join(t(spark, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+
+  private val joinSemiSql =
+    s"""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       |${O.OrderAll}"""
+
+  /** Left anti: new-records detection for incremental load (staged ∖
+    * target) — here: customers with no orders (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "customer")
+        .join(t(spark, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+
+  private val joinAntiSql =
+    s"""SELECT c_custkey, c_name, c_acctbal FROM customer c
+       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       |${O.OrderAll}"""
+
+  /** Band/interval join: event pairs of the same user within 10 minutes.
+    * The equi component (user_id) keeps this a hash/sort-merge join with
+    * a residual range predicate — never a nested-loop cross product.
+    * 100 TB: same-key co-location + AQE skew split; for pure range joins
+    * (no equi key) bucketize time into coarse buckets first. */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val e1 = t(spark, dir, "events")
+      .select(col("user_id"), col("ts").as("ts1"), col("event_id").as("id1"))
+    val e2 = t(spark, dir, "events")
+      .select(col("user_id").as("uid2"), col("ts").as("ts2"))
+    ordered(
+      e1.join(e2,
+        col("user_id") === col("uid2") &&
+          col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 10 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs")))
+  }
+
+  private val joinRangeSql =
+    s"""SELECT e1.user_id, COUNT(*) AS n_pairs
+       |FROM events e1 JOIN events e2
+       |  ON e1.user_id = e2.user_id AND e2.ts > e1.ts
+       | AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+       |GROUP BY e1.user_id
+       |${O.OrderAll}"""
+
+  /** As-of (point-in-time) join: for each purchase event, the latest
+    * 'view' of the same user at-or-before it. Implemented the scalable
+    * way — one shuffle on user_id, a single ordered window pass with a
+    * running max — instead of a per-row range join. Views sort before
+    * purchases at equal ts so ties are included (v.ts <= p.ts). */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("type_rank", when(col("event_type") === "view", 0).otherwise(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("type_rank"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered(
+      ev.withColumn("last_view_us",
+          max(when(col("event_type") === "view", epochUs(col("ts")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          epochUs(col("ts")).as("ts_us"), col("last_view_us")))
+  }
+
+  private val joinAsofSql =
+    s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       |  epoch_us(max(v.ts)) AS last_view_us
+       |FROM events p LEFT JOIN events v
+       |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+       |WHERE p.event_type = 'purchase'
+       |GROUP BY p.event_id, p.user_id, p.ts
+       |${O.OrderAll}"""
+
+  /** Cross join of two tiny axes for a dense reporting grid. */
+  def joinCross(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "region").select(col("r_name"))
+        .crossJoin(
+          t(spark, dir, "lineitem").select(col("l_returnflag")).distinct()))
+
+  private val joinCrossSql =
+    s"""SELECT r_name, l_returnflag
+       |FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)
+       |${O.OrderAll}"""
+
+  // ---- §2.6 sorts / top-k ------------------------------------------
+
+  /** Global multi-key sort (range-partitioned exchange + local sort). */
+  def sortMulti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc,
+        col("o_orderkey").asc)
+
+  private val sortMultiSql =
+    """SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders
+      |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC"""
+
+  /** Global top-k → TakeOrderedAndProject: per-partition heap of k, then
+    * a k-row driver merge. No global sort, no full shuffle — the 100 TB
+    * version is identical. */
+  def topkGlobal(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(10)
+
+  private val topkGlobalSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 10"""
+
+  /** Per-group top-k via ranking window (top-2 parts by revenue per
+    * brand). One shuffle on the group key; the window is a single sorted
+    * pass per partition. */
+  def topkGrouped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(dsumExpr(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+        .as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+    ordered(
+      rev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2))
+  }
+
+  private val topkGroupedSql =
+    s"""WITH rev AS (
+       |  SELECT p_brand, p_partkey, CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand, p_partkey)
+       |SELECT * FROM (
+       |  SELECT p_brand, p_partkey, revenue,
+       |    ROW_NUMBER() OVER (PARTITION BY p_brand
+       |      ORDER BY revenue DESC, p_partkey ASC) AS rn
+       |  FROM rev)
+       |WHERE rn <= 2
+       |${O.OrderAll}"""
+
+  // ---- §2.7 set operations -----------------------------------------
+
+  /** Union-all + distinct: full-load re-pull ∪ incremental delta with an
+    * overlapping window; distinct collapses the overlap. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), dateStr(col("o_orderdate")).as("o_date"),
+        col("o_orderstatus"))
+    val a = o.filter(col("o_date") < "1999-01-01")
+    val b = o.filter(col("o_date") >= "1998-01-01")
+    ordered(a.unionByName(b).distinct())
+  }
+
+  private val setUnionSql =
+    s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderstatus
+       |FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') < '1999-01-01'
+       |UNION
+       |SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderstatus
+       |FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1998-01-01'
+       |${O.OrderAll}"""
+
+  /** Intersect: customers appearing in two independent extracts. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    ordered(
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(
+          o.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey"))))
+  }
+
+  private val setIntersectSql =
+    s"""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       |INTERSECT
+       |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       |${O.OrderAll}"""
+
+  /** Except: load-integrity audit — keys present in the dim but missing
+    * from the fact extract. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "customer").select(col("c_custkey"))
+        .except(
+          t(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))))
+
+  private val setExceptSql =
+    s"""SELECT c_custkey FROM customer
+       |EXCEPT
+       |SELECT o_custkey AS c_custkey FROM orders
+       |${O.OrderAll}"""
+
+  val queries: Map[String, Q] = Map(
+    "project_derive" -> Q(projectDerive _, projectDeriveSql),
+    "filter_pred" -> Q(filterPred _, filterPredSql),
+    "join_broadcast" -> Q(joinBroadcast _, joinBroadcastSql),
+    "join_sortmerge" -> Q(joinSortMerge _, joinSortMergeSql),
+    "join_left_outer" -> Q(joinLeftOuter _, joinLeftOuterSql),
+    "join_full_outer" -> Q(joinFullOuter _, joinFullOuterSql),
+    "join_semi" -> Q(joinSemi _, joinSemiSql),
+    "join_anti" -> Q(joinAnti _, joinAntiSql),
+    "join_range" -> Q(joinRange _, joinRangeSql),
+    "join_asof" -> Q(joinAsof _, joinAsofSql),
+    "join_cross" -> Q(joinCross _, joinCrossSql),
+    "sort_multi" -> Q(sortMulti _, sortMultiSql),
+    "topk_global" -> Q(topkGlobal _, topkGlobalSql),
+    "topk_grouped" -> Q(topkGrouped _, topkGroupedSql),
+    "set_union" -> Q(setUnion _, setUnionSql),
+    "set_intersect" -> Q(setIntersect _, setIntersectSql),
+    "set_except" -> Q(setExcept _, setExceptSql)
+  )
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+
+/** SURVEY.md §2.1 — scans / sources / sinks.
+  *
+  * Reference evidence: "extract raw data from multiple sources"
+  * (/root/reference/README.md:10), "partitioning data" (README.md:8).
+  *
+  * 100 TB notes: every read here goes through Spark's vectorized parquet
+  * reader with an explicit schema; filters and projections are pushed to
+  * the scan (check `PushedFilters` in .explain). `sink_partitioned`
+  * demonstrates the partition-pruning contract: a `partitionBy(date)`
+  * layout turns a date-filtered read into a directory prune — at 100 TB
+  * this is the difference between reading one day and a full scan.
+  */
+object Scans {
+
+  /** Per-sf scratch dir for fixture round-trips (CSV/JSON/partitioned
+    * parquet are *written by us* then re-read — the sandbox's only
+    * in-repo write target). */
+  private def fix(sfDir: String, name: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/fixtures/$sf/$name"
+  }
+
+  /** Parquet scan with explicit schema + projected/filtered read. */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .filter(col("l_quantity") > 45))
+
+  private val scanParquetSql =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       |WHERE l_quantity > 45
+       |${O.OrderAll}"""
+
+  /** CSV ingest round-trip: write customer as CSV (header), read back
+    * with an explicit schema in PERMISSIVE mode. Oracle checks the
+    * round-trip is lossless against the original table. */
+  def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "scan_csv")
+    Tables.load(spark, dir, "customer")
+      .write.mode("overwrite").option("header", "true").csv(path)
+    ordered(
+      spark.read.schema(Tables.customer)
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .csv(path))
+  }
+
+  private val scanCsvSql = s"SELECT * FROM customer ${O.OrderAll}"
+
+  /** JSON-lines ingest: write an events extract as JSONL, read back with
+    * schema, parse the embedded JSON payload column. */
+  def scanJson(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "scan_json")
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").json(path)
+    val schema = "event_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ordered(
+      spark.read.schema(schema).json(path)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("int"))
+        .drop("props"))
+  }
+
+  // Oracle avoids DuckDB's json extension (may be unavailable offline):
+  // the payload shape is {"k": <int>} so a regexp extract is equivalent.
+  private val scanJsonSql =
+    s"""SELECT event_id, event_type, value,
+       |  CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k
+       |FROM events
+       |${O.OrderAll}"""
+
+  /** Partitioned parquet sink + pruned read-back: write lineitem
+    * partitioned by ship year, read back exactly one partition (the scan
+    * lists a single directory — partition pruning), aggregate it. */
+  def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "sink_partitioned")
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    ordered(
+      spark.read.parquet(path)
+        .filter(col("ship_year") === 1998)
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("total_price")))
+  }
+
+  private val sinkPartitionedSql =
+    s"""SELECT COUNT(*) AS n, ${O.dsum("l_extendedprice")} AS total_price
+       |FROM lineitem WHERE year(l_shipdate) = 1998
+       |${O.OrderAll}"""
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> Q(scanParquet _, scanParquetSql),
+    "scan_csv" -> Q(scanCsv _, scanCsvSql),
+    "scan_json" -> Q(scanJson _, scanJsonSql),
+    "sink_partitioned" -> Q(sinkPartitioned _, sinkPartitionedSql)
+  )
+}
