@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+
+/** SURVEY.md §2.8 — scalar function suites (string / date / math /
+  * conditional / array / map / JSON / hash) + §2.11 `udf_scalar`.
+  *
+  * Reference evidence: cleansing & transformation (README.md:2,10),
+  * integrity checks (README.md:12), SCD change detection via row hashes
+  * (README.md:6).
+  *
+  * All of these are built-in codegen'd expressions — they run inside
+  * WholeStageCodegen with zero shuffle; cost at 100 TB is the scan
+  * itself. The one deliberate exception is `udf_scalar`, which shows a
+  * Scala UDF side-by-side with its native-expression replacement (the
+  * native form is what you ship: UDFs box values and block codegen).
+  *
+  * Cross-engine gotchas encoded here:
+  *  - no round() at coarse scales of 2-decimal money (ties like .x5 are
+  *    exactly representable and the engines round them differently);
+  *    round(·,6) of irrational outputs (sqrt/ln) is safe.
+  *  - Spark ceil/floor(double) → LONG; oracle casts to BIGINT.
+  *  - DuckDB log() is base-10: use ln() to match Spark's log().
+  */
+object Scalars {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  def fnString(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        lower(col("p_type")).as("type_lo"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("name_trim"),
+        substring(col("p_name"), 1, 5).as("name_5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1)
+          .cast(IntegerType).as("brand_num"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        length(col("p_name")).as("name_len")))
+
+  private val fnStringSql =
+    s"""SELECT p_partkey,
+       |  upper(p_name) AS name_up,
+       |  lower(p_type) AS type_lo,
+       |  trim(' ' || p_name || ' ') AS name_trim,
+       |  substring(p_name, 1, 5) AS name_5,
+       |  concat_ws('|', p_brand, p_type) AS brand_type,
+       |  CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INTEGER) AS brand_num,
+       |  replace(p_name, ' ', '_') AS name_snake,
+       |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       |  length(p_name) AS name_len
+       |FROM part
+       |${O.OrderAll}"""
+
+  def fnDate(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mon"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dateStr(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate"))
+          .as("days_to_y2k"),
+        dateStr(add_months(col("o_orderdate"), 3)).as("plus_3m"),
+        dateStr(last_day(col("o_orderdate"))).as("month_end")))
+
+  private val fnDateSql =
+    s"""SELECT o_orderkey,
+       |  year(o_orderdate) AS yr,
+       |  quarter(o_orderdate) AS qtr,
+       |  month(o_orderdate) AS mon,
+       |  day(o_orderdate) AS dom,
+       |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       |  CAST(date_diff('day', o_orderdate, DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+       |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+       |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+       |FROM orders
+       |${O.OrderAll}"""
+
+  def fnMath(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        ceil(col("l_quantity") / 7).as("q_ceil7"),
+        floor(col("l_quantity") / 7).as("q_floor7"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        pow(col("l_quantity"), 2).as("q_sq"),
+        round6(sqrt(col("l_quantity"))).as("q_sqrt"),
+        round6(log(col("l_extendedprice"))).as("price_ln")))
+
+  private val fnMathSql =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(ceil(l_quantity / 7) AS BIGINT) AS q_ceil7,
+       |  CAST(floor(l_quantity / 7) AS BIGINT) AS q_floor7,
+       |  abs(l_discount - 0.05) AS disc_dev,
+       |  pow(l_quantity, 2) AS q_sq,
+       |  round(sqrt(l_quantity), 6) AS q_sqrt,
+       |  round(ln(l_extendedprice), 6) AS price_ln
+       |FROM lineitem
+       |${O.OrderAll}"""
+
+  def fnCond(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "orders").select(
+        col("o_orderkey"),
+        when(substring(col("o_orderpriority"), 1, 1) === "1", "urgent")
+          .when(substring(col("o_orderpriority"), 1, 1) === "2", "high")
+          .otherwise("normal").as("priority_class"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_or_open"),
+        when(col("o_totalprice") >= 300000, "big")
+          .when(col("o_totalprice") >= 100000, "mid")
+          .otherwise("small").as("size_bucket"),
+        floor(col("o_totalprice")).as("price_floor")))
+
+  private val fnCondSql =
+    s"""SELECT o_orderkey,
+       |  CASE substring(o_orderpriority, 1, 1)
+       |    WHEN '1' THEN 'urgent' WHEN '2' THEN 'high'
+       |    ELSE 'normal' END AS priority_class,
+       |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+       |  CASE WHEN o_totalprice >= 300000 THEN 'big'
+       |       WHEN o_totalprice >= 100000 THEN 'mid'
+       |       ELSE 'small' END AS size_bucket,
+       |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+       |FROM orders
+       |${O.OrderAll}"""
+
+  def fnArray(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    ordered(
+      t(spark, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        array_contains(toks, "spark").as("has_spark"),
+        array_join(slice(sort_array(toks), 1, 3), " ").as("first3_sorted"),
+        size(array_distinct(toks)).as("n_distinct"),
+        aggregate(transform(toks, x => length(x).cast(LongType)),
+          lit(0L), (acc, x) => acc + x).as("char_sum")))
+  }
+
+  private val fnArraySql =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       |  array_to_string(list_sort(string_split(text, ' '))[1:3], ' ') AS first3_sorted,
+       |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       |  CAST(list_sum(list_transform(string_split(text, ' '),
+       |    x -> length(x))) AS BIGINT) AS char_sum
+       |FROM documents
+       |${O.OrderAll}"""
+
+  /** UDTF-shaped: one row per token (lateral view / explode). */
+  def fnExplode(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token")))
+
+  private val fnExplodeSql =
+    s"""SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |FROM documents
+       |${O.OrderAll}"""
+
+  /** Map suite: per-doc token→count map; order-independent scalars out
+    * (map iteration order differs between engines, so we compare sizes
+    * and aggregated values, not the map itself). */
+  def fnMap(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    ordered(
+      counts.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
+          .as("tok_map"))
+        .select(
+          col("doc_id"),
+          size(map_keys(col("tok_map"))).as("n_keys"),
+          aggregate(map_values(col("tok_map")), lit(0L), (acc, x) => acc + x)
+            .as("n_tokens")))
+  }
+
+  private val fnMapSql =
+    s"""SELECT doc_id,
+       |  len(list_distinct(string_split(text, ' '))) AS n_keys,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |FROM documents
+       |${O.OrderAll}"""
+
+  /** JSON suite: both extraction styles must agree. */
+  def fnJson(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_path"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_struct")))
+
+  private val fnJsonSql =
+    s"""SELECT event_id,
+       |  CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k_path,
+       |  CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k_struct
+       |FROM events
+       |${O.OrderAll}"""
+
+  /** Hash suite: SCD2 row-hash change detector (sha256 over business
+    * attributes; no doubles in the hash input — float→string formatting
+    * differs across engines). */
+  def fnHash(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "customer").select(
+        col("c_custkey"),
+        sha2(concat_ws("|", col("c_name"), col("c_nationkey"),
+          col("c_mktsegment")), 256).as("row_hash"),
+        md5(col("c_name")).as("name_md5")))
+
+  private val fnHashSql =
+    s"""SELECT c_custkey,
+       |  sha256(concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR),
+       |    c_mktsegment)) AS row_hash,
+       |  md5(c_name) AS name_md5
+       |FROM customer
+       |${O.OrderAll}"""
+
+  /** Scalar UDF surface next to its native replacement: cricket
+    * overs-notation from the line number. The two output columns must be
+    * identical — proving the native expression can replace the UDF (and
+    * should: the UDF is the only non-codegen expression in this file). */
+  def udfScalar(spark: SparkSession, dir: String): DataFrame = {
+    val overs = udf((ln: Int) => s"${(ln - 1) / 6}.${(ln - 1) % 6 + 1}")
+    ordered(
+      t(spark, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        overs(col("l_linenumber")).as("overs_udf"),
+        concat(((col("l_linenumber") - 1) / 6).cast(IntegerType).cast("string"),
+          lit("."),
+          (((col("l_linenumber") - 1) % 6) + 1).cast("string"))
+          .as("overs_native")))
+  }
+
+  private val udfScalarSql =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST((l_linenumber - 1) // 6 AS VARCHAR) || '.' ||
+       |    CAST((l_linenumber - 1) % 6 + 1 AS VARCHAR) AS overs_udf,
+       |  CAST((l_linenumber - 1) // 6 AS VARCHAR) || '.' ||
+       |    CAST((l_linenumber - 1) % 6 + 1 AS VARCHAR) AS overs_native
+       |FROM lineitem
+       |${O.OrderAll}"""
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> Q(fnString _, fnStringSql),
+    "fn_date" -> Q(fnDate _, fnDateSql),
+    "fn_math" -> Q(fnMath _, fnMathSql),
+    "fn_cond" -> Q(fnCond _, fnCondSql),
+    "fn_array" -> Q(fnArray _, fnArraySql),
+    "fn_explode" -> Q(fnExplode _, fnExplodeSql),
+    "fn_map" -> Q(fnMap _, fnMapSql),
+    "fn_json" -> Q(fnJson _, fnJsonSql),
+    "fn_hash" -> Q(fnHash _, fnHashSql),
+    "udf_scalar" -> Q(udfScalar _, udfScalarSql)
+  )
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Reference evidence: latest-record / change-tracking patterns implied
+  * by incremental load + SCD (README.md:4,6).
+  *
+  * 100 TB notes: a window = one shuffle on partitionBy keys + one sorted
+  * pass per partition. All windows here partition on a high-cardinality
+  * key (custkey/partkey/user_id), so partitions stay small and skew-free;
+  * never run an empty-partitionBy window over big data (single-task
+  * global sort).
+  */
+object Windows {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Ranking family: top-3 orders per customer. row_number gets the
+    * orderkey tiebreak (total order); rank/dense_rank rank peers by
+    * price only — both deterministic. */
+  def winRank(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc)
+    val total = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ordered(
+      t(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(total))
+        .withColumn("rnk", rank().over(byPrice))
+        .withColumn("drnk", dense_rank().over(byPrice))
+        .filter(col("rn") <= 3))
+  }
+
+  private val winRankSql =
+    s"""SELECT * FROM (
+       |  SELECT o_custkey, o_orderkey, o_totalprice,
+       |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+       |    RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+       |    DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+       |  FROM orders)
+       |WHERE rn <= 3
+       |${O.OrderAll}"""
+
+  /** lag/lead: successive-shipment price delta per part (change
+    * tracking). Per-row double subtraction — deterministic. */
+  def winLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    ordered(
+      t(spark, dir, "lineitem")
+        .withColumn("prev_price",
+          lag(col("l_extendedprice"), 1).over(w))
+        .withColumn("next_price",
+          lead(col("l_extendedprice"), 1).over(w))
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          dateStr(col("l_shipdate")).as("ship_date"), col("l_extendedprice"),
+          col("prev_price"), col("next_price"),
+          (col("l_extendedprice") - col("prev_price")).as("delta")))
+  }
+
+  private val winLagLeadSql =
+    s"""SELECT l_partkey, l_orderkey, l_linenumber,
+       |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_extendedprice,
+       |  LAG(l_extendedprice, 1) OVER w AS prev_price,
+       |  LEAD(l_extendedprice, 1) OVER w AS next_price,
+       |  l_extendedprice - LAG(l_extendedprice, 1) OVER w AS delta
+       |FROM lineitem
+       |WINDOW w AS (PARTITION BY l_partkey
+       |  ORDER BY l_shipdate, l_orderkey, l_linenumber)
+       |${O.OrderAll}"""
+
+  /** Sliding ROWS frame: decimal-exact moving sum of the last 3 events
+    * per user (frame sums are sequential → exact on both engines). */
+  def winFrameRows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    ordered(
+      t(spark, dir, "events")
+        .withColumn("mov3",
+          sum(money(col("value"))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("value"), col("mov3")))
+  }
+
+  private val winFrameRowsSql =
+    s"""SELECT event_id, user_id, value,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3
+       |FROM events
+       |${O.OrderAll}"""
+
+  /** RANGE frame over time: trailing 1-hour event count per user, on an
+    * epoch-µs order key (exact integer range on both engines). */
+  def winFrameRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    ordered(
+      t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          epochUs(col("ts")).as("ts_us"))
+        .withColumn("cnt_1h", count(lit(1)).over(w)))
+  }
+
+  private val winFrameRangeSql =
+    s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS cnt_1h
+       |FROM events
+       |${O.OrderAll}"""
+
+  /** Distribution family: acctbal quartiles per nation. Total ORDER BY
+    * (acctbal, custkey) makes ntile/percent_rank/cume_dist deterministic. */
+  def winDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    ordered(
+      t(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round6(percent_rank().over(w)))
+        .withColumn("cume", round6(cume_dist().over(w))))
+  }
+
+  private val winDistributionSql =
+    s"""SELECT c_nationkey, c_custkey, c_acctbal,
+       |  NTILE(4) OVER w AS quartile,
+       |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       |  round(CUME_DIST() OVER w, 6) AS cume
+       |FROM customer
+       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+       |${O.OrderAll}"""
+
+  val queries: Map[String, Q] = Map(
+    "win_rank" -> Q(winRank _, winRankSql),
+    "win_lag_lead" -> Q(winLagLead _, winLagLeadSql),
+    "win_frame_rows" -> Q(winFrameRows _, winFrameRowsSql),
+    "win_frame_range" -> Q(winFrameRange _, winFrameRangeSql),
+    "win_distribution" -> Q(winDistribution _, winDistributionSql)
+  )
+}
