@@ -13,7 +13,9 @@ object SparkEntry {
   /** The §2 inventory: key → (Spark impl, optional DuckDB oracle). */
   def registry: Map[String, Q] =
     ops.Scans.queries ++ ops.Relational.queries ++ ops.Aggregates.queries ++
-      ops.Windows.queries ++ ops.Scalars.queries
+      ops.Windows.queries ++ ops.Scalars.queries ++ etl.Etl.queries ++
+      stream.Streaming.queries ++
+      llm.Dedup.queries ++ llm.Similarity.queries ++ llm.Text.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

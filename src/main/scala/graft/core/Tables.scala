@@ -74,7 +74,7 @@ object Tables {
     * µs TimestampType refuses to read directly. We read the raw ns longs
     * (legacy conf) and truncate to µs with exact integer division —
     * identical to DuckDB's ns→µs truncation, so oracle timestamps agree. */
-  private val eventsRaw: StructType = st(
+  val eventsRawSchema: StructType = st(
     "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
 
@@ -82,7 +82,7 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet")
+      spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -1,0 +1,231 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+
+/** SURVEY.md §2.9 — ETL composite operators, the reference's core
+  * identity (/root/reference/README.md:4 incremental/full load, :6 SCD,
+  * :12 integrity + audit logging).
+  *
+  * Each query is a full pipeline expressed as one deterministic
+  * DataFrame so the DuckDB oracle can replay it in pure SQL. Batches
+  * are deterministic date/key slices of the test tables (SURVEY.md
+  * §2.9's cutover construction).
+  */
+object Etl {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Full load: truncate-and-reload the per-customer order summary from
+    * the complete extract. 100 TB: this is the O(all-data) path you run
+    * rarely; `etl_incremental` is the daily path (README.md:4's point). */
+  def fullLoad(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("lifetime_value"),
+          min(dateStr(col("o_orderdate"))).as("first_order"),
+          max(dateStr(col("o_orderdate"))).as("last_order")))
+
+  private val fullLoadSql =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders,
+       |  ${O.dsum("o_totalprice")} AS lifetime_value,
+       |  min(strftime(o_orderdate, '%Y-%m-%d')) AS first_order,
+       |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order
+       |FROM orders GROUP BY o_custkey
+       |${O.OrderAll}"""
+
+  /** Incremental load via high-water mark: target = pre-cutover orders;
+    * delta = source rows past max(target.o_orderdate); result = merged
+    * target with an anti-join dedup guard (idempotent re-runs).
+    * 100 TB: the delta filter prunes partitions at the scan when the
+    * fact is date-partitioned — the whole point of incremental load. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val target0 = orders.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val hwm = target0.agg(max(col("o_orderdate")).as("hwm"))
+    val delta = orders.join(broadcast(hwm), col("o_orderdate") > col("hwm"))
+      .drop("hwm")
+      // dedup guard: never re-insert keys already in the target
+      .join(target0.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+    val merged = target0.unionByName(delta.select(target0.columns.map(col): _*))
+    ordered(
+      merged.select(col("o_orderkey"), dateStr(col("o_orderdate")).as("o_date"),
+        col("o_orderstatus"), col("o_totalprice")))
+  }
+
+  private val incrementalSql =
+    s"""WITH target0 AS (
+       |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+       |hwm AS (SELECT max(o_orderdate) AS h FROM target0),
+       |delta AS (SELECT o.* FROM orders o, hwm WHERE o.o_orderdate > hwm.h)
+       |SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       |  o_orderstatus, o_totalprice FROM target0
+       |UNION ALL
+       |SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       |  o_orderstatus, o_totalprice FROM delta
+       |${O.OrderAll}"""
+
+  /** SCD Type 1: latest-wins overwrite. Staged extract = urgent buyers
+    * re-segmented as 'VIP'; result = dim after in-place upsert. */
+  def scd1(spark: SparkSession, dir: String): DataFrame = {
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val staged = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit("VIP").as("c_mktsegment"))
+    ordered(
+      Scd.scd1Apply(dim, staged, Seq("c_custkey"), Seq("c_name", "c_mktsegment")))
+  }
+
+  private val scd1Sql =
+    s"""SELECT c.c_custkey, c.c_name,
+       |  CASE WHEN u.c_custkey IS NOT NULL THEN 'VIP' ELSE c.c_mktsegment END AS c_mktsegment,
+       |  u.c_custkey IS NOT NULL AND c.c_mktsegment <> 'VIP' AS changed
+       |FROM customer c
+       |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+       |  WHERE EXISTS (SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')) u
+       |  ON c.c_custkey = u.c_custkey
+       |${O.OrderAll}"""
+
+  /** SCD Type 2: initial load at T1 of a partial dim (keys %10 != 0),
+    * then a T2 merge of the full extract where every key %3 == 0 moved
+    * segment. Exercises unchanged / changed-close+reopen / brand-new
+    * paths of [[Scd.scd2Merge]] in one deterministic result. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = "2020-01-01 00:00:00"
+    val t2 = "2021-01-01 00:00:00"
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val batch1 = base.filter(col("c_custkey") % 10 =!= 0)
+    val batch2 = base.withColumn("c_mktsegment",
+      when(col("c_custkey") % 3 === 0, "MOVED").otherwise(col("c_mktsegment")))
+    val dim = Scd.initialLoad(batch1, t1)
+    val merged = Scd.scd2Merge(dim, batch2,
+      Seq("c_custkey"), Seq("c_name", "c_mktsegment"), t2)
+    ordered(
+      merged.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        dateStr(col(Scd.FromCol)).as("effective_from"),
+        dateStr(col(Scd.ToCol)).as("effective_to"),
+        col(Scd.CurrentCol).as("is_current")))
+  }
+
+  private val scd2Sql =
+    s"""WITH b1 AS (
+       |  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 10 <> 0),
+       |b2 AS (
+       |  SELECT c_custkey, c_name,
+       |    CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+       |  FROM customer)
+       |SELECT b1.c_custkey, b1.c_name, b1.c_mktsegment,
+       |  '2020-01-01' AS effective_from,
+       |  CASE WHEN b1.c_mktsegment <> b2.c_mktsegment
+       |    THEN '2021-01-01' ELSE '9999-12-31' END AS effective_to,
+       |  b1.c_mktsegment = b2.c_mktsegment AS is_current
+       |FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+       |UNION ALL
+       |SELECT b2.c_custkey, b2.c_name, b2.c_mktsegment,
+       |  '2021-01-01' AS effective_from, '9999-12-31' AS effective_to, true AS is_current
+       |FROM b2 LEFT JOIN b1 ON b2.c_custkey = b1.c_custkey
+       |WHERE b1.c_custkey IS NULL OR b1.c_mktsegment <> b2.c_mktsegment
+       |${O.OrderAll}"""
+
+  /** Data-quality gate: rule violations counted in one pass each; bad
+    * rows would route to quarantine (README.md:12). Count may be zero —
+    * the rule still runs and reports. */
+  def dqCheck(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val lineitem = t(spark, dir, "lineitem")
+    val rules = Seq(
+      orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orphan_order_custkey").as("rule"), col("n_violations")),
+      customer.filter(col("c_acctbal") < 0)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("negative_acctbal").as("rule"), col("n_violations")),
+      lineitem.filter(col("l_quantity") <= 0 || col("l_quantity").isNull)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("nonpositive_quantity").as("rule"), col("n_violations")),
+      orders.filter(!col("o_orderstatus").isin("F", "P", "O"))
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("bad_order_status").as("rule"), col("n_violations")))
+    ordered(
+      rules.reduce(_ unionByName _)
+        .withColumn("passed", col("n_violations") === 0))
+  }
+
+  private val dqCheckSql =
+    s"""SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+       |  SELECT 'orphan_order_custkey' AS rule,
+       |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+       |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+       |  UNION ALL
+       |  SELECT 'negative_acctbal',
+       |    (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0)
+       |  UNION ALL
+       |  SELECT 'nonpositive_quantity',
+       |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0 OR l_quantity IS NULL)
+       |  UNION ALL
+       |  SELECT 'bad_order_status',
+       |    (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','P','O')))
+       |${O.OrderAll}"""
+
+  /** Audit log: per-stage row-count metrics with a fixed batch id
+    * (README.md:12 "logging mechanisms throughout the ETL process"). */
+  def audit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val open = orders.filter(col("o_orderstatus") === "O")
+    val enriched = open.join(t(spark, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    val nAll = orders.agg(count(lit(1)).as("n_all"))
+    val nOpen = open.agg(count(lit(1)).as("n_open"))
+    val nEnr = enriched.agg(count(lit(1)).as("n_enr"))
+    val counts = nAll.crossJoin(nOpen).crossJoin(nEnr)
+    val stages = counts.select(
+      lit("batch_0001").as("batch_id"), lit("extract_orders").as("stage"),
+      col("n_all").as("rows_in"), col("n_all").as("rows_out"),
+      lit(0L).as("rejected"))
+      .unionByName(counts.select(
+        lit("batch_0001").as("batch_id"), lit("filter_open").as("stage"),
+        col("n_all").as("rows_in"), col("n_open").as("rows_out"),
+        (col("n_all") - col("n_open")).as("rejected")))
+      .unionByName(counts.select(
+        lit("batch_0001").as("batch_id"), lit("enrich_customer").as("stage"),
+        col("n_open").as("rows_in"), col("n_enr").as("rows_out"),
+        (col("n_open") - col("n_enr")).as("rejected")))
+    ordered(stages)
+  }
+
+  private val auditSql =
+    s"""WITH n AS (
+       |  SELECT (SELECT COUNT(*) FROM orders) AS n_all,
+       |    (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS n_open,
+       |    (SELECT COUNT(*) FROM orders JOIN customer ON o_custkey = c_custkey
+       |     WHERE o_orderstatus = 'O') AS n_enr)
+       |SELECT 'batch_0001' AS batch_id, 'extract_orders' AS stage,
+       |  n_all AS rows_in, n_all AS rows_out, 0 AS rejected FROM n
+       |UNION ALL
+       |SELECT 'batch_0001', 'filter_open', n_all, n_open, n_all - n_open FROM n
+       |UNION ALL
+       |SELECT 'batch_0001', 'enrich_customer', n_open, n_enr, n_open - n_enr FROM n
+       |${O.OrderAll}"""
+
+  val queries: Map[String, Q] = Map(
+    "etl_full_load" -> Q(fullLoad _, fullLoadSql),
+    "etl_incremental" -> Q(incremental _, incrementalSql),
+    "etl_scd1" -> Q(scd1 _, scd1Sql),
+    "etl_scd2" -> Q(scd2 _, scd2Sql),
+    "etl_dq_check" -> Q(dqCheck _, dqCheckSql),
+    "etl_audit" -> Q(audit _, auditSql)
+  )
+}

@@ -1,0 +1,122 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance (SURVEY.md §2.9 `etl_scd1`,
+  * `etl_scd2`; reference /root/reference/README.md:6 — "Slowly Changing
+  * Dimensions (SCD) Type 1 and Type 2 to track historical changes …
+  * enabling historical analysis").
+  *
+  * The reference ships no code (SURVEY.md §0); semantics follow the
+  * standard Kimball definitions: SCD1 = overwrite in place, SCD2 =
+  * versioned rows with [effective_from, effective_to) validity intervals
+  * and an is_current flag.
+  *
+  * 100 TB notes: both merges are one full-outer (SCD2) / left (SCD1)
+  * join on the business key — shuffle-partitioned by key hash, AQE
+  * handles skew. Change detection is a single sha2 row-hash comparison,
+  * so the join carries (key, hash) + attrs once, never column-by-column
+  * comparisons across the wire. History rows (is_current = false) are
+  * untouched pass-throughs — at scale, store them in a separate
+  * partition (is_current) so the merge only ever reads the current
+  * slice.
+  */
+object Scd {
+
+  val FromCol = "effective_from"
+  val ToCol = "effective_to"
+  val CurrentCol = "is_current"
+  val HighDate = "9999-12-31 00:00:00"
+
+  /** Deterministic change-detection hash over attribute columns.
+    *  separator avoids "ab|c" vs "a|bc" collisions. */
+  def rowHash(attrCols: Seq[String]): Column =
+    sha2(concat_ws("", attrCols.map(c => col(c).cast("string")): _*), 256)
+
+  /** Initial SCD2 load: every staged row becomes the first open version. */
+  def initialLoad(staged: DataFrame, batchTs: String): DataFrame =
+    staged
+      .withColumn(FromCol, lit(batchTs).cast("timestamp"))
+      .withColumn(ToCol, lit(HighDate).cast("timestamp"))
+      .withColumn(CurrentCol, lit(true))
+
+  /** SCD2 merge of a staged extract into the current dimension state.
+    *
+    * Per business key:
+    *  - unchanged (hash equal): current row passes through;
+    *  - changed: current row closes (`effective_to` = batchTs,
+    *    is_current = false) and a new open version is inserted;
+    *  - brand-new key: new open version;
+    *  - departed key (in dim, not staged): stays open (no soft delete);
+    *  - historic rows (is_current = false) pass through untouched.
+    */
+  def scd2Merge(
+      dim: DataFrame,
+      staged: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      batchTs: String): DataFrame = {
+
+    val history = dim.filter(!col(CurrentCol))
+    val current = dim.filter(col(CurrentCol))
+
+    val cur = current.withColumn("_hash", rowHash(attrCols))
+    val stg = staged.withColumn("_hash_stg", rowHash(attrCols))
+      .select((keyCols.map(c => col(c).as(s"_k_$c")) :+
+        col("_hash_stg")) ++ attrCols.map(c => col(c).as(s"_stg_$c")): _*)
+
+    val keyEq = keyCols.map(c => col(c) === col(s"_k_$c")).reduce(_ && _)
+    val joined = cur.join(stg, keyEq, "full_outer")
+
+    val inCur = col(CurrentCol).isNotNull
+    val inStg = col("_hash_stg").isNotNull
+    val changed = inCur && inStg && (col("_hash") =!= col("_hash_stg"))
+
+    val dimCols = current.columns.toSeq
+
+    // current rows carried forward: unchanged as-is, changed closed.
+    val carried = joined.filter(inCur)
+      .withColumn(ToCol,
+        when(changed, lit(batchTs).cast("timestamp")).otherwise(col(ToCol)))
+      .withColumn(CurrentCol, when(changed, lit(false)).otherwise(lit(true)))
+      .select(dimCols.map(col): _*)
+
+    // new open versions: changed keys + brand-new keys.
+    val opened = joined.filter(inStg && (!inCur || changed))
+      .select((keyCols.map(c => coalesce(col(c), col(s"_k_$c")).as(c)) ++
+        attrCols.map(c => col(s"_stg_$c").as(c))): _*)
+      .withColumn(FromCol, lit(batchTs).cast("timestamp"))
+      .withColumn(ToCol, lit(HighDate).cast("timestamp"))
+      .withColumn(CurrentCol, lit(true))
+      .select(dimCols.map(col): _*)
+
+    history.select(dimCols.map(col): _*)
+      .unionByName(carried)
+      .unionByName(opened)
+  }
+
+  /** SCD1 apply: overwrite changed attributes in place, insert new keys,
+    * no history. Returns the post-merge dimension. */
+  def scd1Apply(
+      dim: DataFrame,
+      staged: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String]): DataFrame = {
+
+    val stg = staged.select(
+      (keyCols.map(c => col(c).as(s"_k_$c")) ++
+        attrCols.map(c => col(c).as(s"_stg_$c"))): _*)
+    val keyEq = keyCols.map(c => col(c) === col(s"_k_$c")).reduce(_ && _)
+    val joined = dim.join(stg, keyEq, "full_outer")
+
+    joined.select(
+      (keyCols.map(c => coalesce(col(c), col(s"_k_$c")).as(c)) ++
+        attrCols.map(c =>
+          coalesce(col(s"_stg_$c"), col(c)).as(c)) :+
+        (col(s"_k_${keyCols.head}").isNotNull &&
+          col(keyCols.head).isNotNull &&
+          attrCols.map(c => col(s"_stg_$c") =!= col(c)).reduce(_ || _))
+          .as("changed")): _*)
+  }
+}

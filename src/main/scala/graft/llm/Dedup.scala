@@ -1,0 +1,194 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+import graft.functions.WordShingles
+
+/** SURVEY.md §2.11 — deduplication family for training-data pipelines
+  * (north star, BASELINE.json): exact, MinHash-LSH, brute-force n-gram
+  * Jaccard (the LSH ground truth), and SimHash.
+  *
+  * 100 TB notes:
+  *  - exact dedup is one hash-groupBy: shuffle carries (hash, doc_id).
+  *  - MinHash-LSH is the scale path for near-dup: candidates come from
+  *    band-bucket equality joins (O(n·bands) shuffle), never the O(n²)
+  *    pairwise cross product; only candidates pay the exact-Jaccard
+  *    verification join.
+  *  - `llm_ngram_jaccard` (brute) exists as the oracle-checkable ground
+  *    truth; at scale you never run it — it's the correctness reference
+  *    for the LSH path (ScalaTest asserts LSH == brute on test data).
+  *  - SimHash stores one 64-bit signature per doc; candidates share a
+  *    16-bit band (pigeonhole: hamming ≤ 3 pairs always share one of 4
+  *    bands; we use ham ≤ 3 for guaranteed recall).
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Normalized text: collapse whitespace, trim, lowercase — mirrored
+    * exactly in the oracle (regexp_replace with 'g'!). */
+  private def normText = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+  /** Exact dedup: normalize → sha256 → keep min(doc_id) per hash. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      docs(spark, dir)
+        .select(col("doc_id"), sha2(normText, 256).as("content_hash"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies")))
+
+  private val exactDedupSql =
+    s"""SELECT sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+       |  min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+       |FROM documents
+       |GROUP BY 1
+       |${O.OrderAll}"""
+
+  /** Distinct 2-word shingles per doc via the custom Generator UDTF. */
+  private[llm] def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val fn = WordShingles.register(spark, 2)
+    docs(spark, dir).selectExpr("doc_id", s"$fn(text) AS shingle").distinct()
+  }
+
+  private val NumPerms = 64 // minhash permutations
+  private val BandRows = 4  // rows per band → 16 bands
+  private val JaccardThreshold = 0.8
+
+  /** MinHash-LSH near-dup detection: shingle → 64-perm minhash signature
+    * → 16 LSH bands of 4 → band-bucket candidate pairs → exact-Jaccard
+    * verification ≥ 0.8. Fixed seeds end-to-end → deterministic.
+    * No SQL oracle (hash-family-specific); ScalaTest asserts equality
+    * with the brute-force `llm_ngram_jaccard` result. */
+  def nearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+
+    // signature: minimum of a seeded 64-bit hash per permutation.
+    val sigCols = (0 until NumPerms).map(p =>
+      min(xxhash64(lit(p), col("shingle"))).as(s"h$p"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+    // LSH bands: hash of each 4-signature chunk.
+    val bandCols = (0 until NumPerms / BandRows).map { b =>
+      val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
+      xxhash64((lit(b) +: rows): _*)
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+
+    // candidates: docs sharing any band bucket.
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(cand, sh, JaccardThreshold)
+  }
+
+  /** Exact Jaccard for a pair list, given the (doc_id, shingle) set. */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val jac = inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= thr)
+      .select(col("doc_a"), col("doc_b"), round6(col("jaccard")).as("jaccard"))
+    ordered(jac)
+  }
+
+  /** Brute-force 2-gram Jaccard ≥ 0.8 over all pairs sharing ≥1 shingle
+    * — the oracle-checkable ground truth for `llm_near_dedup`. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val allPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifyJaccard(allPairs, sh, JaccardThreshold)
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS s
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  UNION
+       |  SELECT doc_id, text AS s FROM documents WHERE len(string_split(text, ' ')) <= 2),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+       |${O.OrderAll}"""
+
+  /** Portable FNV-1a 64-bit string hash (deterministic across runs;
+    * used where the hash must be computed in plain Scala). */
+  private[llm] def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** SimHash near-dup: 64-bit per-doc signature from token-hash bit
+    * votes; candidates share one of four 16-bit bands (pigeonhole
+    * guarantees recall for hamming ≤ 3); verified by exact hamming.
+    * No oracle (hash-specific); ScalaTest checks planted near-dups. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sim = udf { (text: String) =>
+      val votes = new Array[Int](64)
+      text.split(" ").foreach { tok =>
+        val h = fnv1a(tok)
+        var i = 0
+        while (i < 64) { votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    val sigs = docs(spark, dir)
+      .select(col("doc_id"), sim(col("text")).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "chunk")))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    ordered(pairs)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "llm_exact_dedup" -> Q(exactDedup _, exactDedupSql),
+    "llm_near_dedup" -> Q.noOracle(nearDedup _),
+    "llm_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql),
+    "llm_simhash" -> Q.noOracle(simhash _)
+  )
+}

@@ -1,0 +1,218 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+
+/** SURVEY.md §2.11 — text analysis for training-data pipelines (north
+  * star): corpus stats, TF-IDF, language-ID scoring, quality scoring,
+  * document fingerprinting.
+  *
+  * 100 TB notes: everything token-level goes explode → groupBy — the
+  * shuffle carries (key, count) after map-side partial aggregation, not
+  * raw tokens. TF-IDF's document-frequency join broadcasts the term
+  * table when the vocabulary is small (here: 31 tokens); with a web-
+  * scale vocab it becomes a shuffle join on term — still O(tokens).
+  * Fingerprinting is embarrassingly parallel (one pass per doc, no
+  * shuffle at all).
+  */
+object Text {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def toks(s: SparkSession, d: String) =
+    docs(s, d).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("token"))
+
+  /** Per-language corpus stats + the most document-frequent term. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(spark, dir)
+    val stats = t.groupBy(col("lang")).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_tokens"))
+      .withColumn("avg_tokens_per_doc",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+    val df = t.groupBy(col("lang"), col("token"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+    val top = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("token").as("top_term"),
+        col("doc_freq").as("top_term_docs"))
+    ordered(stats.join(top, Seq("lang")))
+  }
+
+  private val textStatsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+       |stats AS (
+       |  SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+       |    CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+       |      AS avg_tokens_per_doc
+       |  FROM t GROUP BY lang),
+       |df AS (
+       |  SELECT lang, token, COUNT(DISTINCT doc_id) AS doc_freq
+       |  FROM t GROUP BY lang, token),
+       |top AS (
+       |  SELECT lang, token AS top_term, doc_freq AS top_term_docs FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY doc_freq DESC, token ASC) AS rn FROM df)
+       |  WHERE rn = 1)
+       |SELECT s.lang, s.n_docs, s.n_tokens, s.avg_tokens_per_doc,
+       |  top.top_term, top.top_term_docs
+       |FROM stats s JOIN top ON s.lang = top.lang
+       |${O.OrderAll}"""
+
+  /** TF-IDF: top-scoring term per document.
+    * idf = ln((N+1)/(df+1)); rank on the rounded score (+ term
+    * tiebreak) so both engines agree. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(spark, dir)
+    val tf = t.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = t.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round6(col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    ordered(
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_term"), col("tfidf")))
+  }
+
+  private val tfidfSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, token,
+       |    round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6)
+       |      AS tfidf
+       |  FROM tf JOIN df USING (token) CROSS JOIN n)
+       |SELECT doc_id, token AS top_term, tfidf FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, token ASC) AS rn FROM scored)
+       |WHERE rn = 1
+       |${O.OrderAll}"""
+
+  private val EnStop = Seq("the", "a", "of", "and")
+  private val EsStop = Seq("el", "la", "de", "y")
+  private val DeStop = Seq("der", "die", "das", "und")
+
+  /** Stopword-profile language-ID scoring. The synthetic corpus draws
+    * from one shared vocabulary, so the *labels* are arbitrary — the
+    * operator demonstrates deterministic profile scoring + argmax
+    * (real profiles drop in unchanged). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    def hits(stop: Seq[String]) =
+      size(array_intersect(array_distinct(t), array(stop.map(lit): _*)))
+    ordered(
+      docs(spark, dir).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        hits(EnStop).as("en_hits"),
+        hits(EsStop).as("es_hits"),
+        hits(DeStop).as("de_hits"))
+        .withColumn("guess",
+          when(col("en_hits") >= greatest(col("es_hits"), col("de_hits")) &&
+            col("en_hits") > 0, "en")
+            .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
+            .when(col("de_hits") > 0, "de")
+            .otherwise("unknown")))
+  }
+
+  private def hitsSql(stop: Seq[String]) =
+    s"len(list_intersect(list_distinct(string_split(text, ' ')), ${stop.mkString("['", "','", "']")}))"
+
+  private val langIdSql =
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  ${hitsSql(EnStop)} AS en_hits,
+       |  ${hitsSql(EsStop)} AS es_hits,
+       |  ${hitsSql(DeStop)} AS de_hits,
+       |  CASE
+       |    WHEN ${hitsSql(EnStop)} >= greatest(${hitsSql(EsStop)}, ${hitsSql(DeStop)})
+       |      AND ${hitsSql(EnStop)} > 0 THEN 'en'
+       |    WHEN ${hitsSql(EsStop)} >= ${hitsSql(DeStop)}
+       |      AND ${hitsSql(EsStop)} > 0 THEN 'es'
+       |    WHEN ${hitsSql(DeStop)} > 0 THEN 'de'
+       |    ELSE 'unknown' END AS guess
+       |FROM documents
+       |${O.OrderAll}"""
+
+  /** Document quality scoring: token counts, lexical diversity, stopword
+    * density, length prior — composed into one [0,1] score. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t).cast("double")
+    val nDis = size(array_distinct(t)).cast("double")
+    val nStop = size(filter(t, x => x === "the" || x === "a")).cast("double")
+    val avgLen = (col("n_chars").cast("double") - (size(t) - 1).cast("double")) / size(t).cast("double")
+    ordered(
+      docs(spark, dir).select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        round6(nDis / nTok).as("distinct_ratio"),
+        round6(nStop / nTok).as("stopword_ratio"),
+        round6(avgLen).as("avg_token_len"),
+        round6(
+          lit(0.4) * (nDis / nTok) +
+            lit(0.3) * (lit(1.0) - nStop / nTok) +
+            lit(0.3) * least(avgLen / 10.0, lit(1.0))).as("quality_score")))
+  }
+
+  private val qualitySql = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val nDis = "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    val nStop = "CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)"
+    val avgLen = s"(CAST(n_chars AS DOUBLE) - (len(string_split(text, ' ')) - 1)) / $nTok"
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  round($nDis / $nTok, 6) AS distinct_ratio,
+       |  round($nStop / $nTok, 6) AS stopword_ratio,
+       |  round($avgLen, 6) AS avg_token_len,
+       |  round(0.4 * ($nDis / $nTok) + 0.3 * (1.0 - $nStop / $nTok)
+       |    + 0.3 * least($avgLen / 10.0, 1.0), 6) AS quality_score
+       |FROM documents
+       |${O.OrderAll}"""
+  }
+
+  /** Document fingerprinting: an order-sensitive rolling polynomial hash
+    * of the token stream (content-identity) + the minimum 4-gram window
+    * hash (winnowing-style locality fingerprint). Plain-Scala FNV — no
+    * SQL oracle; ScalaTest pins expected values. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = udf { (text: String) =>
+      val toks = text.split(" ")
+      var h = 0xcbf29ce484222325L
+      toks.foreach { t => h = h * 31 + Dedup.fnv1a(t) }
+      h
+    }
+    val minWin = udf { (text: String) =>
+      val toks = text.split(" ")
+      if (toks.length < 4) Dedup.fnv1a(text)
+      else (0 to toks.length - 4)
+        .map(i => Dedup.fnv1a(toks.slice(i, i + 4).mkString(" "))).min
+    }
+    ordered(
+      docs(spark, dir).select(
+        col("doc_id"),
+        fp(col("text")).as("rolling_fp"),
+        minWin(col("text")).as("min_window_fp")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "llm_text_stats" -> Q(textStats _, textStatsSql),
+    "llm_tfidf" -> Q(tfidf _, tfidfSql),
+    "llm_lang_id" -> Q(langId _, langIdSql),
+    "llm_quality" -> Q(quality _, qualitySql),
+    "llm_fingerprint" -> Q.noOracle(fingerprint _)
+  )
+}

@@ -1,0 +1,206 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+
+/** SURVEY.md §2.10 — Structured Streaming over the `events` table.
+  *
+  * The reference is batch-only; these generalize its incremental-load
+  * claim (/root/reference/README.md:4) to continuous ingest. Inside the
+  * driver contract each query runs the stream bounded: file-stream
+  * source over the test parquet → Trigger.AvailableNow → memory sink →
+  * return the sink table. Deterministic because input is bounded and
+  * every aggregate follows the Determinism rules.
+  *
+  * 100 TB notes: watermarks bound state (late rows beyond 30 min are
+  * dropped, state for closed windows is evicted); `session_window` and
+  * `flatMapGroupsWithState` state lives in the state store keyed by
+  * user — shuffle-partitioned, so state scales horizontally with
+  * executors. The same code runs unbounded by swapping the source for
+  * kafka/files-on-arrival and the sink for a real one.
+  */
+object Streaming {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Bounded streaming read of events. FileStreamSource requires a
+    * directory, so we stage the (ns→µs normalized) table into a fixture
+    * dir once and stream from there. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/fixtures/$sf/events_stream_src"
+    Tables.load(spark, dir, "events").write.mode("overwrite").parquet(path)
+    spark.readStream.schema(Tables.events).parquet(path)
+  }
+
+  /** Run a bounded streaming DataFrame to completion into a uniquely
+    * named memory sink; return the sink table. */
+  private def runToTable(spark: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_ms_${ctr.incrementAndGet()}_${System.nanoTime()}"
+    val q = sdf.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling 10-min window × event_type with a 30-min watermark.
+    * Complete mode so windows inside the final watermark also emit
+    * (bounded input; on an unbounded stream you'd run append). */
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_value"))
+    ordered(
+      runToTable(spark, agg, "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value")))
+  }
+
+  private val tumblingSql =
+    s"""SELECT strftime(make_timestamp(CAST((epoch_us(ts) // 600000000) * 600000000 AS BIGINT)),
+       |    '%Y-%m-%d %H:%M:%S') AS ws,
+       |  event_type, COUNT(*) AS n,
+       |  ${O.dsum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |${O.OrderAll}"""
+
+  /** Sliding 10-min window every 5 min: each event lands in exactly two
+    * windows. */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_value"))
+    ordered(
+      runToTable(spark, agg, "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("n"), col("sum_value").cast("double").as("sum_value")))
+  }
+
+  private val slidingSql =
+    s"""WITH b AS (
+       |  SELECT make_timestamp(CAST((epoch_us(ts) // 300000000) * 300000000 AS BIGINT)) AS s5,
+       |    value
+       |  FROM events),
+       |both_windows AS (
+       |  SELECT s5 AS ws, value FROM b
+       |  UNION ALL
+       |  SELECT s5 - INTERVAL 5 MINUTE AS ws, value FROM b)
+       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, COUNT(*) AS n,
+       |  ${O.dsum("value")} AS sum_value
+       |FROM both_windows GROUP BY 1
+       |${O.OrderAll}"""
+
+  /** Session windows: per-user sessions with a 15-minute inactivity gap.
+    * Complete mode (session aggregation rejects update); the bounded
+    * input emits every session's final state. */
+  def session(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(money(col("value"))).as("sum_value"))
+    ordered(
+      runToTable(spark, agg, "complete")
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"), col("sum_value").cast("double").as("sum_value")))
+  }
+
+  // Classic SQL sessionization: gap >= 15 min starts a new session.
+  private val sessionSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      >= INTERVAL 15 MINUTE OR
+       |      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM events),
+       |sessions AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM marked)
+       |SELECT user_id,
+       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |  COUNT(*) AS n_events, ${O.dsum("value")} AS sum_value
+       |FROM sessions GROUP BY user_id, session_id
+       |${O.OrderAll}"""
+
+  /** Stateful dedup within the watermark: the input is the events table
+    * doubled (at-least-once delivery simulated); the operator restores
+    * exactly-once. */
+  def dedup(spark: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/fixtures/$sf/stream_dedup_in"
+    val ev = Tables.load(spark, dir, "events")
+    ev.unionByName(ev).write.mode("overwrite").parquet(path)
+    val deduped = spark.readStream.schema(ev.schema).parquet(path)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ordered(runToTable(spark, deduped, "append"))
+  }
+
+  private val dedupSql =
+    s"""SELECT DISTINCT event_id, event_type, value FROM events
+       |${O.OrderAll}"""
+
+  /** Arbitrary stateful processing (flatMapGroupsWithState): running
+    * per-user event count + last event type, state maintained per key in
+    * the state store. Deterministic last-event pick by (ts, event_id)
+    * regardless of iterator order. */
+  def stateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = eventsStream(spark, dir)
+      .select(col("user_id"), epochUs(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+
+    // state = (count, last ts_us, last event_id, last type)
+    val fn = (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+        state: GroupState[(Long, Long, Long, String)]) => {
+      var (n, ts, id, typ) = state.getOption.getOrElse((0L, Long.MinValue, Long.MinValue, ""))
+      rows.foreach { case (_, tsUs, evId, evType) =>
+        n += 1
+        if (tsUs > ts || (tsUs == ts && evId > id)) { ts = tsUs; id = evId; typ = evType }
+      }
+      state.update((n, ts, id, typ))
+      Iterator.single((uid, n, typ))
+    }
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "n_events", "last_type")
+    ordered(runToTable(spark, out, "update"))
+  }
+
+  private val statefulSql =
+    s"""WITH last AS (
+       |  SELECT user_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events)
+       |SELECT c.user_id, c.n_events, l.event_type AS last_type
+       |FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) c
+       |JOIN (SELECT user_id, event_type FROM last WHERE rn = 1) l
+       |  ON c.user_id = l.user_id
+       |${O.OrderAll}"""
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> Q(tumbling _, tumblingSql),
+    "stream_sliding" -> Q(sliding _, slidingSql),
+    "stream_session" -> Q(session _, sessionSql),
+    "stream_dedup" -> Q(dedup _, dedupSql),
+    "stream_stateful" -> Q(stateful _, statefulSql)
+  )
+}
