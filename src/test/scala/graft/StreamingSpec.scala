@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics that the bounded driver queries can't show:
+  * watermark late-data drop across micro-batches, stateful dedup of
+  * re-delivered rows (SURVEY.md §2.10 "late-data handling" row). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops rows later than the threshold across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .count()
+    val name = s"wm_test_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: events at 10:00-10:09, then 11:00 (advances watermark to 10:50)
+      in.addData((ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 10:05:00"), "a"),
+        (ts("2024-01-01 11:00:00"), "b"))
+      q.processAllAvailable()
+      // batch 2: a late row at 10:07 — older than the 10:50 watermark → dropped
+      in.addData((ts("2024-01-01 10:07:00"), "a"))
+      q.processAllAvailable()
+      // batch 3: push watermark far ahead so every surviving window emits
+      in.addData((ts("2024-01-01 12:00:00"), "c"))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("k"), col("count"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // the 10:00 'a' window must count 2, NOT 3: the late row was dropped.
+      assert(out.contains(("10:00", "a", 2L)), s"got $out")
+      assert(!out.contains(("10:00", "a", 3L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark restores exactly-once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val dedup = in.toDF().toDF("ts", "id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val name = s"dd_test_${System.nanoTime()}"
+    val q = dedup.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:01"), 1L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:05:00"), 1L), (ts("2024-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      val ids = spark.table(name).select("id").as[Long].collect().toSeq
+      assert(ids.sorted === Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("bounded session windows match batch sessionization row counts") {
+    val out = stream.Streaming.session(spark, TestSpark.Sf)
+    // every (user, session) appears exactly once
+    val dup = out.groupBy("user_id", "session_start").count()
+      .filter(col("count") > 1).count()
+    assert(dup === 0)
+    assert(out.count() > 0)
+  }
+}
