@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4): the properties that make
+  * these operators survive a 100 TB scale-up are plan shapes, not
+  * results — so they're pinned here. If Catalyst ever stops pushing a
+  * filter or broadcasting a dim, this fails before a cluster burns.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+
+  private def plan(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, Sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_parquet pushes the filter into the parquet scan") {
+    val p = plan("scan_parquet")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]")
+      || p.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(l_quantity.*"))
+  }
+
+  test("scan_parquet prunes columns to the 3 selected") {
+    val p = plan("scan_parquet")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin (fact never shuffles)") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sortmerge plans a SortMergeJoin (merge hint honored)") {
+    assert(plan("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("topk_global plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_semi/anti plan semi/anti joins, not join+distinct") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("agg_hash runs as partial+final hash aggregate (map-side combine)") {
+    val p = plan("agg_hash")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum"),
+      "aggregation must split partial/final so the shuffle carries one row per group")
+  }
+
+  test("join_range keeps the equi component (no nested-loop join)") {
+    val p = plan("join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a cross product:\n$p")
+  }
+
+  test("filter_pred pushes all pushable predicates to the scan") {
+    val p = plan("filter_pred")
+    // plan strings truncate the PushedFilters list; the DataFilters echo
+    // is complete enough to prove the LIKE reached the scan.
+    assert(p.contains("PushedFilters: [IsNotNull(p_name)"))
+    assert(p.contains("StringContains(p_name, wid") || p.contains("Contains(p_name#"))
+  }
+
+  test("llm_simsearch broadcasts the probe side") {
+    assert(plan("llm_simsearch").contains("BroadcastHashJoin") ||
+      plan("llm_simsearch").contains("BroadcastNestedLoopJoin"))
+  }
+}
