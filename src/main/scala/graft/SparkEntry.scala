@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** The §2 inventory: key → (Spark impl, optional DuckDB oracle). */
   def registry: Map[String, Q] =
-    ops.Scans.queries ++ ops.Relational.queries ++ ops.Aggregates.queries ++
+    ops.Scans.queries ++ ops.Relational.queries ++ ops.ScaleJoins.queries ++
+      ops.Aggregates.queries ++
       ops.Windows.queries ++ ops.Scalars.queries ++ etl.Etl.queries ++
       stream.Streaming.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++ llm.Text.queries

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+
+/** Scale-path join techniques (SURVEY.md §4.2, §7.6; reference
+  * README.md:8 "partitioning data, and leveraging parallel
+  * processing"). Results are oracle-identical to their naive
+  * formulations — what changes is the exchange structure, pinned by
+  * PlanSpec.
+  */
+object ScaleJoins {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Co-located join via bucketing: both facts written bucketed+sorted
+    * on the join key, so the sort-merge join runs with NO exchange and
+    * NO sort on either side — at 100 TB this deletes the single most
+    * expensive shuffle in the pipeline. The bucket write is a one-time
+    * layout cost amortized over every downstream join on that key. */
+  /** saveAsTable against the session-local catalog: an earlier session's
+    * warehouse files survive while the catalog entry doesn't, so wipe
+    * both before recreating (LOCATION_ALREADY_EXISTS otherwise). */
+  private def rewriteBucketed(spark: SparkSession, df: DataFrame,
+      table: String, key: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
+    df.write.bucketBy(8, key).sortBy(key).saveAsTable(table)
+  }
+
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val o = s"graft_orders_b_$sf"
+    val l = s"graft_lineitem_b_$sf"
+    rewriteBucketed(spark, t(spark, dir, "orders"), o, "o_orderkey")
+    rewriteBucketed(spark, t(spark, dir, "lineitem"), l, "l_orderkey")
+    ordered(
+      // merge hint: at toy scale Spark would broadcast the small side,
+      // which hides the point — bucketed SMJ with zero exchange/sort.
+      spark.table(o).hint("merge")
+        .join(spark.table(l), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("total_price")))
+  }
+
+  private val joinBucketedSql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+       |  ${O.dsum("l_extendedprice")} AS total_price
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderstatus
+       |${O.OrderAll}"""
+
+  private val Salts = 8
+
+  /** Salted skew join: the fact side gets a deterministic salt
+    * (hash(row) mod 8) appended to its hot key; the dim side is
+    * exploded 8× so every (key, salt) matches. The 8× dim blow-up buys
+    * an 8-way split of each hot key's partition — the standard remedy
+    * when one key holds >1/Nth of the fact and AQE's skew split can't
+    * help (e.g. a subsequent stateful op pinned to key partitioning).
+    * Result is oracle-identical to the unsalted join. */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    // 10 artificially hot keys: every order hits one of custkey % 10.
+    val fact = t(spark, dir, "orders")
+      .withColumn("hot_key", col("o_custkey") % 10)
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(Salts)))
+    val dim = t(spark, dir, "customer")
+      .withColumn("hot_key", col("c_custkey") % 10)
+      .groupBy(col("hot_key"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("seg_balance"))
+      .withColumn("salt", explode(array((0 until Salts).map(lit(_)): _*)))
+    ordered(
+      fact.join(dim, Seq("hot_key", "salt"))
+        .groupBy(col("hot_key"), col("n_customers"), col("seg_balance"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_spend")))
+  }
+
+  private val joinSaltedSql =
+    s"""WITH dim AS (
+       |  SELECT c_custkey % 10 AS hot_key, COUNT(*) AS n_customers,
+       |    ${O.dsum("c_acctbal")} AS seg_balance
+       |  FROM customer GROUP BY 1)
+       |SELECT hot_key, n_customers, seg_balance, COUNT(*) AS n_orders,
+       |  ${O.dsum("o_totalprice")} AS total_spend
+       |FROM orders JOIN dim ON o_custkey % 10 = hot_key
+       |GROUP BY 1, 2, 3
+       |${O.OrderAll}"""
+
+  val queries: Map[String, Q] = Map(
+    "join_bucketed" -> Q(joinBucketed _, joinBucketedSql),
+    "join_salted" -> Q(joinSalted _, joinSaltedSql)
+  )
+}

@@ -64,6 +64,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("StringContains(p_name, wid") || p.contains("Contains(p_name#"))
   }
 
+  test("join_bucketed: co-located sort-merge join with no exchange on the key") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join must not shuffle on the join key:\n$p")
+    assert(p.contains("Bucketed: true"), "scan must be bucket-aware")
+  }
+
   test("llm_simsearch broadcasts the probe side") {
     assert(plan("llm_simsearch").contains("BroadcastHashJoin") ||
       plan("llm_simsearch").contains("BroadcastNestedLoopJoin"))
