@@ -220,12 +220,44 @@ object Etl {
        |SELECT 'batch_0001', 'enrich_customer', n_open, n_enr, n_open - n_enr FROM n
        |${O.OrderAll}"""
 
+  /** Quarantine routing: the DQ gate's bad rows themselves, tagged with
+    * the violated rule, unioned into one quarantine table (README.md:12
+    * "bad records routed to quarantine"). At scale this is the sink you
+    * write PERMISSIVE-mode rejects and FK orphans to, partitioned by
+    * rule for replay. */
+  def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val orphans = orders
+      .join(customer, col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(lit("orphan_order_custkey").as("rule"),
+        col("o_orderkey").as("row_key"),
+        dateStr(col("o_orderdate")).as("detail"))
+    val negBal = customer.filter(col("c_acctbal") < 0)
+      .select(lit("negative_acctbal").as("rule"),
+        col("c_custkey").as("row_key"),
+        col("c_mktsegment").as("detail"))
+    ordered(orphans.unionByName(negBal))
+  }
+
+  private val quarantineSql =
+    s"""SELECT 'orphan_order_custkey' AS rule, o_orderkey AS row_key,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS detail
+       |FROM orders o
+       |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+       |UNION ALL
+       |SELECT 'negative_acctbal' AS rule, c_custkey AS row_key,
+       |  c_mktsegment AS detail
+       |FROM customer WHERE c_acctbal < 0
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "etl_full_load" -> Q(fullLoad _, fullLoadSql),
     "etl_incremental" -> Q(incremental _, incrementalSql),
     "etl_scd1" -> Q(scd1 _, scd1Sql),
     "etl_scd2" -> Q(scd2 _, scd2Sql),
     "etl_dq_check" -> Q(dqCheck _, dqCheckSql),
-    "etl_audit" -> Q(audit _, auditSql)
+    "etl_audit" -> Q(audit _, auditSql),
+    "etl_quarantine" -> Q(quarantine _, quarantineSql)
   )
 }

