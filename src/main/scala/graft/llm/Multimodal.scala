@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+
+/** Multimodal-column plumbing (SURVEY.md §2.11 / north star): treat
+  * media as opaque `binary` columns with typed metadata, decoded by a
+  * partition-local pass.
+  *
+  * This sandbox ships no image/audio codecs, so [[StubDecoder.decode]]
+  * is an explicitly-marked deterministic FAKE — what is real (and
+  * tested) is every piece a production decoder drops into:
+  *  - the schema contract: (id, payload: binary, meta: struct);
+  *  - `mapPartitions` batching (decoder state initialized once per
+  *    partition, not per row — the JVM analogue of `mapInPandas`);
+  *  - the fixed-width feature-vector output feeding the similarity
+  *    operators above.
+  *
+  * 100 TB notes: decode is embarrassingly parallel (no shuffle); the
+  * pattern to keep is per-partition decoder reuse — codec init is the
+  * expensive part, so `mapPartitions`, never a per-row UDF. Payload
+  * bytes should live in their own parquet column chunk so metadata-only
+  * queries never read them (columnar pruning does this for free).
+  */
+object Multimodal {
+
+  /** One decoded media row. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      mime: String,
+      n_bytes: Int,
+      features: Array[Float])
+
+  /** Deterministic stand-in for a real codec (??? in production terms:
+    * replace with e.g. JPEG decode + model forward pass). Produces a
+    * 4-dim "feature vector" from byte statistics so tests can pin exact
+    * values. */
+  object StubDecoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      var sum = 0L
+      var min = 255
+      var max = 0
+      payload.foreach { b =>
+        val u = b & 0xff
+        sum += u
+        if (u < min) min = u
+        if (u > max) max = u
+      }
+      val n = math.max(payload.length, 1)
+      Array(payload.length.toFloat, (sum.toDouble / n).toFloat,
+        min.toFloat, max.toFloat)
+    }
+  }
+
+  /** Partition-local decode pass over (id, payload) rows. */
+  def decodeFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init goes here (codec contexts, model
+        // sessions) — reused across the whole partition.
+        rows.map { case (id, payload) =>
+          MediaFeatures(id, "text/plain", payload.length,
+            StubDecoder.decode(payload))
+        }
+      }
+  }
+
+  /** Driver-contract query: documents' text bytes as the stand-in
+    * payload → partition-local decode → flat feature columns. No SQL
+    * oracle (byte-level fold not expressible in DuckDB) → rows-only
+    * check + pinned values in ScalaTest. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.load(spark, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    ordered(
+      decodeFeatures(spark, media).toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          col("features")(0).cast("long").as("f_len"),
+          round6(col("features")(1)).as("f_mean"),
+          col("features")(2).cast("int").as("f_min"),
+          col("features")(3).cast("int").as("f_max")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "llm_multimodal_decode" -> Q.noOracle(multimodalDecode _)
+  )
+}

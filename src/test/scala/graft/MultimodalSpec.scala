@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Multimodal
+import graft.sources.JdbcSource
+
+/** Multimodal decode plumbing + JDBC source option plumbing. */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+  import spark.implicits._
+
+  test("stub decoder: pinned feature values for a known payload") {
+    val f = Multimodal.StubDecoder.decode("abc".getBytes("UTF-8"))
+    // bytes 97,98,99 → len 3, mean 98, min 97, max 99
+    assert(f.toSeq === Seq(3.0f, 98.0f, 97.0f, 99.0f))
+    assert(Multimodal.StubDecoder.decode(Array.emptyByteArray).toSeq ===
+      Seq(0.0f, 0.0f, 255.0f, 0.0f))
+  }
+
+  test("decodeFeatures runs partition-local and covers every row") {
+    val media = Seq((1L, "hello"), (2L, "x")).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val out = Multimodal.decodeFeatures(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out.size === 2)
+    assert(out(1L).n_bytes === 5 && out(2L).n_bytes === 1)
+    assert(out(2L).features.toSeq === Seq(1.0f, 120.0f, 120.0f, 120.0f)) // 'x'=120
+  }
+
+  test("llm_multimodal_decode query: n_bytes equals n_chars for ASCII docs") {
+    val out = llm.Multimodal.multimodalDecode(spark, Sf)
+    val docs = core.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val mismatch = out.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= col("n_chars")).count()
+    assert(mismatch === 0)
+    assert(out.count() === docs.count())
+  }
+
+  test("jdbc source: plain and partitioned option plumbing") {
+    val src = new JdbcSource("jdbc:sqlserver://host;databaseName=dw", "u", "p",
+      fetchSize = 5000)
+    val o = src.options("dbo.orders")
+    assert(o("fetchsize") === "5000" && o("pushDownPredicate") === "true")
+    val po = src.partitionedOptions("dbo.orders", "o_orderkey", 0L, 1000000L, 16)
+    assert(po("partitionColumn") === "o_orderkey" && po("numPartitions") === "16")
+    assert(po("lowerBound") === "0" && po("upperBound") === "1000000")
+  }
+}
