@@ -19,7 +19,14 @@ import org.apache.spark.sql.types._
   *  - timestamps never leave a query as TimestampType: format as
   *    'yyyy-MM-dd[ HH:mm:ss]' strings or epoch-µs longs (parquet
   *    INT96/ns-vs-µs and pandas dtype mismatches otherwise poison hashes).
-  *  - unavoidable float outputs (cosine, tf-idf, ln) are round(x, 6).
+  *  - unavoidable float outputs are round(x, 6) — but ONLY when the two
+  *    engines genuinely compute different bits (partition-order sums,
+  *    transcendentals). NEVER round exact rational arithmetic (k/n,
+  *    weighted sums of small-int ratios): both engines already produce
+  *    bit-identical doubles, and round(·,6) of an exact value like
+  *    333/640 = 0.5203125 ties at the 7th digit, where Spark (decimal
+  *    string, HALF_UP) and DuckDB (binary) disagree. Found at sf0.1 in
+  *    cume_dist and quality_score.
   */
 object Determinism {
 

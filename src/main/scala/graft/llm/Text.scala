@@ -148,7 +148,11 @@ object Text {
        |${O.OrderAll}"""
 
   /** Document quality scoring: token counts, lexical diversity, stopword
-    * density, length prior — composed into one [0,1] score. */
+    * density, length prior — composed into one [0,1] score. Every value
+    * is exact rational arithmetic mirrored term-for-term in the oracle,
+    * so nothing is rounded: identical ints → bit-identical doubles on
+    * both engines, whereas round(·,6) of an exact value ties at the 7th
+    * digit and the engines disagree (found at sf0.1: 0.5146875). */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     val nTok = size(t).cast("double")
@@ -159,13 +163,12 @@ object Text {
       docs(spark, dir).select(
         col("doc_id"),
         size(t).as("n_tokens"),
-        round6(nDis / nTok).as("distinct_ratio"),
-        round6(nStop / nTok).as("stopword_ratio"),
-        round6(avgLen).as("avg_token_len"),
-        round6(
-          lit(0.4) * (nDis / nTok) +
-            lit(0.3) * (lit(1.0) - nStop / nTok) +
-            lit(0.3) * least(avgLen / 10.0, lit(1.0))).as("quality_score")))
+        (nDis / nTok).as("distinct_ratio"),
+        (nStop / nTok).as("stopword_ratio"),
+        avgLen.as("avg_token_len"),
+        (lit(0.4) * (nDis / nTok) +
+          lit(0.3) * (lit(1.0) - nStop / nTok) +
+          lit(0.3) * least(avgLen / 10.0, lit(1.0))).as("quality_score")))
   }
 
   private val qualitySql = {
@@ -175,11 +178,11 @@ object Text {
     val avgLen = s"(CAST(n_chars AS DOUBLE) - (len(string_split(text, ' ')) - 1)) / $nTok"
     s"""SELECT doc_id,
        |  len(string_split(text, ' ')) AS n_tokens,
-       |  round($nDis / $nTok, 6) AS distinct_ratio,
-       |  round($nStop / $nTok, 6) AS stopword_ratio,
-       |  round($avgLen, 6) AS avg_token_len,
-       |  round(0.4 * ($nDis / $nTok) + 0.3 * (1.0 - $nStop / $nTok)
-       |    + 0.3 * least($avgLen / 10.0, 1.0), 6) AS quality_score
+       |  $nDis / $nTok AS distinct_ratio,
+       |  $nStop / $nTok AS stopword_ratio,
+       |  $avgLen AS avg_token_len,
+       |  0.4 * ($nDis / $nTok) + 0.3 * (1.0 - $nStop / $nTok)
+       |    + 0.3 * least($avgLen / 10.0, 1.0) AS quality_score
        |FROM documents
        |${O.OrderAll}"""
   }

@@ -120,7 +120,11 @@ object Windows {
        |${O.OrderAll}"""
 
   /** Distribution family: acctbal quartiles per nation. Total ORDER BY
-    * (acctbal, custkey) makes ntile/percent_rank/cume_dist deterministic. */
+    * (acctbal, custkey) makes ntile/percent_rank/cume_dist deterministic.
+    * percent_rank/cume_dist are exact rationals (k/n of the same ints on
+    * both engines → bit-identical doubles), so they are NOT rounded:
+    * round(·,6) of an exact value like 333/640 = 0.5203125 ties at the
+    * 7th digit and the engines round ties differently (found at sf0.1). */
   def winDistribution(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -128,15 +132,15 @@ object Windows {
       t(spark, dir, "customer")
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
         .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pct_rank", round6(percent_rank().over(w)))
-        .withColumn("cume", round6(cume_dist().over(w))))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w)))
   }
 
   private val winDistributionSql =
     s"""SELECT c_nationkey, c_custkey, c_acctbal,
        |  NTILE(4) OVER w AS quartile,
-       |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       |  round(CUME_DIST() OVER w, 6) AS cume
+       |  PERCENT_RANK() OVER w AS pct_rank,
+       |  CUME_DIST() OVER w AS cume
        |FROM customer
        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
        |${O.OrderAll}"""
