@@ -108,7 +108,10 @@ object Dedup {
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= thr)
-      .select(col("doc_a"), col("doc_b"), round6(col("jaccard")).as("jaccard"))
+      // jaccard is an exact rational of small ints → bit-identical on
+      // both engines; rounding would tie at the 7th digit (103/128 =
+      // 0.8046875) where the engines disagree. Compare raw.
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
     ordered(jac)
   }
 
@@ -132,7 +135,7 @@ object Dedup {
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round6(col("jaccard")).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
     ordered(jac)
   }
 
@@ -151,7 +154,7 @@ object Dedup {
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |  round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+       |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
        |FROM inter
        |JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b
