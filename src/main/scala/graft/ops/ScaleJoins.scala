@@ -98,8 +98,49 @@ object ScaleJoins {
        |GROUP BY 1, 2, 3
        |${O.OrderAll}"""
 
+  /** Dynamic partition pruning: the fact is laid out partitioned by
+    * ship_year; the dim side's filter is only known at runtime, so
+    * Catalyst injects a dynamic pruning subquery into the fact scan —
+    * only the matching year directories are read. At 100 TB this is the
+    * difference between scanning one date partition and the whole fact
+    * for every dim-filtered join. PlanSpec asserts the
+    * `dynamicpruningexpression` is present in the scan. */
+  def joinDpp(spark: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/fixtures/$sf/fact_by_year"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      t(spark, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    val fact = spark.read.parquet(path)
+    // the qualifying years are only knowable at runtime (price filter),
+    // so Catalyst can't constant-fold a static partition filter — it
+    // injects a dynamic pruning subquery instead. (With a literal year
+    // filter here, Catalyst folds it statically — even better, but then
+    // the demo demonstrates nothing.)
+    val dim = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 450000)
+      .select(year(col("o_orderdate")).as("ship_year")).distinct()
+    ordered(
+      fact.join(dim, Seq("ship_year"))
+        .groupBy(col("ship_year"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total")))
+  }
+
+  private val joinDppSql =
+    s"""SELECT year(l_shipdate) AS ship_year, COUNT(*) AS n,
+       |  ${O.dsum("l_extendedprice")} AS total
+       |FROM lineitem
+       |WHERE year(l_shipdate) IN (
+       |  SELECT DISTINCT year(o_orderdate) FROM orders
+       |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000)
+       |GROUP BY 1
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "join_bucketed" -> Q(joinBucketed _, joinBucketedSql),
-    "join_salted" -> Q(joinSalted _, joinSaltedSql)
+    "join_salted" -> Q(joinSalted _, joinSaltedSql),
+    "join_dpp" -> Q(joinDpp _, joinDppSql)
   )
 }

@@ -73,6 +73,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"), "scan must be bucket-aware")
   }
 
+  test("join_dpp: fact scan carries a dynamic partition pruning filter") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"partitioned fact scan should be dynamically pruned:\n$p")
+  }
+
   test("llm_simsearch broadcasts the probe side") {
     assert(plan("llm_simsearch").contains("BroadcastHashJoin") ||
       plan("llm_simsearch").contains("BroadcastNestedLoopJoin"))
