@@ -237,6 +237,36 @@ object Relational {
        |GROUP BY p.event_id, p.user_id, p.ts
        |${O.OrderAll}"""
 
+  /** Full star join: the big fact against every dimension at once —
+    * the canonical warehouse query shape. All five dims broadcast, so
+    * the fact streams through five build-side hash joins with zero
+    * fact-side shuffles before the final aggregation exchange. */
+  def joinStar(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    ordered(
+      li.join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("p_type"))
+        .agg(
+          dsumExpr(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("s_suppkey")).as("n_suppliers")))
+  }
+
+  private val joinStarSql =
+    s"""SELECT r_name, p_type, CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items, COUNT(DISTINCT s_suppkey) AS n_suppliers
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, p_type
+       |${O.OrderAll}"""
+
   /** Cross join of two tiny axes for a dense reporting grid. */
   def joinCross(spark: SparkSession, dir: String): DataFrame =
     ordered(
@@ -370,6 +400,7 @@ object Relational {
     "join_range" -> Q(joinRange _, joinRangeSql),
     "join_asof" -> Q(joinAsof _, joinAsofSql),
     "join_cross" -> Q(joinCross _, joinCrossSql),
+    "join_star" -> Q(joinStar _, joinStarSql),
     "sort_multi" -> Q(sortMulti _, sortMultiSql),
     "topk_global" -> Q(topkGlobal _, topkGlobalSql),
     "topk_grouped" -> Q(topkGrouped _, topkGroupedSql),

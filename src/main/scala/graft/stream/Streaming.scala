@@ -2,7 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
 import graft.core.{Q, Tables}
 import graft.core.Determinism._
 import graft.core.{OracleDsl => O}
@@ -23,6 +23,32 @@ import graft.core.{OracleDsl => O}
   * executors. The same code runs unbounded by swapping the source for
   * kafka/files-on-arrival and the sink for a real one.
   */
+/** Typed per-key running aggregate for [[Streaming.tws]]: ValueState
+  * holds (count, max); reducers are commutative so batch iterator order
+  * is irrelevant. */
+class UserRunningAgg
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var state: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Double)]("agg",
+      org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var (n, mx) =
+      if (state.exists()) state.get() else (0L, Double.NegativeInfinity)
+    rows.foreach { case (_, v) =>
+      n += 1
+      if (v > mx) mx = v
+    }
+    state.update((n, mx))
+    Iterator.single((key, n, mx))
+  }
+}
+
 object Streaming {
 
   private val ctr = new java.util.concurrent.atomic.AtomicLong()
@@ -198,7 +224,34 @@ object Streaming {
        |  ON c.user_id = l.user_id
        |${O.OrderAll}"""
 
+  /** Spark 4 `transformWithState` — the successor to
+    * flatMapGroupsWithState: typed per-key state (ValueState) in the
+    * RocksDB state store, explicit TimeMode/TTL surface. Running
+    * per-user count + max(value); order-independent reducers so the
+    * batch iterator order can't matter. Oracle: plain GROUP BY. */
+  def tws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = eventsStream(spark, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    val out = src.groupByKey(_._1)
+      .transformWithState(new UserRunningAgg(), TimeMode.None(),
+        OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[(Long, Long, Double)]])
+      .toDF("user_id", "n_events", "max_value")
+    try ordered(runToTable(spark, out, "update"))
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  private val twsSql =
+    s"""SELECT user_id, COUNT(*) AS n_events, max(value) AS max_value
+       |FROM events GROUP BY user_id
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "stream_tws" -> Q(tws _, twsSql),
     "stream_tumbling" -> Q(tumbling _, tumblingSql),
     "stream_sliding" -> Q(sliding _, slidingSql),
     "stream_session" -> Q(session _, sessionSql),
