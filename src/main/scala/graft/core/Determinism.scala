@@ -73,11 +73,9 @@ object Determinism {
   /** Epoch microseconds of a timestamp (oracle: epoch_us(ts)). */
   def epochUs(c: Column): Column = unix_micros(c)
 
-  /** Total deterministic order over all output columns, asc nulls first.
-    * Rows that tie are bit-identical, so any tie order hashes the same. */
+  /** Total deterministic order over all output columns, asc nulls first
+    * (oracle mirror: OracleDsl.OrderAll). Rows that tie are
+    * bit-identical, so any tie order hashes the same. */
   def ordered(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
-
-  /** DuckDB suffix matching [[ordered]]. */
-  val OrderAll = "ORDER BY ALL NULLS FIRST"
 }

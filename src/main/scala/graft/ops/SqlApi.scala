@@ -47,7 +47,39 @@ object SqlApi {
        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
        |${O.OrderAll}"""
 
+  /** GROUPING SETS — the general form rollup/cube specialize: exactly
+    * the requested grouping combinations, nothing more. Region-level,
+    * nation-level, and grand totals in one pass over the join. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer", "nation", "region").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT COALESCE(r_name, 'ALL') AS region,
+         |  COALESCE(n_name, 'ALL') AS nation,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+         |  COUNT(*) AS n_orders
+         |FROM graft_orders
+         |JOIN graft_customer ON o_custkey = c_custkey
+         |JOIN graft_nation ON c_nationkey = n_nationkey
+         |JOIN graft_region ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((r_name), (n_name), ())""".stripMargin))
+  }
+
+  private val aggGroupingSetsSql =
+    s"""SELECT COALESCE(r_name, 'ALL') AS region,
+       |  COALESCE(n_name, 'ALL') AS nation,
+       |  ${O.dsum("o_totalprice")} AS total,
+       |  COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
-    "sql_tpch_q3" -> Q(sqlTpchQ3 _, sqlTpchQ3Sql)
+    "sql_tpch_q3" -> Q(sqlTpchQ3 _, sqlTpchQ3Sql),
+    "agg_grouping_sets" -> Q(aggGroupingSets _, aggGroupingSetsSql)
   )
 }

@@ -76,9 +76,28 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("etl incremental merge reproduces the full table (hwm invariant)") {
-    val merged = etl.Etl.incremental(spark, Sf).count()
-    val full = core.Tables.load(spark, Sf, "orders").count()
-    assert(merged === full)
+    val merged = etl.Etl.incremental(spark, Sf)
+    val full = Determinism.ordered(
+      core.Tables.load(spark, Sf, "orders").select(
+        col("o_orderkey"), Determinism.dateStr(col("o_orderdate")).as("o_date"),
+        col("o_orderstatus"), col("o_totalprice")))
+    // full row equality, not just counts: incremental ≡ full load
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+  }
+
+  test("observe() carries audit metrics through a batch action") {
+    val obs = new org.apache.spark.sql.Observation("audit")
+    val df = core.Tables.load(spark, Sf, "orders")
+      .observe(obs, count(lit(1)).as("rows_in"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("open_rows"))
+    val n = df.count()
+    val m = obs.get
+    // runtime metrics agree with the action's own result (README.md:12
+    // "logging mechanisms throughout the ETL process" — the in-flight
+    // counterpart of etl_audit's recomputed counts)
+    assert(m("rows_in") === n)
+    assert(m("open_rows").asInstanceOf[Long] > 0)
   }
 
   test("sinks: parquet round-trip and jdbc option plumbing") {
