@@ -388,7 +388,23 @@ object Relational {
        |SELECT o_custkey AS c_custkey FROM orders
        |${O.OrderAll}"""
 
+  /** Bag-semantics except: one occurrence removed per match, duplicates
+    * preserved — the multiset counterpart of `set_except` (load audits
+    * care about *how many* copies went missing, not just which keys). */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "orders").select(col("o_custkey"))
+        .exceptAll(
+          t(spark, dir, "customer").select(col("c_custkey").as("o_custkey"))))
+
+  private val setExceptAllSql =
+    s"""SELECT o_custkey FROM orders
+       |EXCEPT ALL
+       |SELECT c_custkey AS o_custkey FROM customer
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "set_except_all" -> Q(setExceptAll _, setExceptAllSql),
     "project_derive" -> Q(projectDerive _, projectDeriveSql),
     "filter_pred" -> Q(filterPred _, filterPredSql),
     "join_broadcast" -> Q(joinBroadcast _, joinBroadcastSql),

@@ -78,8 +78,33 @@ object SqlApi {
        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
        |${O.OrderAll}"""
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + join (SURVEY.md §4.2 "subquery decorrelation"), so the
+    * inner query runs once, not per row: orders 50% above their
+    * customer's average order value. */
+  def sqlCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    ordered(spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM graft_orders o
+         |WHERE o_totalprice > 1.5 * (
+         |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE)
+         |  FROM graft_orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin))
+  }
+
+  private val sqlCorrelatedSql =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice
+       |FROM orders o
+       |WHERE o_totalprice > 1.5 * (
+       |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE)
+       |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sql_tpch_q3" -> Q(sqlTpchQ3 _, sqlTpchQ3Sql),
-    "agg_grouping_sets" -> Q(aggGroupingSets _, aggGroupingSetsSql)
+    "agg_grouping_sets" -> Q(aggGroupingSets _, aggGroupingSetsSql),
+    "sql_correlated" -> Q(sqlCorrelated _, sqlCorrelatedSql)
   )
 }
