@@ -196,7 +196,44 @@ object Aggregates {
        |GROUP BY label, pos
        |${O.OrderAll}"""
 
+  /** Unpivot (stack): wide → long, the inverse of `agg_pivot`. */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "customer").select(col("c_custkey"),
+        expr("stack(2, 'acctbal', c_acctbal, " +
+          "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)")))
+
+  private val aggUnpivotSql =
+    s"""SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+       |UNION ALL
+       |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+       |${O.OrderAll}"""
+
+  /** Exact interpolated percentiles per segment (both engines implement
+    * the ANSI PERCENTILE_CONT definition: sort, index p·(n−1), linear
+    * interpolation — identical doubles from identical inputs). At
+    * 100 TB use approx_percentile (t-digest sketch) instead: exact
+    * percentile must co-locate every group value. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          expr("percentile(c_acctbal, 0.5)").as("median_bal"),
+          expr("percentile(c_acctbal, 0.9)").as("p90_bal"),
+          count(lit(1)).as("n")))
+
+  private val aggPercentileSql =
+    s"""SELECT c_mktsegment,
+       |  quantile_cont(c_acctbal, 0.5) AS median_bal,
+       |  quantile_cont(c_acctbal, 0.9) AS p90_bal,
+       |  COUNT(*) AS n
+       |FROM customer GROUP BY c_mktsegment
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "agg_unpivot" -> Q(aggUnpivot _, aggUnpivotSql),
+    "agg_percentile" -> Q(aggPercentile _, aggPercentileSql),
     "agg_hash" -> Q(aggHash _, aggHashSql),
     "agg_distinct" -> Q(aggDistinct _, aggDistinctSql),
     "agg_approx_distinct" -> Q.noOracle(aggApproxDistinct _),

@@ -257,7 +257,33 @@ object Scalars {
        |FROM lineitem
        |${O.OrderAll}"""
 
+  /** Null-safe equality (`<=>` / IS NOT DISTINCT FROM) next to plain
+    * `=`: the difference only shows on NULLs, so both operands are
+    * made nullable first. */
+  def fnNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val a = nullif(col("o_orderstatus"), lit("O"))
+    val b = when(col("o_totalprice") > 250000, col("o_orderstatus"))
+    ordered(
+      t(spark, dir, "orders").select(
+        col("o_orderkey"),
+        a.as("a"), b.as("b"),
+        (a <=> b).as("eq_null_safe"),
+        (a === b).as("eq_plain")))
+  }
+
+  private val fnNullSafeSql =
+    s"""SELECT o_orderkey,
+       |  NULLIF(o_orderstatus, 'O') AS a,
+       |  CASE WHEN o_totalprice > 250000 THEN o_orderstatus END AS b,
+       |  NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM
+       |    (CASE WHEN o_totalprice > 250000 THEN o_orderstatus END) AS eq_null_safe,
+       |  NULLIF(o_orderstatus, 'O') =
+       |    (CASE WHEN o_totalprice > 250000 THEN o_orderstatus END) AS eq_plain
+       |FROM orders
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "fn_null_safe" -> Q(fnNullSafe _, fnNullSafeSql),
     "fn_string" -> Q(fnString _, fnStringSql),
     "fn_date" -> Q(fnDate _, fnDateSql),
     "fn_math" -> Q(fnMath _, fnMathSql),

@@ -145,7 +145,34 @@ object Windows {
        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
        |${O.OrderAll}"""
 
+  /** first/last/nth over the full-partition frame: each customer's
+    * first, latest, and second order. Total window order (date, key)
+    * keeps the picks deterministic. */
+  def winFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ordered(
+      t(spark, dir, "orders")
+        .select(col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .distinct())
+  }
+
+  private val winFirstLastSql =
+    s"""SELECT DISTINCT o_custkey,
+       |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+       |  NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "win_first_last" -> Q(winFirstLast _, winFirstLastSql),
     "win_rank" -> Q(winRank _, winRankSql),
     "win_lag_lead" -> Q(winLagLead _, winLagLeadSql),
     "win_frame_rows" -> Q(winFrameRows _, winFrameRowsSql),
