@@ -99,8 +99,41 @@ object Scans {
        |FROM lineitem WHERE year(l_shipdate) = 1998
        |${O.OrderAll}"""
 
+  /** ORC round-trip: the second columnar format Spark ships natively
+    * (vectorized reader, predicate pushdown — same contract as
+    * parquet). Oracle checks losslessness against the source table. */
+  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "scan_orc")
+    Tables.load(spark, dir, "nation").write.mode("overwrite").orc(path)
+    ordered(spark.read.schema(Tables.nation).orc(path))
+  }
+
+  private val scanOrcSql = s"SELECT * FROM nation ${O.OrderAll}"
+
+  /** Codec-controlled sink: zstd parquet (the 100 TB default — ~30%
+    * smaller than snappy at similar scan speed) round-tripped and
+    * aggregated; oracle computes the same aggregate from the source. */
+  def sinkZstd(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "sink_zstd")
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+    ordered(
+      spark.read.schema(Tables.lineitem).parquet(path)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")))
+  }
+
+  private val sinkZstdSql =
+    s"""SELECT l_linestatus, COUNT(*) AS n, ${O.dsum("l_quantity")} AS sum_qty
+       |FROM lineitem WHERE l_returnflag = 'R'
+       |GROUP BY l_linestatus
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> Q(scanParquet _, scanParquetSql),
+    "scan_orc" -> Q(scanOrc _, scanOrcSql),
+    "sink_zstd" -> Q(sinkZstd _, sinkZstdSql),
     "scan_csv" -> Q(scanCsv _, scanCsvSql),
     "scan_json" -> Q(scanJson _, scanJsonSql),
     "sink_partitioned" -> Q(sinkPartitioned _, sinkPartitionedSql)

@@ -250,7 +250,40 @@ object Streaming {
        |FROM events GROUP BY user_id
        |${O.OrderAll}"""
 
+  /** Stream-stream inner join with a time-range condition: each
+    * purchase joined to the same user's views in the preceding 30
+    * minutes. Both sides keep watermarked state; the range condition
+    * bounds how long a view must be retained. Bounded input → every
+    * match emits in append mode. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("user_id") === col("v_uid") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_id"), col("v_id"),
+        epochUs(col("p_ts")).as("p_us"), epochUs(col("v_ts")).as("v_us"))
+    ordered(runToTable(spark, joined, "append"))
+  }
+
+  private val streamJoinSql =
+    s"""SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id,
+       |  epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us
+       |FROM events p JOIN events v
+       |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+       | AND v.user_id = p.user_id
+       | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "stream_join" -> Q(streamJoin _, streamJoinSql),
     "stream_tws" -> Q(tws _, twsSql),
     "stream_tumbling" -> Q(tumbling _, tumblingSql),
     "stream_sliding" -> Q(sliding _, slidingSql),
