@@ -251,7 +251,52 @@ object Etl {
        |FROM customer WHERE c_acctbal < 0
        |${O.OrderAll}"""
 
+  /** Partition backfill via dynamic partition overwrite: rewrite ONLY
+    * the 1998 partition (prices re-stated +10%), leaving every other
+    * year's files untouched. At 100 TB this is how corrections ship —
+    * `partitionOverwriteMode=dynamic` replaces exactly the partitions
+    * present in the written batch, never the whole table. */
+  def backfill(spark: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName
+    val path = s"/root/repo/target/fixtures/$sf/etl_backfill"
+    val fact = t(spark, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    // base layout (rebuilt each run for idempotence)
+    fact.write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    // backfill batch: only 1998, restated
+    val restated = fact.filter(col("ship_year") === 1998)
+      .withColumn("l_extendedprice",
+        (money(col("l_extendedprice")) * onePlus(lit(0.10))).cast("double"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try restated.write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // restated prices are scale-3 decimals (2-dec × 1.10): aggregate at
+    // scale 4 so no per-row cast ever rounds a .xx5 tie (Determinism
+    // rule: round only where the engines compute different bits).
+    ordered(
+      spark.read.parquet(path)
+        .groupBy(col("ship_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(14,4)")).cast("double")
+            .as("total")))
+  }
+
+  private val backfillSql =
+    s"""SELECT year(l_shipdate) AS ship_year, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN year(l_shipdate) = 1998
+       |    THEN CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * CAST(1 + CAST(0.10 AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DOUBLE) AS DECIMAL(14,4))
+       |    ELSE CAST(l_extendedprice AS DECIMAL(14,4)) END) AS DOUBLE) AS total
+       |FROM lineitem
+       |GROUP BY 1
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_backfill" -> Q(backfill _, backfillSql),
     "etl_full_load" -> Q(fullLoad _, fullLoadSql),
     "etl_incremental" -> Q(incremental _, incrementalSql),
     "etl_scd1" -> Q(scd1 _, scd1Sql),

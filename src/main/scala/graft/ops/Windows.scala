@@ -171,7 +171,55 @@ object Windows {
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        |${O.OrderAll}"""
 
+  /** Batch sessionization — the lag+cumsum classic: a gap ≥ 15 min
+    * starts a new session; a running sum of the gap flags numbers the
+    * sessions. Same semantics as the streaming `session_window` (its
+    * oracle is this exact SQL), expressed as two chained windows. */
+  def winSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered(
+      Tables.load(spark, dir, "events")
+        .withColumn("new_session",
+          when(col("ts").cast("long") - lag(col("ts"), 1).over(byTs).cast("long")
+            >= 15 * 60, 1)
+            .when(lag(col("ts"), 1).over(byTs).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(running))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          count(lit(1)).as("n_events"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .drop("session_id"))
+  }
+
+  // epoch-second subtraction matches the streaming oracle's
+  // ts - lag(ts) >= INTERVAL 15 MINUTE on µs-precision timestamps
+  // (cast to long truncates µs identically on both engines).
+  private val winSessionizeSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN epoch_us(ts) // 1000000
+       |        - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+       |      >= 15 * 60 THEN 1
+       |    WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+       |    ELSE 0 END AS new_session
+       |  FROM events),
+       |sessions AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM marked)
+       |SELECT user_id,
+       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |  COUNT(*) AS n_events, ${O.dsum("value")} AS sum_value
+       |FROM sessions GROUP BY user_id, session_id
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "win_sessionize" -> Q(winSessionize _, winSessionizeSql),
     "win_first_last" -> Q(winFirstLast _, winFirstLastSql),
     "win_rank" -> Q(winRank _, winRankSql),
     "win_lag_lead" -> Q(winLagLead _, winLagLeadSql),
