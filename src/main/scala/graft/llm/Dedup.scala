@@ -205,7 +205,116 @@ object Dedup {
     ordered(pairs)
   }
 
+  /** Apply the near-dedup: the cleaned corpus after dropping every doc
+    * that near-duplicates a smaller-id partner (min-id-wins, the usual
+    * training-corpus convention). Edges here come from the exact
+    * (brute) pair set so the oracle is SQL-expressible; at 100 TB the
+    * edge list comes from the LSH path, which ScalaTest proves equal. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_b").as("drop_id"))
+    ordered(
+      docs(spark, dir)
+        .join(pairs, col("doc_id") === col("drop_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+  }
+
+  private val dedupApplySql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       |  UNION
+       |  SELECT doc_id, text AS s FROM documents WHERE len(string_split(text, ' ')) <= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT doc_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+       |${O.OrderAll}"""
+
+  /** Duplicate clusters: connected components of the near-dup graph by
+    * iterative min-label propagation (the Spark-first way: a few
+    * self-join rounds, each a shuffle on the vertex id; AQE coalesces
+    * as the frontier shrinks). Converges in O(cluster diameter)
+    * iterations — near-dup clusters are tiny, and the loop stops the
+    * first round nothing changes. Oracle: recursive-CTE transitive
+    * closure (fine at test scale; the iterative join IS the 100 TB
+    * formulation). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val verts = edges.select(col("doc_a").as("id")).distinct()
+    var labels = verts.withColumn("lbl", col("id")).localCheckpoint()
+    // labels only ever decrease, so sum(lbl) is a strictly decreasing
+    // convergence measure — one cheap agg per round instead of a
+    // change-detection join.
+    var lblSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "doc_b")
+          .withColumnRenamed("lbl", "nbr_lbl"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("id"))
+        .agg(min(col("nbr_lbl")).as("nbr_min"))
+      // localCheckpoint: materialize + truncate lineage so round N+1
+      // doesn't replay rounds 1..N
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      labels = next
+      converged = nextSum == lblSum
+      lblSum = nextSum
+      rounds += 1
+    }
+    ordered(labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")))
+  }
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       |  UNION
+       |  SELECT doc_id, text AS s FROM documents WHERE len(string_split(text, ' ')) <= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_dedup_apply" -> Q(dedupApply _, dedupApplySql),
+    "llm_dup_clusters" -> Q(dupClusters _, dupClustersSql),
     "llm_exact_dedup" -> Q(exactDedup _, exactDedupSql),
     "llm_near_dedup" -> Q.noOracle(nearDedup _),
     "llm_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql),
