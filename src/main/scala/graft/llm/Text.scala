@@ -211,7 +211,48 @@ object Text {
         minWin(col("text")).as("min_window_fp")))
   }
 
+  /** Bigram-LM quality scoring: train corpus bigram/unigram counts,
+    * score each doc by its average negative log bigram probability
+    * −ln(c(w₁w₂)/c(w₁)) — the cheap perplexity-style signal real
+    * pipelines use to flag low-likelihood (garbled/boilerplate) text.
+    * 100 TB: the LM tables are two groupBys; scoring is a broadcast
+    * join of the (small) LM against the token stream. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val fn = graft.functions.WordShingles.register(spark, 2)
+    val bigrams = docs(spark, dir)
+      .selectExpr("doc_id", s"$fn(text) AS bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c12 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val c1 = toks(spark, dir).groupBy(col("token").as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    ordered(
+      bigrams
+        .join(broadcast(c12), Seq("bg"))
+        .join(broadcast(c1), Seq("w1"))
+        .withColumn("nll",
+          -log(col("c12").cast("double") / col("c1").cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(round6(avg(col("nll"))).as("avg_nll"),
+          count(lit(1)).as("n_bigrams")))
+  }
+
+  private val lmScoreSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |bg AS (
+       |  SELECT a.doc_id, a.tok AS w1, a.tok || ' ' || b.tok AS bigram
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY 1),
+       |c1 AS (SELECT tok AS w1, COUNT(*) AS c1 FROM toks GROUP BY 1)
+       |SELECT doc_id,
+       |  round(avg(-ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6) AS avg_nll,
+       |  COUNT(*) AS n_bigrams
+       |FROM bg JOIN c12 USING (bigram) JOIN c1 USING (w1)
+       |GROUP BY doc_id
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_lm_score" -> Q(lmScore _, lmScoreSql),
     "llm_text_stats" -> Q(textStats _, textStatsSql),
     "llm_tfidf" -> Q(tfidf _, tfidfSql),
     "llm_lang_id" -> Q(langId _, langIdSql),
