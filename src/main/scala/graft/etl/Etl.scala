@@ -257,8 +257,7 @@ object Etl {
     * `partitionOverwriteMode=dynamic` replaces exactly the partitions
     * present in the written batch, never the whole table. */
   def backfill(spark: SparkSession, dir: String): DataFrame = {
-    val sf = new java.io.File(dir).getName
-    val path = s"/root/repo/target/fixtures/$sf/etl_backfill"
+    val path = graft.core.Fixtures.path(dir, "etl_backfill")
     val fact = t(spark, dir, "lineitem")
       .withColumn("ship_year", year(col("l_shipdate")))
     // base layout (rebuilt each run for idempotence)

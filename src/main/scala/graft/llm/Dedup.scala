@@ -257,8 +257,11 @@ object Dedup {
     var labels = verts.withColumn("lbl", col("id")).localCheckpoint()
     // labels only ever decrease, so sum(lbl) is a strictly decreasing
     // convergence measure — one cheap agg per round instead of a
-    // change-detection join.
-    var lblSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    // change-detection join. coalesce(0): sum over an empty frame is
+    // NULL (corpus with no near-dup pairs at all).
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var lblSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -273,12 +276,16 @@ object Dedup {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      val nextSum = labelSum(next)
       labels = next
       converged = nextSum == lblSum
       lblSum = nextSum
       rounds += 1
     }
+    // wrong labels are worse than no labels: a component with diameter
+    // beyond the round cap must fail loudly, not ship non-minima.
+    require(converged,
+      s"label propagation did not converge in $rounds rounds - component diameter exceeds cap")
     ordered(labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")))
   }
 

@@ -219,7 +219,11 @@ object Text {
     * join of the (small) LM against the token stream. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val fn = graft.functions.WordShingles.register(spark, 2)
+    // LM score is undefined for <2-token docs; exclude them so the
+    // generator's whole-text fallback can't diverge from the oracle's
+    // adjacent-pair join (which naturally emits nothing for them).
     val bigrams = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
       .selectExpr("doc_id", s"$fn(text) AS bg")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val c12 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12"))

@@ -106,8 +106,7 @@ object ScaleJoins {
     * for every dim-filtered join. PlanSpec asserts the
     * `dynamicpruningexpression` is present in the scan. */
   def joinDpp(spark: SparkSession, dir: String): DataFrame = {
-    val sf = new java.io.File(dir).getName
-    val path = s"/root/repo/target/fixtures/$sf/fact_by_year"
+    val path = graft.core.Fixtures.path(dir, "fact_by_year")
     if (!new java.io.File(path, "_SUCCESS").exists())
       t(spark, dir, "lineitem")
         .withColumn("ship_year", year(col("l_shipdate")))

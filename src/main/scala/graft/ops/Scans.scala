@@ -20,13 +20,8 @@ import graft.core.{OracleDsl => O}
   */
 object Scans {
 
-  /** Per-sf scratch dir for fixture round-trips (CSV/JSON/partitioned
-    * parquet are *written by us* then re-read — the sandbox's only
-    * in-repo write target). */
-  private def fix(sfDir: String, name: String): String = {
-    val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/fixtures/$sf/$name"
-  }
+  private def fix(sfDir: String, name: String): String =
+    graft.core.Fixtures.path(sfDir, name)
 
   /** Parquet scan with explicit schema + projected/filtered read. */
   def scanParquet(spark: SparkSession, dir: String): DataFrame =

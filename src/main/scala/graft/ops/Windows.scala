@@ -191,7 +191,7 @@ object Windows {
         .agg(
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           count(lit(1)).as("n_events"),
-          sum(money(col("value"))).cast("double").as("sum_value"))
+          dsum(col("value")).as("sum_value"))
         .drop("session_id"))
   }
 

@@ -57,9 +57,8 @@ object Streaming {
     * directory, so we stage the (ns→µs normalized) table into a fixture
     * dir once and stream from there. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val sf = new java.io.File(dir).getName
-    val path = s"/root/repo/target/fixtures/$sf/events_stream_src"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val path = graft.core.Fixtures.path(dir, "events_stream_src")
+    if (!graft.core.Fixtures.exists(dir, "events_stream_src"))
       Tables.load(spark, dir, "events").write.mode("overwrite").parquet(path)
     spark.readStream.schema(Tables.events).parquet(path)
   }
@@ -168,10 +167,9 @@ object Streaming {
     * doubled (at-least-once delivery simulated); the operator restores
     * exactly-once. */
   def dedup(spark: SparkSession, dir: String): DataFrame = {
-    val sf = new java.io.File(dir).getName
-    val path = s"/root/repo/target/fixtures/$sf/stream_dedup_in"
+    val path = graft.core.Fixtures.path(dir, "stream_dedup_in")
     val ev = Tables.load(spark, dir, "events")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!graft.core.Fixtures.exists(dir, "stream_dedup_in"))
       ev.unionByName(ev).write.mode("overwrite").parquet(path)
     val deduped = spark.readStream.schema(ev.schema).parquet(path)
       .withWatermark("ts", "1 hour")
