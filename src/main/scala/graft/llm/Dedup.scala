@@ -251,6 +251,14 @@ object Dedup {
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b")).cache()
+    ordered(components(pairs))
+  }
+
+  /** Connected components of an undirected pair list (doc_a, doc_b) by
+    * iterative min-label propagation. Exposed separately so synthetic
+    * graphs (chains, triangles, multi-component) can exercise the
+    * multi-round convergence paths the test corpus never reaches. */
+  private[graft] def components(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val verts = edges.select(col("doc_a").as("id")).distinct()
@@ -286,7 +294,7 @@ object Dedup {
     // beyond the round cap must fail loudly, not ship non-minima.
     require(converged,
       s"label propagation did not converge in $rounds rounds - component diameter exceeds cap")
-    ordered(labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")))
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   private val dupClustersSql =

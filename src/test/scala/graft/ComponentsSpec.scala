@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components propagation on synthetic graphs — exercises the
+  * multi-round convergence paths the test corpus (mostly 2-doc pairs)
+  * never reaches. */
+class ComponentsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    llm.Dedup.components(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain propagates the min label across many hops") {
+    // 10-9-8-...-1: diameter 9 → multiple propagation rounds
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.size === 10)
+    assert(got.values.toSet === Set(1L), s"all labels must reach 1: $got")
+  }
+
+  test("triangle plus isolated pair form two components") {
+    val got = run(Seq((5L, 7L), (7L, 9L), (5L, 9L), (20L, 30L)))
+    assert(got(5L) === 5L && got(7L) === 5L && got(9L) === 5L)
+    assert(got(20L) === 20L && got(30L) === 20L)
+  }
+
+  test("empty edge set yields an empty result, not an NPE") {
+    val got = run(Seq.empty)
+    assert(got.isEmpty)
+  }
+
+  test("star graph converges in one round regardless of size") {
+    val star = (2L to 40L).map(i => (1L, i))
+    val got = run(star)
+    assert(got.values.toSet === Set(1L))
+  }
+}
