@@ -9,8 +9,8 @@ import org.apache.spark.sql.types._
   * Rules (SURVEY.md §5.2(1), §7.5):
   *  - never expose a raw `sum(double)`: partial-aggregation order is
   *    nondeterministic across partitions. Cast each row to
-  *    DECIMAL(18,2) ("money"), sum exactly, cast the exact sum back to
-  *    DOUBLE. DuckDB mirrors: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+  *    DECIMAL(12,2) ("money"), sum exactly, cast the exact sum back to
+  *    DOUBLE. DuckDB mirrors: CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE).
   *  - averages = exact decimal sum (one double rounding) / exact count,
   *    divided in IEEE double — identical on both engines.
   *  - every oracle-checked query ends in a total ORDER BY over output
@@ -61,7 +61,7 @@ object Determinism {
   def dsumExpr(e: Column): Column = sum(e).cast(DoubleType)
 
   /** Exact decimal avg surfaced as a double: (exact sum → double) / count.
-    * Oracle: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x). */
+    * Oracle: CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE) / COUNT(x). */
   def davg(c: Column): Column =
     sum(money(c)).cast(DoubleType) / count(c).cast(DoubleType)
 

@@ -81,6 +81,11 @@ object Tables {
   /** Read one of the ten tables with its explicit schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
+      // deliberately NOT save/restored: the conf is read at scan
+      // execution, and the returned DataFrame is lazy — restoring here
+      // would unset it before the file is actually read. Harmless to
+      // leave on: every other table is loaded with an explicit schema,
+      // so a ns column can never silently become LongType elsewhere.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
         .withColumn("ts",

@@ -29,10 +29,13 @@ object Scd {
   val CurrentCol = "is_current"
   val HighDate = "9999-12-31 00:00:00"
 
-  /** Deterministic change-detection hash over attribute columns.
-    *  separator avoids "ab|c" vs "a|bc" collisions. */
+  /** Deterministic change-detection hash over attribute columns. The
+    * \\u0001 separator avoids "ab"+"c" vs "a"+"bc" collisions; the
+    * per-attr sentinel keeps NULL distinguishable from "" (concat_ws
+    * silently drops NULL arguments). */
   def rowHash(attrCols: Seq[String]): Column =
-    sha2(concat_ws("", attrCols.map(c => col(c).cast("string")): _*), 256)
+    sha2(concat_ws("\u0001",
+      attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*), 256)
 
   /** Initial SCD2 load: every staged row becomes the first open version. */
   def initialLoad(staged: DataFrame, batchTs: String): DataFrame =
@@ -116,7 +119,9 @@ object Scd {
           coalesce(col(s"_stg_$c"), col(c)).as(c)) :+
         (col(s"_k_${keyCols.head}").isNotNull &&
           col(keyCols.head).isNotNull &&
-          attrCols.map(c => col(s"_stg_$c") =!= col(c)).reduce(_ || _))
+          // null-safe: a NULL attr overwritten by a value must flag
+          // changed=true, not NULL (=!= propagates nulls)
+          attrCols.map(c => !(col(s"_stg_$c") <=> col(c))).reduce(_ || _))
           .as("changed")): _*)
   }
 }

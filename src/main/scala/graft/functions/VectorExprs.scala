@@ -33,13 +33,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two dot_product calls in one codegen scope must not
+      // redeclare the same locals (janino would fail and silently fall
+      // back to the interpreted path).
+      val n = ctx.freshName("dpN")
+      val acc = ctx.freshName("dpAcc")
+      val i = ctx.freshName("dpI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -52,6 +52,7 @@ class UserRunningAgg
 object Streaming {
 
   private val ctr = new java.util.concurrent.atomic.AtomicLong()
+  private val liveSinks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /** Bounded streaming read of events. FileStreamSource requires a
     * directory, so we stage the (ns→µs normalized) table into a fixture
@@ -66,7 +67,13 @@ object Streaming {
   /** Run a bounded streaming DataFrame to completion into a uniquely
     * named memory sink; return the sink table. */
   private def runToTable(spark: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
+    // queries run sequentially: earlier sinks' result sets are consumed
+    // by now — drop them so complete-mode outputs don't accumulate in
+    // driver memory across a long bench session.
+    while (liveSinks.size() > 1)
+      spark.catalog.dropTempView(liveSinks.poll())
     val name = s"graft_ms_${ctr.incrementAndGet()}_${System.nanoTime()}"
+    liveSinks.add(name)
     val q = sdf.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -46,6 +46,18 @@ class LlmSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("two dot_product calls in one projection survive codegen") {
+    DotProduct.register(spark)
+    // regression: fixed local identifiers in doGenCode would make janino
+    // reject the duplicated declarations and fall back to interpreted.
+    val row = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      .selectExpr("dot_product(a, b) AS ab", "dot_product(a, a) AS aa",
+        "dot_product(b, b) + dot_product(a, b) AS mix")
+      .head()
+    assert(row.getDouble(0) === 11.0 && row.getDouble(1) === 5.0)
+    assert(row.getDouble(2) === 36.0)
+  }
+
   test("LSH simsearch achieves reasonable recall vs exact top-5") {
     val exact = llm.Similarity.simsearch(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
