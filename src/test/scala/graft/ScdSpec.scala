@@ -91,6 +91,47 @@ class ScdSpec extends AnyFunSuite {
     assert(out(2).getAs[String]("seg") === "W") // insert
   }
 
+  test("rowHash: boundary-shift and NULL-vs-empty collisions are impossible") {
+    import org.apache.spark.sql.functions.{col => c}
+    val df = Seq(
+      ("ab", "c"),
+      ("a", "bc"),
+      (null.asInstanceOf[String], ""),
+      ("", null.asInstanceOf[String]),
+      ("", ""))
+      .toDF("x", "y")
+      .select(Scd.rowHash(Seq("x", "y")).as("h"))
+    val hashes = df.collect().map(_.getString(0))
+    assert(hashes.distinct.length === 5,
+      s"all five attr combinations must hash differently: ${hashes.toSeq}")
+  }
+
+  test("scd1: NULL attr overwritten by a value flags changed=true, not NULL") {
+    val cur = Seq((1L, "a", null.asInstanceOf[String]), (2L, "b", "Y"))
+      .toDF("id", "name", "seg")
+    val staged = Seq((1L, "a", "X"), (2L, "b", null.asInstanceOf[String]))
+      .toDF("id", "name", "seg")
+    val out = Scd.scd1Apply(cur, staged, Seq("id"), Seq("name", "seg"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("seg") === "X")
+    assert(out(0).getAs[Boolean]("changed") === true, "NULL→X must be a change")
+    // staged NULL does not overwrite (coalesce keeps current) but IS a
+    // detected difference under null-safe comparison
+    assert(out(1).getAs[String]("seg") === "Y")
+    assert(out(1).getAs[Boolean]("changed") === true)
+  }
+
+  test("scd2: NULL→value attribute transition closes and reopens the version") {
+    val d0 = Scd.initialLoad(
+      Seq((1L, "a", null.asInstanceOf[String])).toDF("id", "name", "seg"), t1)
+    val staged = Seq((1L, "a", "X")).toDF("id", "name", "seg")
+    val d1 = Scd.scd2Merge(d0, staged, Seq("id"), Seq("name", "seg"), t2)
+    checkInvariants(d1)
+    assert(d1.count() === 2, "NULL→X must be detected as a change")
+    val open = d1.filter(col(Scd.CurrentCol)).collect()
+    assert(open.length === 1 && open(0).getAs[String]("seg") === "X")
+  }
+
   test("scd2: empty staged batch leaves the dimension unchanged") {
     val d0 = Scd.initialLoad(dim(Seq((1L, "a", "X"))), t1)
     val empty = dim(Seq.empty)
