@@ -12,10 +12,12 @@ class LlmSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("minhash-LSH near-dedup equals brute-force jaccard ground truth") {
-    val lsh = llm.Dedup.nearDedup(spark, Sf).collect().toSeq
-    val brute = llm.Dedup.ngramJaccard(spark, Sf).collect().toSeq
-    assert(lsh.nonEmpty, "test corpus should contain planted near-dups")
-    assert(lsh === brute)
+    for (sf <- Seq(Sf, "/root/testdata/sf0.01")) {
+      val lsh = llm.Dedup.nearDedup(spark, sf).collect().toSeq
+      val brute = llm.Dedup.ngramJaccard(spark, sf).collect().toSeq
+      assert(lsh.nonEmpty, s"$sf should contain planted near-dups")
+      assert(lsh === brute, s"LSH must have perfect recall at $sf")
+    }
   }
 
   test("simhash flags the planted exact-shape near-dups") {
