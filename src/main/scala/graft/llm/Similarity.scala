@@ -22,8 +22,10 @@ import graft.functions.DotProduct
   *    buckets (deterministic hyperplanes) shrink the candidate set to
   *    same-bucket vectors, trading recall for a ~2^bits fan-in cut.
   *    The bucketing is a plain groupBy — shuffle O(n), not O(n²).
-  *  - `llm_cosine_dedup` mirrors MinHash-LSH for the embedding space;
-  *    the brute pair join is the test-scale oracle ground truth.
+  *  - `llm_cosine_dedup_lsh` mirrors MinHash-LSH for the embedding
+  *    space (banded SRP buckets → candidates-only exact verify);
+  *    `llm_cosine_dedup`, the brute pair join, is its test-scale
+  *    ground truth — never run at 100 TB.
   */
 object Similarity {
 
@@ -84,40 +86,73 @@ object Similarity {
        |WHERE rn <= 5
        |${O.OrderAll}"""
 
-  private val LshBits = 8
+  /** splitmix64 finalizer — full-avalanche deterministic mixing for
+    * plane components. (An earlier fnv1a-of-short-string family had
+    * correlated components across consecutive plane indices, which
+    * silently inflated bucket collision rates ~6× over theory.) */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed hash folded to [-1, 1). */
+  /** Deterministic pseudo-random hyperplane component for (plane, dim),
+    * folded to (-1, 1). */
   private def planeComponent(p: Int, i: Int): Double =
-    ((Dedup.fnv1a(s"plane_${p}_dim_$i") % 1000003L).toDouble / 1000003.0)
+    (mix64(p.toLong * 64 + i) % 1000003L).toDouble / 1000003.0
 
-  /** ANN via sign-random-projection LSH: 8 deterministic hyperplanes →
-    * 256 buckets; probes only score candidates in their own bucket.
-    * Approximate by design → no SQL oracle; ScalaTest measures recall
-    * against `llm_simsearch`. */
-  def simsearchLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** UDF computing the banded SRP signature of a vector: `bands` band
+    * buckets, each the sign pattern of `bits` hyperplanes. Shared by
+    * the ANN search and the embedding-dedup paths — banding (match on
+    * ANY band = OR-amplification) is what tunes recall vs pruning. */
+  private def srpBands(bits: Int, bands: Int) = {
+    val nPlanes = bits * bands
     val planes: Array[Array[Double]] =
-      Array.tabulate(LshBits, 64)((p, i) => planeComponent(p, i))
-    val bucketOf = udf { (v: Seq[Float]) =>
-      var bucket = 0
+      Array.tabulate(nPlanes, 64)((p, i) => planeComponent(p, i))
+    udf { (v: Seq[Float]) =>
+      val out = new Array[Int](bands)
       var p = 0
-      while (p < LshBits) {
+      while (p < nPlanes) {
         var s = 0.0
         var i = 0
         while (i < 64 && i < v.length) { s += planes(p)(i) * v(i); i += 1 }
-        if (s > 0) bucket |= (1 << p)
+        if (s > 0) out(p / bits) |= (1 << (p % bits))
         p += 1
       }
-      bucket
+      out
     }
+  }
+
+  private val SimBandBits = 4
+  private val SimBands = 8
+
+  /** ANN via banded sign-random-projection LSH (multi-table OR
+    * amplification): 8 bands × 4 hyperplanes; a corpus vector is a
+    * candidate for a probe iff they share ANY band bucket, and only
+    * candidates pay the exact-cosine scoring. Candidate generation is
+    * a band-bucket equi-join — shuffle O(n·bands), never O(n·probes).
+    * Approximate by design → no SQL oracle; ScalaTest measures recall
+    * against `llm_simsearch` (0.62 on this corpus, whose true top-5
+    * sit barely above the random-pair cosine — banding depth trades
+    * recall against scored-candidate count, both deterministic). */
+  def simsearchLsh(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
-    val e = emb(spark, dir).withColumn("bucket", bucketOf(col("embedding")))
-      .withColumn("nrm", norm("embedding"))
+    val bandsOf = srpBands(SimBandBits, SimBands)
+    val e = emb(spark, dir).withColumn("nrm", norm("embedding"))
+    val banded = e.select(col("vec_id"),
+      posexplode(bandsOf(col("embedding"))).as(Seq("band_idx", "bucket")))
+    val probeBands = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("band_idx"), col("bucket"))
+    val cand = banded.join(broadcast(probeBands), Seq("band_idx", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id")).distinct()
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-        col("bucket"), col("nrm").as("probe_nrm"))
-    val scored = e.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("probe_id"))
+        col("nrm").as("probe_nrm"))
+    val scored = cand
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
       .withColumn("score",
         round6(dot("probe_emb", "embedding") /
           (col("probe_nrm") * col("nrm"))))
@@ -129,13 +164,22 @@ object Similarity {
         .select(col("probe_id"), col("vec_id"), col("score"), col("rn")))
   }
 
-  /** Embedding near-dup: all pairs with cosine ≥ 0.5 (threshold is a
-    * parameter; the synthetic embeddings carry no planted dups, so a
-    * production 0.95 cut would be vacuously empty here). Brute O(n²)
-    * at test scale — the LSH bucketing above is the 100 TB path. */
+  /** Embedding near-dup GROUND TRUTH: all pairs with cosine ≥ 0.5
+    * (threshold is a parameter; the synthetic embeddings carry no
+    * planted dups, so a production 0.95 cut would be vacuously empty
+    * here). Brute O(n²) — kept as the test-scale oracle reference for
+    * `llm_cosine_dedup_lsh`, exactly as `llm_ngram_jaccard` is for the
+    * MinHash path. At 100 TB you run the LSH query, never this one. */
   def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
-    val withNorm = emb(spark, dir).withColumn("nrm", norm("embedding"))
+    cosineDedupImpl(emb(spark, dir), 0.5)
+  }
+
+  /** Brute all-pairs cosine dedup over an arbitrary (vec_id, embedding)
+    * frame — shared by the keyed query and the planted-dup ScalaTest. */
+  private[graft] def cosineDedupImpl(e0: DataFrame, thr: Double): DataFrame = {
+    DotProduct.register(e0.sparkSession)
+    val withNorm = e0.withColumn("nrm", norm("embedding"))
     val a = withNorm.select(col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = withNorm.select(col("vec_id").as("id_b"),
@@ -144,7 +188,66 @@ object Similarity {
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("cos",
           round6(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))))
-        .filter(col("cos") >= 0.5)
+        .filter(col("cos") >= thr)
+        .select(col("id_a"), col("id_b"), col("cos")))
+  }
+
+  private val DedupBandBits = 2 // bits per band
+  private val DedupBands = 16   // bands → 32 hyperplanes total
+
+  /** SCALE PATH for embedding near-dup: banded sign-random-projection
+    * LSH, mirroring the MinHash-LSH shape of `llm_near_dedup`.
+    * Candidates come from band-bucket equality joins — shuffle
+    * O(n·bands) plus Σ bucket-pair counts, never the O(n²) cross
+    * product — and only candidates pay the exact-cosine verification.
+    *
+    * Parameter choice is threshold-driven. The SRP collision rate is
+    * 1 − θ/π per plane, so at this corpus's deliberately-loose 0.5
+    * threshold (θ = 60°, p₁ = 2/3 barely above the random-pair p₂ =
+    * 1/2, ρ = ln p₁⁻¹/ln p₂⁻¹ ≈ 0.585) recall needs shallow bands:
+    * 2 bits × 16 bands gives exact 100 % recall on every scale factor
+    * (deterministic planes — verified empirically, pinned by the
+    * oracle hash-match AND the LSH == brute ScalaTest), at the price
+    * of barely pruning this small corpus (the OR over 16 shallow bands
+    * admits most pairs — that is the θ = 60° regime, not a flaw in the
+    * machinery). At a production near-dup threshold (≥ 0.9, θ ≤ 26°,
+    * p₁ ≥ 0.86, ρ ≈ 0.2) the same code with deeper bands (8 × 8)
+    * prunes > 95 % of pairs with perfect recall — LlmSpec demonstrates
+    * both on planted high-similarity vectors. */
+  def cosineDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark)
+    cosineDedupLshImpl(emb(spark, dir), DedupBandBits, DedupBands, 0.5)
+  }
+
+  /** Band-bucket candidate pairs (id_a < id_b) from banded SRP
+    * signatures. Exposed for selectivity assertions in LlmSpec. */
+  private[graft] def cosineBandCandidates(
+      e0: DataFrame, bits: Int, bands: Int): DataFrame = {
+    val bandsOf = srpBands(bits, bands)
+    val banded = e0.select(col("vec_id"),
+      posexplode(bandsOf(col("embedding"))).as(Seq("band_idx", "bucket")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  private[graft] def cosineDedupLshImpl(
+      e0: DataFrame, bits: Int, bands: Int, thr: Double): DataFrame = {
+    DotProduct.register(e0.sparkSession)
+    val cand = cosineBandCandidates(e0, bits, bands)
+    val withNorm = e0.withColumn("nrm", norm("embedding"))
+    val a = withNorm.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    ordered(
+      cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .withColumn("cos",
+          round6(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))))
+        .filter(col("cos") >= thr)
         .select(col("id_a"), col("id_b"), col("cos")))
   }
 
@@ -189,6 +292,10 @@ object Similarity {
     "llm_simsearch" -> Q(simsearch _, simsearchSql),
     "llm_simsearch_lsh" -> Q.noOracle(simsearchLsh _),
     "llm_cosine_dedup" -> Q(cosineDedup _, cosineDedupSql),
+    // same oracle as the brute query: 2×16 banded SRP has exact 100 %
+    // recall on this corpus (deterministic planes), so the LSH result
+    // must hash-match the ground-truth SQL bit-for-bit.
+    "llm_cosine_dedup_lsh" -> Q(cosineDedupLsh _, cosineDedupSql),
     "llm_multimodal" -> Q(multimodal _, multimodalSql)
   )
 }

@@ -66,7 +66,7 @@ class LlmSpec extends AnyFunSuite {
     val approx = llm.Similarity.simsearchLsh(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.2, f"LSH recall $recall%.2f collapsed — bucketing broken?")
+    assert(recall >= 0.5, f"LSH recall $recall%.2f collapsed — bucketing broken?")
     assert(approx.size <= exact.size, "LSH must not return more than exact top-5")
   }
 
@@ -97,5 +97,41 @@ class LlmSpec extends AnyFunSuite {
     val out = llm.Dedup.exactDedup(spark, Sf)
     val docs = core.Tables.load(spark, Sf, "documents").count()
     assert(out.agg(sum("n_copies")).as[Long].head() === docs)
+  }
+
+  test("SRP-LSH cosine dedup equals brute ground truth at sf0.001 and sf0.01") {
+    for (sf <- Seq(Sf, "/root/testdata/sf0.01")) {
+      val lsh = llm.Similarity.cosineDedupLsh(spark, sf).collect().toSeq
+      val brute = llm.Similarity.cosineDedup(spark, sf).collect().toSeq
+      assert(lsh === brute, s"banded SRP must have perfect recall at $sf")
+    }
+    // the equality above is only meaningful if the ground truth is
+    // non-vacuous somewhere: sf0.01 carries exactly the near-boundary
+    // pairs the 0.5 threshold was chosen to catch.
+    assert(llm.Similarity.cosineDedup(spark, "/root/testdata/sf0.01")
+      .count() > 0, "sf0.01 should contain pairs above the 0.5 threshold")
+  }
+
+  test("SRP-LSH prunes hard at a production threshold on planted near-dups") {
+    // deterministic corpus: 200 gaussian base vectors + 20 planted
+    // near-copies (tiny perturbation → cosine ≈ 0.99+). At thr=0.95
+    // the LSH depth that is right for production (8 bits × 8 bands)
+    // must keep perfect recall while discarding almost all pairs.
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(200)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val dups = (0 until 20).map { k =>
+      val src = base(k * 7 % 200)
+      (200L + k, src.map(x => x + 0.03f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++ dups
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    val brute = llm.Similarity.cosineDedupImpl(e, 0.95).collect().toSeq
+    val lsh = llm.Similarity.cosineDedupLshImpl(e, 8, 8, 0.95).collect().toSeq
+    assert(brute.size >= 20, s"planted dups missing from ground truth: ${brute.size}")
+    assert(lsh === brute, "deep-band SRP lost a planted near-dup")
+    val n = rows.size
+    val cand = llm.Similarity.cosineBandCandidates(e, 8, 8).count()
+    assert(cand < n.toLong * (n - 1) / 2 / 10,
+      s"8x8 banding should prune >90% of ${n.toLong * (n - 1) / 2} pairs, kept $cand")
   }
 }
