@@ -139,6 +139,72 @@ object Etl {
        |WHERE b1.c_custkey IS NULL OR b1.c_mktsegment <> b2.c_mktsegment
        |${O.OrderAll}"""
 
+  /** Point-in-time (as-of) lookup against the SCD2 dimension — the
+    * "historical analysis" the reference names as SCD2's purpose
+    * (/root/reference/README.md:6). The dim is versioned at
+    * T1 = 1992-01-01 (initial load, keys %10 != 0) and T2 = 1996-01-01
+    * (merge where keys %3 == 0 moved segment), so orders genuinely
+    * split across versions: pre-1996 orders see the original segment,
+    * later orders the current one, and %10 == 0 keys have no version
+    * before T2 at all (left join → NULL segment).
+    *
+    * 100 TB: this is an EQUI-join on the business key with the
+    * validity interval as a residual predicate — Spark hash-partitions
+    * on c_custkey (or broadcasts the dim, as here: a dimension is
+    * small by definition) and evaluates `from <= d < to` post-match.
+    * Never a range-only join: per key the intervals are disjoint, so
+    * each fact row matches at most one version. */
+  def asofScd2(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = "1992-01-01 00:00:00"
+    val t2 = "1996-01-01 00:00:00"
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val batch1 = base.filter(col("c_custkey") % 10 =!= 0)
+    val batch2 = base.withColumn("c_mktsegment",
+      when(col("c_custkey") % 3 === 0, "MOVED").otherwise(col("c_mktsegment")))
+    val dim = Scd.scd2Merge(Scd.initialLoad(batch1, t1), batch2,
+      Seq("c_custkey"), Seq("c_name", "c_mktsegment"), t2)
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    ordered(
+      orders.join(broadcast(dim),
+          col("o_custkey") === col("c_custkey") &&
+            col(Scd.FromCol) <= col("o_orderdate") &&
+            col("o_orderdate") < col(Scd.ToCol),
+          "left_outer")
+        .select(col("o_orderkey"), dateStr(col("o_orderdate")).as("o_date"),
+          col("o_custkey"),
+          col("c_mktsegment").as("segment_at_order"),
+          dateStr(col(Scd.FromCol)).as("valid_from")))
+  }
+
+  private val asofScd2Sql =
+    s"""WITH b1 AS (
+       |  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 10 <> 0),
+       |b2 AS (
+       |  SELECT c_custkey, c_name,
+       |    CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+       |  FROM customer),
+       |dim AS (
+       |  SELECT b1.c_custkey, b1.c_mktsegment,
+       |    TIMESTAMP '1992-01-01 00:00:00' AS ef,
+       |    CASE WHEN b1.c_mktsegment <> b2.c_mktsegment
+       |      THEN TIMESTAMP '1996-01-01 00:00:00'
+       |      ELSE TIMESTAMP '9999-12-31 00:00:00' END AS et
+       |  FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+       |  UNION ALL
+       |  SELECT b2.c_custkey, b2.c_mktsegment,
+       |    TIMESTAMP '1996-01-01 00:00:00', TIMESTAMP '9999-12-31 00:00:00'
+       |  FROM b2 LEFT JOIN b1 ON b2.c_custkey = b1.c_custkey
+       |  WHERE b1.c_custkey IS NULL OR b1.c_mktsegment <> b2.c_mktsegment)
+       |SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+       |  o.o_custkey, d.c_mktsegment AS segment_at_order,
+       |  strftime(d.ef, '%Y-%m-%d') AS valid_from
+       |FROM orders o LEFT JOIN dim d
+       |  ON d.c_custkey = o.o_custkey
+       |  AND d.ef <= o.o_orderdate AND o.o_orderdate < d.et
+       |${O.OrderAll}"""
+
   /** Data-quality gate: rule violations counted in one pass each; bad
     * rows would route to quarantine (README.md:12). Count may be zero —
     * the rule still runs and reports. */
@@ -300,6 +366,7 @@ object Etl {
     "etl_incremental" -> Q(incremental _, incrementalSql),
     "etl_scd1" -> Q(scd1 _, scd1Sql),
     "etl_scd2" -> Q(scd2 _, scd2Sql),
+    "join_asof_scd2" -> Q(asofScd2 _, asofScd2Sql),
     "etl_dq_check" -> Q(dqCheck _, dqCheckSql),
     "etl_audit" -> Q(audit _, auditSql),
     "etl_quarantine" -> Q(quarantine _, quarantineSql)

@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Slowly-changing-dimension maintenance (SURVEY.md §2.9 `etl_scd1`,
@@ -37,6 +38,34 @@ object Scd {
     sha2(concat_ws("\u0001",
       attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*), 256)
 
+  /** First business-key column of the staged frame, guarded against
+    * duplicate keys WITHIN one staged batch: a duplicated key would
+    * multiply current rows through the merge join and silently corrupt
+    * the dimension (several is_current rows, overlapping intervals),
+    * so the merge fails loudly instead. The guard is a window count
+    * folded into the key projection itself (a standalone guard column
+    * would be pruned away by Catalyst along with its raise_error); the
+    * window partitions by the same key hash the merge join shuffles
+    * on, so at scale it costs a per-partition sort, not a new shuffle
+    * pattern. */
+  private def guardedKey(keyCols: Seq[String]): Column = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    when(count(lit(1)).over(w) > 1,
+      raise_error(concat_ws(" ",
+        lit("duplicate business key in staged batch:"),
+        concat_ws(",", keyCols.map(c =>
+          coalesce(col(c).cast("string"), lit("NULL"))): _*))))
+      .otherwise(col(keyCols.head))
+  }
+
+  /** Staged-side key projection with the duplicate guard on the first
+    * key column (the guard only needs to live in one surviving
+    * expression to fire for every staged row). */
+  private def stagedKeys(keyCols: Seq[String]): Seq[Column] =
+    keyCols.zipWithIndex.map { case (c, i) =>
+      (if (i == 0) guardedKey(keyCols) else col(c)).as(s"_k_$c")
+    }
+
   /** Initial SCD2 load: every staged row becomes the first open version. */
   def initialLoad(staged: DataFrame, batchTs: String): DataFrame =
     staged
@@ -66,7 +95,7 @@ object Scd {
 
     val cur = current.withColumn("_hash", rowHash(attrCols))
     val stg = staged.withColumn("_hash_stg", rowHash(attrCols))
-      .select((keyCols.map(c => col(c).as(s"_k_$c")) :+
+      .select((stagedKeys(keyCols) :+
         col("_hash_stg")) ++ attrCols.map(c => col(c).as(s"_stg_$c")): _*)
 
     val keyEq = keyCols.map(c => col(c) === col(s"_k_$c")).reduce(_ && _)
@@ -100,7 +129,14 @@ object Scd {
   }
 
   /** SCD1 apply: overwrite changed attributes in place, insert new keys,
-    * no history. Returns the post-merge dimension. */
+    * no history. Returns the post-merge dimension.
+    *
+    * The staged extract is AUTHORITATIVE for every key it contains:
+    * presence is detected via the staged key (business keys are
+    * non-null by contract), so a staged NULL attribute overwrites a
+    * current value — and the `changed` flag, computed with the same
+    * null-safe comparison, agrees with the applied effect in every
+    * direction (value→NULL, NULL→value, value→value). */
   def scd1Apply(
       dim: DataFrame,
       staged: DataFrame,
@@ -108,19 +144,21 @@ object Scd {
       attrCols: Seq[String]): DataFrame = {
 
     val stg = staged.select(
-      (keyCols.map(c => col(c).as(s"_k_$c")) ++
+      (stagedKeys(keyCols) ++
         attrCols.map(c => col(c).as(s"_stg_$c"))): _*)
     val keyEq = keyCols.map(c => col(c) === col(s"_k_$c")).reduce(_ && _)
     val joined = dim.join(stg, keyEq, "full_outer")
 
+    val inStg = col(s"_k_${keyCols.head}").isNotNull
     joined.select(
       (keyCols.map(c => coalesce(col(c), col(s"_k_$c")).as(c)) ++
         attrCols.map(c =>
-          coalesce(col(s"_stg_$c"), col(c)).as(c)) :+
-        (col(s"_k_${keyCols.head}").isNotNull &&
+          when(inStg, col(s"_stg_$c")).otherwise(col(c)).as(c)) :+
+        (inStg &&
           col(keyCols.head).isNotNull &&
-          // null-safe: a NULL attr overwritten by a value must flag
-          // changed=true, not NULL (=!= propagates nulls)
+          // null-safe: a NULL attr overwritten by a value (or a value
+          // by NULL) must flag changed=true, not NULL (=!= propagates
+          // nulls)
           attrCols.map(c => !(col(s"_stg_$c") <=> col(c))).reduce(_ || _))
           .as("changed")): _*)
   }

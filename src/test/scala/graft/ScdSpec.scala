@@ -115,10 +115,30 @@ class ScdSpec extends AnyFunSuite {
       .orderBy("id").collect()
     assert(out(0).getAs[String]("seg") === "X")
     assert(out(0).getAs[Boolean]("changed") === true, "NULL→X must be a change")
-    // staged NULL does not overwrite (coalesce keeps current) but IS a
-    // detected difference under null-safe comparison
-    assert(out(1).getAs[String]("seg") === "Y")
+    // the staged batch is authoritative for keys it contains: a staged
+    // NULL OVERWRITES the current value, and the flag agrees with the
+    // applied effect (pinned semantics — VERDICT r1 "what's wrong" #1)
+    assert(out(1).getAs[String]("seg") === null, "Y→NULL must apply the NULL")
     assert(out(1).getAs[Boolean]("changed") === true)
+  }
+
+  test("scd1/scd2: duplicate business keys in one staged batch fail loudly") {
+    val cur = dim(Seq((1L, "a", "X")))
+    val dup = dim(Seq((1L, "a", "Y"), (1L, "a", "Z"), (2L, "b", "W")))
+    val e1 = intercept[Exception] {
+      Scd.scd1Apply(cur, dup, Seq("id"), Seq("name", "seg")).collect()
+    }
+    assert(e1.getMessage.contains("duplicate business key"),
+      s"unexpected failure: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      Scd.scd2Merge(Scd.initialLoad(cur, t1), dup,
+        Seq("id"), Seq("name", "seg"), t2).collect()
+    }
+    assert(e2.getMessage.contains("duplicate business key"),
+      s"unexpected failure: ${e2.getMessage}")
+    // a batch with distinct keys sails through the same guard
+    val ok = dim(Seq((1L, "a", "Y"), (2L, "b", "W")))
+    assert(Scd.scd1Apply(cur, ok, Seq("id"), Seq("name", "seg")).count() === 2)
   }
 
   test("scd2: NULL→value attribute transition closes and reopens the version") {
