@@ -21,28 +21,43 @@ object ScaleJoins {
     * NO sort on either side — at 100 TB this deletes the single most
     * expensive shuffle in the pipeline. The bucket write is a one-time
     * layout cost amortized over every downstream join on that key. */
-  /** saveAsTable against the session-local catalog: an earlier session's
-    * warehouse files survive while the catalog entry doesn't, so wipe
-    * both before recreating (LOCATION_ALREADY_EXISTS otherwise). */
-  private def rewriteBucketed(spark: SparkSession, df: DataFrame,
+  /** Ensure the bucketed layout exists and is registered in THIS
+    * session's catalog, paying the layout write at most once per scale
+    * factor — the whole point of bucketing is that the one-time layout
+    * cost amortizes across every later join on that key.
+    *  - table already in the catalog → free;
+    *  - fresh session but the warehouse files survive (the catalog is
+    *    session-local, the files are not) → re-register the existing
+    *    layout as an external bucketed table over the same location;
+    *  - no complete layout (`_SUCCESS` missing) → wipe any debris and
+    *    write it. */
+  private def ensureBucketed(spark: SparkSession, df: => DataFrame,
       table: String, key: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (spark.catalog.tableExists(table)) return
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
+    if (new java.io.File(loc, "_SUCCESS").exists()) {
+      val schema = spark.read.parquet(loc.getAbsolutePath).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $table ($schema) USING PARQUET
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+           |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+    } else {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+      df.write.bucketBy(8, key).sortBy(key).saveAsTable(table)
     }
-    if (loc.exists()) rm(loc)
-    df.write.bucketBy(8, key).sortBy(key).saveAsTable(table)
   }
 
   def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val o = s"graft_orders_b_$sf"
     val l = s"graft_lineitem_b_$sf"
-    rewriteBucketed(spark, t(spark, dir, "orders"), o, "o_orderkey")
-    rewriteBucketed(spark, t(spark, dir, "lineitem"), l, "l_orderkey")
+    ensureBucketed(spark, t(spark, dir, "orders"), o, "o_orderkey")
+    ensureBucketed(spark, t(spark, dir, "lineitem"), l, "l_orderkey")
     ordered(
       // merge hint: at toy scale Spark would broadcast the small side,
       // which hides the point — bucketed SMJ with zero exchange/sort.
