@@ -56,12 +56,21 @@ object Streaming {
 
   /** Bounded streaming read of events. FileStreamSource requires a
     * directory, so we stage the (ns→µs normalized) table into a fixture
-    * dir once and stream from there. */
+    * dir once and stream from there.
+    *
+    * `maxFilesPerTrigger` is set far above the fixture's file count to
+    * make single-batch processing EXPLICIT rather than incidental: the
+    * update-mode queries' oracles (one final row per key) and the
+    * append-mode watermark math both assume all data arrives before
+    * the watermark first advances, which a silent multi-batch split
+    * would break. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.core.Fixtures.path(dir, "events_stream_src")
     if (!graft.core.Fixtures.exists(dir, "events_stream_src"))
       Tables.load(spark, dir, "events").write.mode("overwrite").parquet(path)
-    spark.readStream.schema(Tables.events).parquet(path)
+    spark.readStream.schema(Tables.events)
+      .option("maxFilesPerTrigger", 1000000)
+      .parquet(path)
   }
 
   /** Run a bounded streaming DataFrame to completion into a uniquely
@@ -74,8 +83,21 @@ object Streaming {
       spark.catalog.dropTempView(liveSinks.poll())
     val name = s"graft_ms_${ctr.incrementAndGet()}_${System.nanoTime()}"
     liveSinks.add(name)
-    val q = sdf.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    // Every stateful operator keeps one state store PER SHUFFLE
+    // PARTITION (a stream-stream join keeps four), and each store pays
+    // a per-microbatch commit. State store count should be sized to
+    // state volume, not inherited from the batch setting: at test
+    // scale 32 partitions × 4 stores × N batches is pure commit
+    // overhead (~7 s on a 20-row join result — measured). The value is
+    // captured in the query's checkpoint at start, so it is a
+    // per-query streaming knob, not a global change; a real deployment
+    // sizes it to keys × state row size ÷ executor memory.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try sdf.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     spark.table(name)
   }
@@ -103,6 +125,40 @@ object Streaming {
        |  ${O.dsum("value")} AS sum_value
        |FROM events
        |GROUP BY 1, 2
+       |${O.OrderAll}"""
+
+  /** Append-mode tumbling window — the unbounded-stream behavior the
+    * complete-mode variants can't show: a window emits EXACTLY ONCE,
+    * when the watermark passes its end, and its state is evicted. This
+    * is the state-bounded path that matters at scale (complete mode
+    * re-emits every window each batch and retains the full result).
+    * On bounded input the watermark finishes at max(ts) − 30 min, so
+    * windows still open at that point never emit — the oracle excludes
+    * them with the same cutoff. */
+  def tumblingAppend(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_value"))
+    ordered(
+      runToTable(spark, agg, "append")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value")))
+  }
+
+  private val tumblingAppendSql =
+    s"""WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+       |agg AS (
+       |  SELECT make_timestamp(CAST((epoch_us(ts) // 600000000) * 600000000 AS BIGINT)) AS wstart,
+       |    event_type, COUNT(*) AS n,
+       |    ${O.dsum("value")} AS sum_value
+       |  FROM events
+       |  GROUP BY 1, 2)
+       |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS ws, event_type, n, sum_value
+       |FROM agg, wm
+       |WHERE wstart + INTERVAL 10 MINUTE <= wm.w
        |${O.OrderAll}"""
 
   /** Sliding 10-min window every 5 min: each event lands in exactly two
@@ -178,7 +234,9 @@ object Streaming {
     val ev = Tables.load(spark, dir, "events")
     if (!graft.core.Fixtures.exists(dir, "stream_dedup_in"))
       ev.unionByName(ev).write.mode("overwrite").parquet(path)
-    val deduped = spark.readStream.schema(ev.schema).parquet(path)
+    val deduped = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1000000)
+      .parquet(path)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"), col("value"))
@@ -291,6 +349,7 @@ object Streaming {
     "stream_join" -> Q(streamJoin _, streamJoinSql),
     "stream_tws" -> Q(tws _, twsSql),
     "stream_tumbling" -> Q(tumbling _, tumblingSql),
+    "stream_tumbling_append" -> Q(tumblingAppend _, tumblingAppendSql),
     "stream_sliding" -> Q(sliding _, slidingSql),
     "stream_session" -> Q(session _, sessionSql),
     "stream_dedup" -> Q(dedup _, dedupSql),
