@@ -125,7 +125,45 @@ object Scans {
        |GROUP BY l_linestatus
        |${O.OrderAll}"""
 
+  /** Real JDBC round-trip through embedded Derby (on Spark's own
+    * classpath — it ships for the Hive metastore): supplier is written
+    * through [[graft.sinks.JdbcSink]] (batched inserts, capped
+    * connection parallelism) and read back through
+    * [[graft.sources.JdbcSource]] as a PARTITIONED read — 4 concurrent
+    * range queries on s_suppkey, the shape that keeps a 100 TB RDBMS
+    * extract from funneling through one connection. Oracle aggregates
+    * the same parquet table directly: the round-trip must be lossless.
+    *
+    * Derby is single-JVM, so this proves the JDBC plumbing, not RDBMS
+    * scale; against SQL Server only the url/driver options change. */
+  def scanJdbc(spark: SparkSession, dir: String): DataFrame = {
+    // Derby writes derby.log to the CWD unless told otherwise; keep it
+    // with the db files (read at first engine boot in this JVM).
+    System.setProperty("derby.stream.error.file",
+      s"${fix(dir, "derby_db")}.log")
+    val url = s"jdbc:derby:${fix(dir, "derby_db")};create=true"
+    val supplier = Tables.load(spark, dir, "supplier")
+    new graft.sinks.JdbcSink(url, "graft", "graft", numPartitions = 2)
+      .write(supplier, "graft_supplier", org.apache.spark.sql.SaveMode.Overwrite)
+    val bounds = supplier
+      .agg(min(col("s_suppkey")), max(col("s_suppkey"))).head()
+    val back = new graft.sources.JdbcSource(url, "graft", "graft")
+      .readPartitioned(spark, "graft_supplier", "s_suppkey",
+        bounds.getLong(0), bounds.getLong(1), numPartitions = 4)
+    ordered(
+      back.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          dsum(col("s_acctbal")).as("total_bal")))
+  }
+
+  private val scanJdbcSql =
+    s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       |  ${O.dsum("s_acctbal")} AS total_bal
+       |FROM supplier GROUP BY s_nationkey
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "scan_jdbc" -> Q(scanJdbc _, scanJdbcSql),
     "scan_parquet" -> Q(scanParquet _, scanParquetSql),
     "scan_orc" -> Q(scanOrc _, scanOrcSql),
     "sink_zstd" -> Q(sinkZstd _, sinkZstdSql),

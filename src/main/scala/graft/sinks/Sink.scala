@@ -5,10 +5,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 /** Sink abstraction (SURVEY.md §2.1 JDBC sink row; reference
   * /root/reference/README.md:2,10 — "load it into SQL Server").
   *
-  * The sandbox has no RDBMS and no JDBC driver jar (offline coursier),
-  * so the production path is [[ParquetSink]]; [[JdbcSink]] carries the
-  * exact option plumbing Spark's built-in `jdbc` format needs and is
-  * unit-tested for configuration only (SURVEY.md §7.4).
+  * [[ParquetSink]] is the file-lake path; [[JdbcSink]] is exercised
+  * end-to-end against embedded Derby (on Spark's own classpath) by the
+  * oracled `scan_jdbc` round-trip (graft.ops.Scans.scanJdbc).
   */
 trait Sink {
   def write(df: DataFrame, table: String, mode: SaveMode): Unit

@@ -7,10 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sources" including the RDBMS side of a PySpark + SQL Server
   * pipeline).
   *
-  * The sandbox has no RDBMS/driver jar (offline coursier), so this
-  * carries the exact option plumbing of Spark's built-in `jdbc` format
-  * and is unit-tested for configuration only (SURVEY.md §7.4), mirroring
-  * [[graft.sinks.JdbcSink]].
+  * Exercised END-TO-END against embedded Derby (which ships on Spark's
+  * classpath for the Hive metastore) by the oracled `scan_jdbc` query
+  * (graft.ops.Scans.scanJdbc): write via [[graft.sinks.JdbcSink]],
+  * partitioned read back through this class, hash-matched against the
+  * source table. Against a networked RDBMS only url/driver change.
   *
   * 100 TB note: a JDBC read is single-connection unless partitioned —
   * always set (partitionColumn, lowerBound, upperBound, numPartitions)
