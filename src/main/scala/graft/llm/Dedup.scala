@@ -255,45 +255,61 @@ object Dedup {
   }
 
   /** Connected components of an undirected pair list (doc_a, doc_b) by
-    * iterative min-label propagation. Exposed separately so synthetic
-    * graphs (chains, triangles, multi-component) can exercise the
-    * multi-round convergence paths the test corpus never reaches. */
+    * min-label propagation with POINTER JUMPING (Shiloach–Vishkin
+    * hook + jump): each round first hooks every vertex to the minimum
+    * label in its neighborhood, then shortcuts lbl(u) := lbl(lbl(u)).
+    * The jump roughly doubles how far the minimum has traveled per
+    * round, so convergence is O(log diameter) rounds, not O(diameter)
+    * — on a 100 TB near-dup graph a single long chain no longer means
+    * hundreds of shuffles. Labels are always vertex ids and only ever
+    * decrease, so sum(lbl) is a strictly decreasing convergence probe
+    * (one cheap agg per round instead of a change-detection join);
+    * coalesce(0) covers the empty-graph sum-of-nothing NULL.
+    *
+    * Exposed separately so synthetic graphs (long chains, triangles,
+    * multi-component) can exercise the multi-round convergence paths
+    * the test corpus never reaches. */
   private[graft] def components(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val verts = edges.select(col("doc_a").as("id")).distinct()
     var labels = verts.withColumn("lbl", col("id")).localCheckpoint()
-    // labels only ever decrease, so sum(lbl) is a strictly decreasing
-    // convergence measure — one cheap agg per round instead of a
-    // change-detection join. coalesce(0): sum over an empty frame is
-    // NULL (corpus with no near-dup pairs at all).
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var lblSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    // 64 rounds bounds graphs of 2^64 diameter under pointer jumping —
+    // unreachable in practice, but wrong labels are worse than no
+    // labels, so non-convergence still fails loudly below.
+    while (!converged && rounds < 64) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "doc_b")
           .withColumnRenamed("lbl", "nbr_lbl"), Seq("doc_b"))
         .groupBy(col("doc_a").as("id"))
         .agg(min(col("nbr_lbl")).as("nbr_min"))
-      // localCheckpoint: materialize + truncate lineage so round N+1
-      // doesn't replay rounds 1..N
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+      // hook: take the smallest label in the closed neighborhood
+      val hooked = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+      // jump: follow the label one hop (labels are vertex ids, so the
+      // self-join resolves lbl(lbl(u)) — the pointer-doubling step)
+      val jumped = hooked.join(
+          hooked.select(col("id").as("lbl"), col("lbl").as("_lbl2")),
+          Seq("lbl"), "left_outer")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("_lbl2"), col("lbl"))).as("lbl"))
+        // localCheckpoint: materialize + truncate lineage so round N+1
+        // doesn't replay rounds 1..N
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      labels = next
+      val nextSum = labelSum(jumped)
+      labels = jumped
       converged = nextSum == lblSum
       lblSum = nextSum
       rounds += 1
     }
-    // wrong labels are worse than no labels: a component with diameter
-    // beyond the round cap must fail loudly, not ship non-minima.
     require(converged,
-      s"label propagation did not converge in $rounds rounds - component diameter exceeds cap")
+      s"label propagation did not converge in $rounds rounds")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -37,4 +37,21 @@ class ComponentsSpec extends AnyFunSuite {
     val got = run(star)
     assert(got.values.toSet === Set(1L))
   }
+
+  test("50-hop chain converges (pointer jumping beats the old diameter bound)") {
+    // plain per-round propagation needs 50 rounds here and the old
+    // 20-round cap aborted; hook+jump needs ~log2(50) ≈ 6.
+    val chain = (1L until 51L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.size === 51)
+    assert(got.values.toSet === Set(1L), "all 51 labels must reach 1")
+  }
+
+  test("two long chains keep separate labels under pointer jumping") {
+    val a = (100L until 130L).map(i => (i, i + 1))
+    val b = (200L until 230L).map(i => (i, i + 1))
+    val got = run(a ++ b)
+    assert(got.filter(_._1 <= 130L).values.toSet === Set(100L))
+    assert(got.filter(_._1 >= 200L).values.toSet === Set(200L))
+  }
 }
