@@ -72,8 +72,11 @@ object Tables {
 
   /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
     * µs TimestampType refuses to read directly. We read the raw ns longs
-    * (legacy conf) and truncate to µs with exact integer division —
-    * identical to DuckDB's ns→µs truncation, so oracle timestamps agree. */
+    * (legacy conf) and FLOOR-divide to µs in exact integer math —
+    * `div` alone truncates toward zero, which disagrees with DuckDB's
+    * floor for pre-1970 (negative) nanos by 1 µs; subtracting the
+    * non-negative `pmod` first makes the division exact floor for all
+    * longs, so oracle timestamps agree on any epoch sign. */
   val eventsRawSchema: StructType = st(
     "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
@@ -90,7 +93,7 @@ object Tables {
       spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+            org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
     } else {
       spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     }

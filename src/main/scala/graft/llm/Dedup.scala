@@ -67,6 +67,11 @@ object Dedup {
     * No SQL oracle (hash-family-specific); ScalaTest asserts equality
     * with the brute-force `llm_ngram_jaccard` result. */
   def nearDedup(spark: SparkSession, dir: String): DataFrame = {
+    // cache: the shingle set feeds both the signature build and the
+    // exact-Jaccard verify within ONE result computation. Materialize
+    // the (small) pair result eagerly, then release the cache — a long
+    // bench session (91 queries × several SFs in one JVM) must not
+    // accumulate shingle-table blocks in executor memory.
     val sh = shingles(spark, dir).cache()
 
     // signature: minimum of a seeded 64-bit hash per permutation.
@@ -90,7 +95,9 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    verifyJaccard(cand, sh, JaccardThreshold)
+    val out = verifyJaccard(cand, sh, JaccardThreshold).localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   /** Exact Jaccard for a pair list, given the (doc_id, shingle) set. */
@@ -121,7 +128,7 @@ object Dedup {
     // shuffle join + one aggregation. (A pairs→distinct→re-join
     // formulation does the same work three times: measured 10.6 s vs
     // ~4 s at sf0.1.)
-    val sh = shingles(spark, dir).cache()
+    val sh = shingles(spark, dir).cache() // released after checkpoint below
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
@@ -135,7 +142,9 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    ordered(jac)
+    val out = ordered(jac).localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   private val ngramJaccardSql =
@@ -249,9 +258,14 @@ object Dedup {
     * closure (fine at test scale; the iterative join IS the 100 TB
     * formulation). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // pairs is re-joined every propagation round inside components();
+    // labels leave each round localCheckpoint'ed (lineage truncated),
+    // so once components() returns, the edge cache can be released.
     val pairs = ngramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b")).cache()
-    ordered(components(pairs))
+    val cc = components(pairs)
+    pairs.unpersist()
+    ordered(cc)
   }
 
   /** Connected components of an undirected pair list (doc_a, doc_b) by

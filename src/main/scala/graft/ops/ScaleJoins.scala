@@ -75,7 +75,18 @@ object ScaleJoins {
        |GROUP BY o_orderstatus
        |${O.OrderAll}"""
 
-  private val Salts = 8
+  private[graft] val Salts = 8
+
+  /** Deterministic salt in [0, Salts) for the fact side, derived from a
+    * per-row unique column so a hot key's rows spread uniformly over
+    * the salt space. Exposed for the skew-evidence test. */
+  private[graft] def saltFact(fact: DataFrame, rowIdCol: String): DataFrame =
+    fact.withColumn("salt", pmod(xxhash64(col(rowIdCol)), lit(Salts)))
+
+  /** Explode the (pre-aggregated, small) dim side Salts× so every
+    * (key, salt) combination on the fact finds its match. */
+  private[graft] def explodeDimSalts(dim: DataFrame): DataFrame =
+    dim.withColumn("salt", explode(array((0 until Salts).map(lit(_)): _*)))
 
   /** Salted skew join: the fact side gets a deterministic salt
     * (hash(row) mod 8) appended to its hot key; the dim side is
@@ -86,15 +97,15 @@ object ScaleJoins {
     * Result is oracle-identical to the unsalted join. */
   def joinSalted(spark: SparkSession, dir: String): DataFrame = {
     // 10 artificially hot keys: every order hits one of custkey % 10.
-    val fact = t(spark, dir, "orders")
-      .withColumn("hot_key", col("o_custkey") % 10)
-      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(Salts)))
-    val dim = t(spark, dir, "customer")
-      .withColumn("hot_key", col("c_custkey") % 10)
-      .groupBy(col("hot_key"))
-      .agg(count(lit(1)).as("n_customers"),
-        dsum(col("c_acctbal")).as("seg_balance"))
-      .withColumn("salt", explode(array((0 until Salts).map(lit(_)): _*)))
+    val fact = saltFact(
+      t(spark, dir, "orders").withColumn("hot_key", col("o_custkey") % 10),
+      "o_orderkey")
+    val dim = explodeDimSalts(
+      t(spark, dir, "customer")
+        .withColumn("hot_key", col("c_custkey") % 10)
+        .groupBy(col("hot_key"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("seg_balance")))
     ordered(
       fact.join(dim, Seq("hot_key", "salt"))
         .groupBy(col("hot_key"), col("n_customers"), col("seg_balance"))

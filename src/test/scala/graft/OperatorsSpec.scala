@@ -100,6 +100,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m("open_rows").asInstanceOf[Long] > 0)
   }
 
+  test("join_salted: the salt actually splits a hot key") {
+    // one pathologically hot key (90% of the fact) plus a long tail —
+    // the exact shape AQE's skew split can't always fix (e.g. when a
+    // downstream stateful op is pinned to the key partitioning).
+    val skewed = spark.range(10000)
+      .select(col("id"),
+        when(col("id") < 9000, lit(0L)).otherwise(col("id") % 100).as("hot_key"))
+    val salted = ops.ScaleJoins.saltFact(skewed, "id")
+
+    // evidence 1: the hot key occupies ALL Salts salt groups…
+    val hotGroups = salted.filter(col("hot_key") === 0)
+      .groupBy(col("salt")).count().collect()
+    assert(hotGroups.length === ops.ScaleJoins.Salts,
+      "hot key must spread over every salt value")
+    // …and the split is even: max group ≤ 1.25× the ideal 1/Salts share.
+    val ideal = 9000.0 / ops.ScaleJoins.Salts
+    val maxGroup = hotGroups.map(_.getLong(1)).max
+    assert(maxGroup <= ideal * 1.25,
+      s"salt split uneven: max=$maxGroup ideal=$ideal")
+
+    // evidence 2: shuffling on (key, salt) evens the partitions that a
+    // shuffle on the bare key would skew 90/10. With 4 partitions, the
+    // biggest (key,salt) partition must be far below the 9000-row blob
+    // a bare-key shuffle puts in one partition.
+    val sizes = salted.repartition(4, col("hot_key"), col("salt"))
+      .mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.max < 6000,
+      s"partition sizes after salting: ${sizes.toSeq} — hot key not split")
+
+    // evidence 3: dim explosion covers every (key, salt) pair exactly once.
+    val dim = Seq((0L, "x"), (1L, "y")).toDF("hot_key", "v")
+    val exploded = ops.ScaleJoins.explodeDimSalts(dim)
+    assert(exploded.count() === 2 * ops.ScaleJoins.Salts)
+    assert(exploded.select("hot_key", "salt").distinct().count()
+      === 2 * ops.ScaleJoins.Salts)
+  }
+
   test("sinks: parquet round-trip and jdbc option plumbing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
