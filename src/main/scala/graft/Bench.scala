@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line per run (driver contract).
+  *
+  * Noise-proofing (round-2 verdict finding #1: a contended bench window
+  * produced a ~2×-inflated artifact that was committed unflagged):
+  *  - every query runs [[Passes]] times and reports the per-query MIN —
+  *    a single noisy window can no longer inflate a timing;
+  *  - /proc/loadavg is stamped at start and end so an artifact recorded
+  *    under contention is self-identifying (healthy: load ≲ cpus);
+  *  - a query that throws reports `-1` (an impossible wall time, never
+  *    mistaken for a measurement) and its exception lands in the
+  *    `errors` map — failures can't masquerade as timings (finding #3).
+  */
 object Bench {
+  private val Passes = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,6 +25,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def loadAvg: Double = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg
 
     // One-time Structured Streaming engine init (classloading, offset
     // log machinery, codegen) costs several seconds and used to land on
@@ -48,15 +69,38 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Pass 1 also pays one-time fixture writes (streaming sources,
+    // bucketed layouts); the min over passes measures the steady state.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to Passes; name <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit}""")
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = names.map { n =>
+      "\"" + esc(n) + "\":" + best.getOrElse(n, -1.0)
+    }.mkString("{", ",", "}")
+    val errs = errors.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + esc(k) + "\":\"" + esc(v) + "\""
+    }.mkString("{", ",", "}")
+    val total = best.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus}""")
     spark.stop()
   }
 }

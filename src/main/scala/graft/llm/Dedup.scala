@@ -95,12 +95,18 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
+    // checkpoint the UNSORTED pair set (tiny — tens of rows), then sort:
+    // round 2 checkpointed through ordered()'s global sort, which
+    // materialized the sort itself into block storage and cost a
+    // reproduced ~1.6× slowdown (round-2 verdict finding #2). The cache
+    // release needs only the pairs to be materialized, not their order.
     val out = verifyJaccard(cand, sh, JaccardThreshold).localCheckpoint()
     sh.unpersist()
-    out
+    ordered(out)
   }
 
-  /** Exact Jaccard for a pair list, given the (doc_id, shingle) set. */
+  /** Exact Jaccard for a pair list, given the (doc_id, shingle) set.
+    * Returns UNSORTED pairs — callers order (or feed downstream ops). */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
@@ -118,12 +124,19 @@ object Dedup {
       // both engines; rounding would tie at the 7th digit (103/128 =
       // 0.8046875) where the engines disagree. Compare raw.
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    ordered(jac)
+    jac
   }
 
   /** Brute-force 3-gram Jaccard ≥ 0.8 over all pairs sharing ≥1 shingle
     * — the oracle-checkable ground truth for `llm_near_dedup`. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ordered(jaccardPairsBrute(spark, dir))
+
+  /** The brute pair set, UNSORTED and localCheckpoint'ed (lineage
+    * truncated, shingle cache released). Shared by the keyed query and
+    * the derived ops (`dedupApply`, `dupClusters`), which would
+    * otherwise inherit a pointless global sort in their upstream. */
+  private def jaccardPairsBrute(spark: SparkSession, dir: String): DataFrame = {
     // Direct intersection counts from the shingle self-join — one
     // shuffle join + one aggregation. (A pairs→distinct→re-join
     // formulation does the same work three times: measured 10.6 s vs
@@ -142,7 +155,8 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val out = ordered(jac).localCheckpoint()
+    // checkpoint before any sort (see nearDedup): the pair set is tiny.
+    val out = jac.localCheckpoint()
     sh.unpersist()
     out
   }
@@ -220,7 +234,7 @@ object Dedup {
     * (brute) pair set so the oracle is SQL-expressible; at 100 TB the
     * edge list comes from the LSH path, which ScalaTest proves equal. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("doc_b").as("drop_id"))
+    val pairs = jaccardPairsBrute(spark, dir).select(col("doc_b").as("drop_id"))
     ordered(
       docs(spark, dir)
         .join(pairs, col("doc_id") === col("drop_id"), "left_anti")
@@ -258,14 +272,12 @@ object Dedup {
     * closure (fine at test scale; the iterative join IS the 100 TB
     * formulation). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // pairs is re-joined every propagation round inside components();
-    // labels leave each round localCheckpoint'ed (lineage truncated),
-    // so once components() returns, the edge cache can be released.
-    val pairs = ngramJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b")).cache()
-    val cc = components(pairs)
-    pairs.unpersist()
-    ordered(cc)
+    // jaccardPairsBrute is already localCheckpoint'ed (materialized,
+    // lineage-free), so components() can re-join it every propagation
+    // round without an extra cache — each round reads the same blocks.
+    val pairs = jaccardPairsBrute(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    ordered(components(pairs))
   }
 
   /** Connected components of an undirected pair list (doc_a, doc_b) by
