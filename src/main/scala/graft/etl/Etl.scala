@@ -139,14 +139,54 @@ object Etl {
        |WHERE b1.c_custkey IS NULL OR b1.c_mktsegment <> b2.c_mktsegment
        |${O.OrderAll}"""
 
+  /** SCD2 soft delete: the T2 extract is an AUTHORITATIVE full extract
+    * missing every key %7 == 0 — those keys' open versions close at T2
+    * with no replacement ([[Scd.scd2Merge]] `closeDeparted = true`).
+    * Kimball-standard "departed member" handling; the default merge
+    * (used by `etl_scd2`) still never deletes, which is the right
+    * semantics for incremental extracts where absence ≠ departure. */
+  def scd2Delete(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = "2020-01-01 00:00:00"
+    val t2 = "2021-01-01 00:00:00"
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val batch2 = base.filter(col("c_custkey") % 7 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 3 === 0, "MOVED").otherwise(col("c_mktsegment")))
+    val merged = Scd.scd2Merge(Scd.initialLoad(base, t1), batch2,
+      Seq("c_custkey"), Seq("c_name", "c_mktsegment"), t2, closeDeparted = true)
+    ordered(
+      merged.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        dateStr(col(Scd.FromCol)).as("effective_from"),
+        dateStr(col(Scd.ToCol)).as("effective_to"),
+        col(Scd.CurrentCol).as("is_current")))
+  }
+
+  private val scd2DeleteSql =
+    s"""SELECT c_custkey, c_name, c_mktsegment,
+       |  '2020-01-01' AS effective_from,
+       |  CASE WHEN c_custkey % 7 = 0 OR c_custkey % 3 = 0
+       |    THEN '2021-01-01' ELSE '9999-12-31' END AS effective_to,
+       |  c_custkey % 7 <> 0 AND c_custkey % 3 <> 0 AS is_current
+       |FROM customer
+       |UNION ALL
+       |SELECT c_custkey, c_name, 'MOVED' AS c_mktsegment,
+       |  '2021-01-01' AS effective_from, '9999-12-31' AS effective_to,
+       |  true AS is_current
+       |FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 3 = 0
+       |${O.OrderAll}"""
+
   /** Point-in-time (as-of) lookup against the SCD2 dimension — the
     * "historical analysis" the reference names as SCD2's purpose
     * (/root/reference/README.md:6). The dim is versioned at
-    * T1 = 1992-01-01 (initial load, keys %10 != 0) and T2 = 1996-01-01
-    * (merge where keys %3 == 0 moved segment), so orders genuinely
-    * split across versions: pre-1996 orders see the original segment,
-    * later orders the current one, and %10 == 0 keys have no version
-    * before T2 at all (left join → NULL segment).
+    * T1 = 1992-01-01 (initial load, keys %10 != 0), T2 = 1996-01-01
+    * (merge where keys %3 == 0 moved segment) and T3 = 1998-01-01
+    * (merge where keys %4 == 0 went PROMO), so orders genuinely split
+    * across versions: %12 == 0 keys carry a full three-version chain
+    * with two CLOSED intervals ([T1,T2) original, [T2,T3) MOVED,
+    * [T3,∞) PROMO), %10 == 0 keys have no version before T2 at all
+    * (left join → NULL segment), and late-1998 orders land in
+    * third-generation versions.
     *
     * 100 TB: this is an EQUI-join on the business key with the
     * validity interval as a residual predicate — Spark hash-partitions
@@ -157,13 +197,18 @@ object Etl {
   def asofScd2(spark: SparkSession, dir: String): DataFrame = {
     val t1 = "1992-01-01 00:00:00"
     val t2 = "1996-01-01 00:00:00"
+    val t3 = "1998-01-01 00:00:00"
     val base = t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     val batch1 = base.filter(col("c_custkey") % 10 =!= 0)
     val batch2 = base.withColumn("c_mktsegment",
       when(col("c_custkey") % 3 === 0, "MOVED").otherwise(col("c_mktsegment")))
-    val dim = Scd.scd2Merge(Scd.initialLoad(batch1, t1), batch2,
-      Seq("c_custkey"), Seq("c_name", "c_mktsegment"), t2)
+    val batch3 = batch2.withColumn("c_mktsegment",
+      when(col("c_custkey") % 4 === 0, "PROMO").otherwise(col("c_mktsegment")))
+    val keys = Seq("c_custkey"); val attrs = Seq("c_name", "c_mktsegment")
+    val dim = Scd.scd2Merge(
+      Scd.scd2Merge(Scd.initialLoad(batch1, t1), batch2, keys, attrs, t2),
+      batch3, keys, attrs, t3)
     val orders = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     ordered(
@@ -179,24 +224,28 @@ object Etl {
   }
 
   private val asofScd2Sql =
-    s"""WITH b1 AS (
-       |  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 10 <> 0),
-       |b2 AS (
-       |  SELECT c_custkey, c_name,
-       |    CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
-       |  FROM customer),
-       |dim AS (
-       |  SELECT b1.c_custkey, b1.c_mktsegment,
+    s"""WITH dim AS (
+       |  -- v1: initial-load keys; closes at T2 if segment moved there,
+       |  -- else at T3 if it went PROMO there, else stays open
+       |  SELECT c_custkey, c_mktsegment,
        |    TIMESTAMP '1992-01-01 00:00:00' AS ef,
-       |    CASE WHEN b1.c_mktsegment <> b2.c_mktsegment
-       |      THEN TIMESTAMP '1996-01-01 00:00:00'
-       |      ELSE TIMESTAMP '9999-12-31 00:00:00' END AS et
-       |  FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+       |    CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1996-01-01 00:00:00'
+       |         WHEN c_custkey % 4 = 0 THEN TIMESTAMP '1998-01-01 00:00:00'
+       |         ELSE TIMESTAMP '9999-12-31 00:00:00' END AS et
+       |  FROM customer WHERE c_custkey % 10 <> 0
        |  UNION ALL
-       |  SELECT b2.c_custkey, b2.c_mktsegment,
-       |    TIMESTAMP '1996-01-01 00:00:00', TIMESTAMP '9999-12-31 00:00:00'
-       |  FROM b2 LEFT JOIN b1 ON b2.c_custkey = b1.c_custkey
-       |  WHERE b1.c_custkey IS NULL OR b1.c_mktsegment <> b2.c_mktsegment)
+       |  -- v2: opened at T2 for changed (%3=0) and brand-new (%10=0) keys
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END,
+       |    TIMESTAMP '1996-01-01 00:00:00',
+       |    CASE WHEN c_custkey % 4 = 0 THEN TIMESTAMP '1998-01-01 00:00:00'
+       |         ELSE TIMESTAMP '9999-12-31 00:00:00' END
+       |  FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 3 = 0
+       |  UNION ALL
+       |  -- v3: opened at T3 for every %4=0 key (PROMO differs from all)
+       |  SELECT c_custkey, 'PROMO',
+       |    TIMESTAMP '1998-01-01 00:00:00', TIMESTAMP '9999-12-31 00:00:00'
+       |  FROM customer WHERE c_custkey % 4 = 0)
        |SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
        |  o.o_custkey, d.c_mktsegment AS segment_at_order,
        |  strftime(d.ef, '%Y-%m-%d') AS valid_from
@@ -366,6 +415,7 @@ object Etl {
     "etl_incremental" -> Q(incremental _, incrementalSql),
     "etl_scd1" -> Q(scd1 _, scd1Sql),
     "etl_scd2" -> Q(scd2 _, scd2Sql),
+    "etl_scd2_delete" -> Q(scd2Delete _, scd2DeleteSql),
     "join_asof_scd2" -> Q(asofScd2 _, asofScd2Sql),
     "etl_dq_check" -> Q(dqCheck _, dqCheckSql),
     "etl_audit" -> Q(audit _, auditSql),

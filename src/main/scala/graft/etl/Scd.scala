@@ -80,15 +80,24 @@ object Scd {
     *  - changed: current row closes (`effective_to` = batchTs,
     *    is_current = false) and a new open version is inserted;
     *  - brand-new key: new open version;
-    *  - departed key (in dim, not staged): stays open (no soft delete);
+    *  - departed key (in dim, not staged): stays open by default; with
+    *    `closeDeparted = true` (for AUTHORITATIVE full extracts, the
+    *    Kimball soft delete) the open version closes at batchTs with no
+    *    replacement. A departed key that later returns re-enters as a
+    *    brand-new open version — its closed history is preserved, so
+    *    the validity chain has a gap covering the absence;
     *  - historic rows (is_current = false) pass through untouched.
+    *
+    * `closeDeparted` must stay false for INCREMENTAL (delta) extracts,
+    * where absence means "unchanged", not "gone".
     */
   def scd2Merge(
       dim: DataFrame,
       staged: DataFrame,
       keyCols: Seq[String],
       attrCols: Seq[String],
-      batchTs: String): DataFrame = {
+      batchTs: String,
+      closeDeparted: Boolean = false): DataFrame = {
 
     val history = dim.filter(!col(CurrentCol))
     val current = dim.filter(col(CurrentCol))
@@ -104,14 +113,19 @@ object Scd {
     val inCur = col(CurrentCol).isNotNull
     val inStg = col("_hash_stg").isNotNull
     val changed = inCur && inStg && (col("_hash") =!= col("_hash_stg"))
+    // soft delete: close the open version of a key absent from an
+    // authoritative staged extract (no replacement row is opened).
+    val departed = lit(closeDeparted) && inCur && !inStg
 
     val dimCols = current.columns.toSeq
 
-    // current rows carried forward: unchanged as-is, changed closed.
+    // current rows carried forward: unchanged as-is, changed/departed closed.
     val carried = joined.filter(inCur)
       .withColumn(ToCol,
-        when(changed, lit(batchTs).cast("timestamp")).otherwise(col(ToCol)))
-      .withColumn(CurrentCol, when(changed, lit(false)).otherwise(lit(true)))
+        when(changed || departed, lit(batchTs).cast("timestamp"))
+          .otherwise(col(ToCol)))
+      .withColumn(CurrentCol,
+        when(changed || departed, lit(false)).otherwise(lit(true)))
       .select(dimCols.map(col): _*)
 
     // new open versions: changed keys + brand-new keys.

@@ -152,6 +152,43 @@ class ScdSpec extends AnyFunSuite {
     assert(open.length === 1 && open(0).getAs[String]("seg") === "X")
   }
 
+  test("scd2 soft delete: departed key closes with no replacement; default keeps it open") {
+    val d0 = Scd.initialLoad(dim(Seq((1L, "a", "X"), (2L, "b", "Y"))), t1)
+    val staged = dim(Seq((1L, "a", "X"))) // key 2 departed
+    // default: absence means unchanged — key 2 stays open
+    val keep = Scd.scd2Merge(d0, staged, Seq("id"), Seq("name", "seg"), t2)
+    assert(keep.filter(col("id") === 2 && col(Scd.CurrentCol)).count() === 1)
+    // authoritative extract: key 2's open version closes at t2, nothing opens
+    val del = Scd.scd2Merge(d0, staged, Seq("id"), Seq("name", "seg"), t2,
+      closeDeparted = true)
+    val k2 = del.filter(col("id") === 2).collect()
+    assert(k2.length === 1 && !k2(0).getAs[Boolean](Scd.CurrentCol))
+    assert(k2(0).getAs[java.sql.Timestamp](Scd.ToCol).toString.startsWith("2021-01-01"))
+    assert(k2(0).getAs[String]("seg") === "Y", "closed row keeps its last attrs")
+    // untouched key 1 still has exactly one open row
+    assert(del.filter(col("id") === 1 && col(Scd.CurrentCol)).count() === 1)
+    assert(del.count() === 2)
+  }
+
+  test("scd2 soft delete: departed-then-returned key re-enters with a validity gap") {
+    val d0 = Scd.initialLoad(dim(Seq((1L, "a", "X"))), t1)
+    val d1 = Scd.scd2Merge(d0, dim(Seq.empty), Seq("id"), Seq("name", "seg"), t2,
+      closeDeparted = true) // departs at t2
+    assert(d1.filter(col(Scd.CurrentCol)).count() === 0)
+    val d2 = Scd.scd2Merge(d1, dim(Seq((1L, "a", "Z"))), Seq("id"), Seq("name", "seg"), t3,
+      closeDeparted = true) // returns at t3
+    val rows = d2.orderBy(Scd.FromCol).collect()
+    assert(rows.length === 2)
+    // closed history preserved: [t1, t2) X, then a gap [t2, t3), then [t3, ∞) Z
+    assert(rows(0).getAs[String]("seg") === "X" &&
+      !rows(0).getAs[Boolean](Scd.CurrentCol) &&
+      rows(0).getAs[java.sql.Timestamp](Scd.ToCol).toString.startsWith("2021-01-01"))
+    assert(rows(1).getAs[String]("seg") === "Z" &&
+      rows(1).getAs[Boolean](Scd.CurrentCol) &&
+      rows(1).getAs[java.sql.Timestamp](Scd.FromCol).toString.startsWith("2022-01-01"),
+      "returned key must re-open at the return batch, leaving the absence gap")
+  }
+
   test("scd2: empty staged batch leaves the dimension unchanged") {
     val d0 = Scd.initialLoad(dim(Seq((1L, "a", "X"))), t1)
     val empty = dim(Seq.empty)
