@@ -54,6 +54,12 @@ object Streaming {
   private val ctr = new java.util.concurrent.atomic.AtomicLong()
   private val liveSinks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** Last batchId of the most recent [[runToTable]] query — lets tests
+    * assert HOW MANY micro-batches a bounded run actually executed
+    * (batchId is 0-based: single-batch runs end at 0, the multi-batch
+    * fixture at ≥ [[MbSlices]] − 1). */
+  @volatile private[graft] var lastBatchId: Long = -1L
+
   /** Bounded streaming read of events. FileStreamSource requires a
     * directory, so we stage the (ns→µs normalized) table into a fixture
     * dir once and stream from there.
@@ -70,6 +76,49 @@ object Streaming {
       Tables.load(spark, dir, "events").write.mode("overwrite").parquet(path)
     spark.readStream.schema(Tables.events)
       .option("maxFilesPerTrigger", 1000000)
+      .parquet(path)
+  }
+
+  /** Number of time-ordered slices in the multi-batch fixture (→ one
+    * micro-batch each under `maxFilesPerTrigger = 1`). */
+  private[graft] val MbSlices = 6
+
+  /** Multi-batch streaming read: the events table written as [[MbSlices]]
+    * single-file TIME-ORDERED slices (ntile over ts) with strictly
+    * increasing, pinned modification times, streamed back one file per
+    * micro-batch. FileStreamSource picks files oldest-mtime-first, so
+    * batch i+1's earliest ts ≥ batch i's latest — no row ever arrives
+    * behind the (30-min-lagged) watermark, which is exactly how a real
+    * time-partitioned ingest feeds a cluster. Unlike [[eventsStream]]
+    * this makes the watermark ADVANCE BETWEEN COMMITS: window state
+    * must survive checkpoints, emit exactly once when the watermark
+    * passes, and be evicted — the cross-batch state machine, not just
+    * single-batch algebra. */
+  private[graft] def eventsStreamMultiBatch(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = "events_stream_src_mb"
+    val path = graft.core.Fixtures.path(dir, fixture)
+    if (!graft.core.Fixtures.exists(dir, fixture)) {
+      import org.apache.spark.sql.expressions.Window
+      val sliced = Tables.load(spark, dir, "events")
+        // deterministic slice assignment; single-partition sort is fine
+        // for a one-time test-scale fixture build (never a query path)
+        .withColumn("_slice",
+          ntile(MbSlices).over(Window.orderBy(col("ts"), col("event_id"))))
+      val dirFile = new java.io.File(path)
+      var known = Set.empty[String]
+      for (i <- 1 to MbSlices) {
+        sliced.filter(col("_slice") === i).drop("_slice")
+          .coalesce(1).write.mode("append").parquet(path)
+        // pin strictly increasing mtimes so the source's oldest-first
+        // file order IS the time order, independent of write speed
+        val fresh = dirFile.listFiles().filter(f =>
+          f.getName.startsWith("part-") && !known.contains(f.getName))
+        fresh.foreach(_.setLastModified(1600000000000L + i * 60000L))
+        known ++= fresh.map(_.getName)
+      }
+    }
+    spark.readStream.schema(Tables.events)
+      .option("maxFilesPerTrigger", 1)
       .parquet(path)
   }
 
@@ -99,6 +148,7 @@ object Streaming {
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+    lastBatchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
     spark.table(name)
   }
 
@@ -160,6 +210,28 @@ object Streaming {
        |FROM agg, wm
        |WHERE wstart + INTERVAL 10 MINUTE <= wm.w
        |${O.OrderAll}"""
+
+  /** [[tumblingAppend]] driven through the multi-batch source — the
+    * real unbounded-stream regime: the watermark advances BETWEEN
+    * micro-batch commits, so each commit closes (emits + evicts) only
+    * the windows the new watermark passed, while still-open window
+    * state survives the commit into the next batch. The final sink
+    * content is batch-split-invariant (append emits each window exactly
+    * once, when its end ≤ watermark), so the SAME oracle as the
+    * single-batch variant applies — which is itself the proof that the
+    * cross-batch state machine loses and duplicates nothing. */
+  def tumblingAppendMb(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStreamMultiBatch(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_value"))
+    ordered(
+      runToTable(spark, agg, "append")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value")))
+  }
 
   /** Sliding 10-min window every 5 min: each event lands in exactly two
     * windows. */
@@ -251,9 +323,19 @@ object Streaming {
     * per-user event count + last event type, state maintained per key in
     * the state store. Deterministic last-event pick by (ts, event_id)
     * regardless of iterator order. */
-  def stateful(spark: SparkSession, dir: String): DataFrame = {
+  def stateful(spark: SparkSession, dir: String): DataFrame =
+    statefulFrom(spark, eventsStream(spark, dir))
+
+  /** [[stateful]] over an arbitrary (possibly multi-batch) events
+    * source. Update mode emits one row per key PER BATCH the key
+    * appears in; the sink is post-aggregated to each key's final
+    * emission (running count n is strictly increasing per key, so
+    * max-by-n selects it) — making the result invariant to how the
+    * source splits into micro-batches (ADVICE r2: update-mode oracles
+    * silently assumed single-batch). */
+  private[graft] def statefulFrom(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val src = eventsStream(spark, dir)
+    val src = events
       .select(col("user_id"), epochUs(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)]
@@ -272,7 +354,12 @@ object Streaming {
     val out = src.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
       .toDF("user_id", "n_events", "last_type")
-    ordered(runToTable(spark, out, "update"))
+    val sink = runToTable(spark, out, "update")
+    ordered(
+      sink.groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("last_type"))).as("_last"))
+        .select(col("user_id"), col("_last.n_events").as("n_events"),
+          col("_last.last_type").as("last_type")))
   }
 
   private val statefulSql =
@@ -304,8 +391,17 @@ object Streaming {
       .transformWithState(new UserRunningAgg(), TimeMode.None(),
         OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[(Long, Long, Double)]])
       .toDF("user_id", "n_events", "max_value")
-    try ordered(runToTable(spark, out, "update"))
-    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // post-aggregate to each key's final emission (strictly-increasing
+    // n) so a multi-batch split can't leave intermediate rows behind —
+    // same rationale as [[statefulFrom]].
+    try {
+      val sink = runToTable(spark, out, "update")
+      ordered(
+        sink.groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("max_value"))).as("_last"))
+          .select(col("user_id"), col("_last.n_events").as("n_events"),
+            col("_last.max_value").as("max_value")))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   private val twsSql =
@@ -350,6 +446,7 @@ object Streaming {
     "stream_tws" -> Q(tws _, twsSql),
     "stream_tumbling" -> Q(tumbling _, tumblingSql),
     "stream_tumbling_append" -> Q(tumblingAppend _, tumblingAppendSql),
+    "stream_tumbling_append_mb" -> Q(tumblingAppendMb _, tumblingAppendSql),
     "stream_sliding" -> Q(sliding _, slidingSql),
     "stream_session" -> Q(session _, sessionSql),
     "stream_dedup" -> Q(dedup _, dedupSql),

@@ -64,6 +64,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-batch append run executes many micro-batches yet matches single-batch output") {
+    val single = stream.Streaming.tumblingAppend(spark, TestSpark.Sf)
+      .collect().toSeq
+    assert(stream.Streaming.lastBatchId <= 1,
+      s"single-batch variant unexpectedly split (batchId ${stream.Streaming.lastBatchId})")
+    val multi = stream.Streaming.tumblingAppendMb(spark, TestSpark.Sf)
+      .collect().toSeq
+    // one micro-batch per fixture slice (batchId is 0-based; AvailableNow
+    // may add a final empty batch) — the watermark advanced across commits
+    assert(stream.Streaming.lastBatchId >= stream.Streaming.MbSlices - 1,
+      s"expected ≥${stream.Streaming.MbSlices} micro-batches, " +
+        s"last batchId was ${stream.Streaming.lastBatchId}")
+    // append emits each window exactly once when the watermark passes it,
+    // so the final content is identical however the input was split
+    assert(multi === single, "multi-batch result must equal single-batch result")
+  }
+
+  test("update-mode stateful result is invariant to micro-batch splitting") {
+    // the multi-batch source makes keys emit intermediate rows in several
+    // batches; the post-aggregation to each key's final emission must
+    // reproduce the plain batch GROUP BY (ADVICE r2)
+    val multi = stream.Streaming.statefulFrom(spark,
+      stream.Streaming.eventsStreamMultiBatch(spark, TestSpark.Sf))
+    assert(stream.Streaming.lastBatchId >= stream.Streaming.MbSlices - 1)
+    val batch = core.Tables.load(spark, TestSpark.Sf, "events")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") === 1, col("event_type"))).as("last_type"))
+    assert(multi.collect().toSet === core.Determinism.ordered(batch).collect().toSet)
+  }
+
   test("bounded session windows match batch sessionization row counts") {
     val out = stream.Streaming.session(spark, TestSpark.Sf)
     // every (user, session) appears exactly once
