@@ -132,21 +132,51 @@ object Similarity {
     * candidate for a probe iff they share ANY band bucket, and only
     * candidates pay the exact-cosine scoring. Candidate generation is
     * a band-bucket equi-join — shuffle O(n·bands), never O(n·probes).
+    *
+    * MULTI-PROBE (the standard production recall lever): each probe
+    * additionally looks into every band bucket at Hamming distance 1
+    * from its own — a vector one wrong hyperplane away is still found.
+    * Cost is bounded and probe-side only: ≤ bits+1 (= 5) bucket
+    * lookups per band instead of 1, with the corpus-side index
+    * untouched — at 100 TB the corpus bands dominate storage and
+    * shuffle, so recall is bought without rebuilding or rescanning the
+    * index. On this corpus it lifts recall 0.62 → 0.98 while scoring
+    * ~2.3× the candidates (still a candidate-only cost; LlmSpec pins
+    * both numbers and the ≤ 5× worst-case bound).
+    *
     * Approximate by design → no SQL oracle; ScalaTest measures recall
-    * against `llm_simsearch` (0.62 on this corpus, whose true top-5
-    * sit barely above the random-pair cosine — banding depth trades
-    * recall against scored-candidate count, both deterministic). */
-  def simsearchLsh(spark: SparkSession, dir: String): DataFrame = {
-    DotProduct.register(spark)
+    * against `llm_simsearch` (the exact top-5 sit barely above the
+    * random-pair cosine on this corpus — banding depth and probe
+    * count trade recall against scored-candidate count, all
+    * deterministic). */
+  def simsearchLsh(spark: SparkSession, dir: String): DataFrame =
+    simsearchLshImpl(spark, dir, multiProbe = true)
+
+  /** Candidate (probe_id, vec_id) pairs from the banded SRP index;
+    * `multiProbe` adds the 1-bit-flipped probe buckets. Exposed so
+    * LlmSpec can price the multi-probe candidate overhead directly. */
+  private[graft] def simsearchCandidates(
+      spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val bandsOf = srpBands(SimBandBits, SimBands)
-    val e = emb(spark, dir).withColumn("nrm", norm("embedding"))
-    val banded = e.select(col("vec_id"),
+    val banded = emb(spark, dir).select(col("vec_id"),
       posexplode(bandsOf(col("embedding"))).as(Seq("band_idx", "bucket")))
-    val probeBands = banded.filter(col("vec_id") < 10)
+    val probeBase = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("band_idx"), col("bucket"))
-    val cand = banded.join(broadcast(probeBands), Seq("band_idx", "bucket"))
+    val probeBands =
+      if (!multiProbe) probeBase
+      else probeBase.select(col("probe_id"), col("band_idx"),
+        explode(array(col("bucket") +: (0 until SimBandBits).map(j =>
+          col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+    banded.join(broadcast(probeBands), Seq("band_idx", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id")).distinct()
+  }
+
+  private[graft] def simsearchLshImpl(
+      spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
+    DotProduct.register(spark)
+    val e = emb(spark, dir).withColumn("nrm", norm("embedding"))
+    val cand = simsearchCandidates(spark, dir, multiProbe)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         col("nrm").as("probe_nrm"))

@@ -60,14 +60,29 @@ class LlmSpec extends AnyFunSuite {
     assert(row.getDouble(2) === 36.0)
   }
 
-  test("LSH simsearch achieves reasonable recall vs exact top-5") {
+  test("multi-probe LSH simsearch lifts recall ≥ 0.9 at bounded candidate cost") {
     val exact = llm.Similarity.simsearch(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = llm.Similarity.simsearchLsh(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, f"LSH recall $recall%.2f collapsed — bucketing broken?")
-    assert(approx.size <= exact.size, "LSH must not return more than exact top-5")
+    def run(multiProbe: Boolean): Set[(Long, Long)] =
+      llm.Similarity.simsearchLshImpl(spark, Sf, multiProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = run(multiProbe = false)
+    val multi = run(multiProbe = true)
+    def recall(s: Set[(Long, Long)]) = (exact & s).size.toDouble / exact.size
+    assert(recall(single) >= 0.5,
+      f"single-probe recall ${recall(single)}%.2f collapsed — bucketing broken?")
+    // the production lever: probing 1-bit-flipped band buckets recovers
+    // neighbors that fell one hyperplane away (r2 verdict ask: ≥ 0.9)
+    assert(recall(multi) >= 0.9,
+      f"multi-probe recall ${recall(multi)}%.2f below target (single ${recall(single)}%.2f)")
+    assert(multi.size <= exact.size, "LSH must not return more than exact top-5")
+    // cost bound: ≤ bits+1 bucket lookups per band, probe-side only
+    val cSingle = llm.Similarity.simsearchCandidates(spark, Sf, multiProbe = false).count()
+    val cMulti = llm.Similarity.simsearchCandidates(spark, Sf, multiProbe = true).count()
+    assert(cMulti <= 5 * cSingle,
+      s"multi-probe candidates $cMulti exceed the (bits+1)× bound over $cSingle")
+    info(f"recall ${recall(single)}%.2f → ${recall(multi)}%.2f; " +
+      f"candidates $cSingle → $cMulti (${cMulti.toDouble / cSingle}%.1fx)")
   }
 
   test("word shingles generator: short docs, exact window count, null") {
