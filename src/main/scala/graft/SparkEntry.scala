@@ -18,7 +18,7 @@ object SparkEntry {
       ops.Windows.queries ++ ops.Scalars.queries ++ etl.Etl.queries ++
       stream.Streaming.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++ llm.Text.queries ++
-      llm.Multimodal.queries
+      llm.Multimodal.queries ++ llm.Curation.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
