@@ -194,6 +194,122 @@ object Similarity {
         .select(col("probe_id"), col("vec_id"), col("score"), col("rn")))
   }
 
+  private val IvfK = 16      // coarse centroids (≈ √n at this scale)
+  private val IvfProbes = 4  // clusters probed per query (recall knob)
+  private val IvfIters = 3   // Lloyd iterations (fixed → deterministic)
+
+  /** Deterministic spherical k-means coarse quantizer: init = the K
+    * lowest vec_ids, then [[IvfIters]] Lloyd rounds (assign by max
+    * dot against unit centroids; new centroid = normalized mean of
+    * members' unit vectors, components rounded to 6 dp so distributed
+    * float-sum ordering can't leak nondeterminism into assignments).
+    * The centroid table is K×64 doubles — driver/broadcast-sized by
+    * construction; at 100 TB you train on a SAMPLE (one pass each
+    * round over it), never the full corpus. */
+  private[graft] def ivfCentroids(e0: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var cents = e0.filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(normalize)
+    val withNrm = e0.withColumn("_nrm", sqrt(dotHof(col("embedding"), col("embedding"))))
+    for (_ <- 1 to iters) {
+      val assign = nearestCentroid(cents)
+      val means = withNrm
+        .select(assign(col("embedding")).as("cid"), col("_nrm"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("x").cast("double") / col("_nrm")), 6).as("m"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next.map(normalize)
+    }
+    cents
+  }
+
+  /** Argmax-dot cluster assignment against unit centroids (|v| is
+    * constant per row, so max dot = max cosine); ties resolve to the
+    * lowest centroid id. */
+  private def nearestCentroid(cents: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var s = 0.0
+      var i = 0
+      while (i < cent.length && i < v.length) { s += cent(i) * v(i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Top-`nProbe` nearest centroid ids for a query vector (dot desc,
+    * centroid id asc on ties). */
+  private def nearestCentroids(cents: Array[Array[Double]], nProbe: Int) =
+    udf { (v: Seq[Float]) =>
+      cents.indices.map { c =>
+        val cent = cents(c)
+        var s = 0.0
+        var i = 0
+        while (i < cent.length && i < v.length) { s += cent(i) * v(i); i += 1 }
+        (-s, c)
+      }.sorted.take(nProbe).map(_._2).toArray
+    }
+
+  /** ANN via IVF (inverted-file) — the other standard scale path next
+    * to SRP-LSH: a K-centroid coarse quantizer partitions the corpus
+    * into cells; a query scores only vectors in its [[IvfProbes]]
+    * nearest cells. Candidate generation is an equi-join on cluster id
+    * (shuffle O(n) once at index build, broadcast probe list at query
+    * time) — never O(n·probes). Recall comes from probing multiple
+    * cells, the same OR-amplification role banding plays in LSH; the
+    * LlmSpec pins recall and the scored-candidate fraction. At 100 TB:
+    * centroids train on a sample, the cell assignment is one columnar
+    * pass, cells are the natural partition key for the stored index,
+    * and K grows ~√n so cells stay executor-sized. */
+  def simsearchIvf(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark)
+    val e = emb(spark, dir).withColumn("nrm", norm("embedding"))
+    val cents = ivfCentroids(emb(spark, dir), IvfK, IvfIters)
+    val indexed = e.withColumn("cid", nearestCentroid(cents)(col("embedding")))
+    val probes = indexed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("nrm").as("probe_nrm"),
+        explode(nearestCentroids(cents, IvfProbes)(col("embedding"))).as("cid"))
+    val scored = indexed.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("score",
+        round6(dot("probe_emb", "embedding") /
+          (col("probe_nrm") * col("nrm"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    ordered(
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("score"), col("rn")))
+  }
+
+  /** IVF candidate (probe_id, vec_id) pairs — exposed so LlmSpec can
+    * price the probed fraction directly. */
+  private[graft] def simsearchIvfCandidates(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark)
+    val e = emb(spark, dir)
+    val cents = ivfCentroids(e, IvfK, IvfIters)
+    val indexed = e.withColumn("cid", nearestCentroid(cents)(col("embedding")))
+    val probes = indexed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"),
+        explode(nearestCentroids(cents, IvfProbes)(col("embedding"))).as("cid"))
+    indexed.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+  }
+
   /** Embedding near-dup GROUND TRUTH: all pairs with cosine ≥ 0.5
     * (threshold is a parameter; the synthetic embeddings carry no
     * planted dups, so a production 0.95 cut would be vacuously empty
@@ -321,6 +437,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "llm_simsearch" -> Q(simsearch _, simsearchSql),
     "llm_simsearch_lsh" -> Q.noOracle(simsearchLsh _),
+    "llm_simsearch_ivf" -> Q.noOracle(simsearchIvf _),
     "llm_cosine_dedup" -> Q(cosineDedup _, cosineDedupSql),
     // same oracle as the brute query: 2×16 banded SRP has exact 100 %
     // recall on this corpus (deterministic planes), so the LSH result

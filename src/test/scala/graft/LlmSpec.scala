@@ -85,6 +85,22 @@ class LlmSpec extends AnyFunSuite {
       f"candidates $cSingle → $cMulti (${cMulti.toDouble / cSingle}%.1fx)")
   }
 
+  test("IVF simsearch prunes most of the corpus at usable recall") {
+    val exact = llm.Similarity.simsearch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = llm.Similarity.simsearchIvf(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    val n = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    val cand = llm.Similarity.simsearchIvfCandidates(spark, Sf).count()
+    val frac = cand.toDouble / (10.0 * (n - 1)) // vs brute: n−1 per probe
+    // 4-of-16 probed cells: recall and cost both follow the cell sizes
+    assert(recall >= 0.5, f"IVF recall $recall%.2f collapsed — quantizer broken?")
+    assert(frac <= 0.6, f"IVF scored $frac%.2f of the corpus — cells not pruning")
+    assert(ivf.size <= exact.size)
+    info(f"IVF recall $recall%.2f, scored fraction $frac%.2f (n=$n)")
+  }
+
   test("word shingles generator: short docs, exact window count, null") {
     WordShingles.register(spark, 3)
     val df = Seq((1L, "a b c d e"), (2L, "a b"), (3L, null.asInstanceOf[String]))
