@@ -409,6 +409,49 @@ object Streaming {
        |FROM events GROUP BY user_id
        |${O.OrderAll}"""
 
+  /** `foreachBatch` sink — the production escape hatch for writes the
+    * built-in sinks can't express (upserts/merges into external
+    * stores, multi-table fan-out): each micro-batch arrives as a BATCH
+    * DataFrame the full API can touch. Driven through the multi-batch
+    * source so several batches genuinely append to the target;
+    * read-back aggregation proves the per-batch writes compose to
+    * exactly the input (file source + AvailableNow replays nothing
+    * within a run). 100 TB: this is where you'd put MERGE INTO /
+    * transactional-table commits; the per-batch frame is
+    * shuffle-partitioned like any batch job. */
+  def foreachBatchSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Fixtures.path(dir, "stream_feb_out")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    // append across BATCHES is the point; append across RUNS would
+    // double-count — start from a clean target every run
+    rm(new java.io.File(out))
+    val src = eventsStreamMultiBatch(spark, dir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    lastBatchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    ordered(
+      spark.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sv"))
+        .select(col("event_type"), col("n"), col("sv").cast("double").as("sum_value")))
+  }
+
+  private val foreachBatchSql =
+    s"""SELECT event_type, COUNT(*) AS n, ${O.dsum("value")} AS sum_value
+       |FROM events GROUP BY 1
+       |${O.OrderAll}"""
+
   /** Stream-stream inner join with a time-range condition: each
     * purchase joined to the same user's views in the preceding 30
     * minutes. Both sides keep watermarked state; the range condition
@@ -447,6 +490,7 @@ object Streaming {
     "stream_tumbling" -> Q(tumbling _, tumblingSql),
     "stream_tumbling_append" -> Q(tumblingAppend _, tumblingAppendSql),
     "stream_tumbling_append_mb" -> Q(tumblingAppendMb _, tumblingAppendSql),
+    "stream_foreach_batch" -> Q(foreachBatchSink _, foreachBatchSql),
     "stream_sliding" -> Q(sliding _, slidingSql),
     "stream_session" -> Q(session _, sessionSql),
     "stream_dedup" -> Q(dedup _, dedupSql),

@@ -98,6 +98,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.collect().toSet === core.Determinism.ordered(batch).collect().toSet)
   }
 
+  test("foreachBatch sink appends once per micro-batch and reruns are idempotent") {
+    val first = stream.Streaming.foreachBatchSink(spark, TestSpark.Sf).collect().toSeq
+    assert(stream.Streaming.lastBatchId >= stream.Streaming.MbSlices - 1,
+      s"expected one append per slice, last batchId ${stream.Streaming.lastBatchId}")
+    // a second full run must NOT double-count (the target is reset per run)
+    val second = stream.Streaming.foreachBatchSink(spark, TestSpark.Sf).collect().toSeq
+    assert(second === first, "re-running the sink query must be idempotent")
+  }
+
   test("bounded session windows match batch sessionization row counts") {
     val out = stream.Streaming.session(spark, TestSpark.Sf)
     // every (user, session) appears exactly once
