@@ -83,4 +83,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("llm_simsearch").contains("BroadcastHashJoin") ||
       plan("llm_simsearch").contains("BroadcastNestedLoopJoin"))
   }
+
+  test("llm_contamination: benchmark set broadcast, corpus never shuffled for the probe") {
+    val p = plan("llm_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"decontamination must stream the corpus past a broadcast benchmark set:\n$p")
+  }
+
+  test("llm_pii_redact and llm_token_count are single-pass columnar (no mid-plan shuffle)") {
+    for (key <- Seq("llm_pii_redact", "llm_token_count")) {
+      val p = plan(key)
+      // the only exchange allowed is the presentation sort's range
+      // partitioning; a hash exchange would mean an accidental shuffle
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$key should be embarrassingly parallel:\n$p")
+    }
+  }
 }
