@@ -409,7 +409,104 @@ object Etl {
        |GROUP BY 1
        |${O.OrderAll}"""
 
+  /** CDC apply: replay an ordered insert/update/delete change stream
+    * onto a snapshot — the log-shipping complement to SCD (a CDC feed
+    * is how README.md:4's incremental extract arrives in practice).
+    * Changes are deterministic slices: %5 keys update segment, %7 keys
+    * delete (so %35 keys update THEN delete — multi-change keys), %11
+    * keys arrive as brand-new inserts. Last-wins per key by change
+    * sequence, deletes drop the key.
+    *
+    * 100 TB: union + one window over (key, seq) — shuffle-partitioned
+    * by key, map-side nothing to combine but the window needs only a
+    * per-partition sort after the hash exchange. The same shape
+    * handles billions of change rows; the snapshot never rewrites
+    * more than once per batch. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val snap = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit(0L).as("_seq"), lit("U").as("_op"))
+    val base = t(spark, dir, "customer")
+    val updates = base.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), col("c_name"), lit("CDC-U").as("c_mktsegment"),
+        lit(1L).as("_seq"), lit("U").as("_op"))
+    val deletes = base.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+        lit(null).cast("string").as("c_mktsegment"),
+        lit(2L).as("_seq"), lit("D").as("_op"))
+    val inserts = base.filter(col("c_custkey") % 11 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("NEW-"), col("c_name")).as("c_name"),
+        lit("CDC-I").as("c_mktsegment"),
+        lit(1L).as("_seq"), lit("U").as("_op"))
+    val all = snap.unionByName(updates).unionByName(deletes).unionByName(inserts)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("_seq").desc)
+    ordered(
+      all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col("_op") =!= "D")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+  }
+
+  private val cdcApplySql =
+    s"""WITH changes AS (
+       |  SELECT c_custkey, c_name, c_mktsegment, 0 AS seq, 'U' AS op FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey, c_name, 'CDC-U', 1, 'U' FROM customer WHERE c_custkey % 5 = 0
+       |  UNION ALL
+       |  SELECT c_custkey, NULL, NULL, 2, 'D' FROM customer WHERE c_custkey % 7 = 0
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000, 'NEW-' || c_name, 'CDC-I', 1, 'U'
+       |  FROM customer WHERE c_custkey % 11 = 0),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+       |  FROM changes)
+       |SELECT c_custkey, c_name, c_mktsegment FROM ranked
+       |WHERE rn = 1 AND op <> 'D'
+       |${O.OrderAll}"""
+
+  /** Small-file compaction — THE routine 100 TB maintenance job: a
+    * fragmented layout (64 undersized files, the debris a streaming or
+    * over-parallel writer leaves) is rewritten to ⌈rows/20k⌉
+    * right-sized files. Output reports both layouts from the actual
+    * filesystem (file counts come from `_metadata.file_path`, not the
+    * plan) with a content checksum proving compaction moved bytes, not
+    * data. At scale the same job targets
+    * `spark.sql.files.maxPartitionBytes`-sized files per partition
+    * and runs partition-by-partition behind the table's write lock. */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val frag = graft.core.Fixtures.path(dir, "etl_compaction_frag")
+    val comp = graft.core.Fixtures.path(dir, "etl_compaction_out")
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // fragmented layout rebuilt each run (idempotent)
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    val fragged = spark.read.parquet(frag)
+    val nOut = math.ceil(fragged.count() / 20000.0).toInt // driver-side: one metadata count
+    fragged.repartition(nOut).write.mode("overwrite").parquet(comp)
+    def stats(path: String, stage: String) =
+      spark.read.parquet(path).select(
+        lit(stage).as("stage"),
+        col("_metadata.file_path").as("f"),
+        col("o_totalprice"))
+        .groupBy(col("stage"))
+        .agg(countDistinct(col("f")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("total"))
+    ordered(stats(frag, "fragmented").unionByName(stats(comp, "compacted")))
+  }
+
+  private val compactionSql =
+    s"""SELECT 'fragmented' AS stage, CAST(64 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+       |  ${O.dsum("o_totalprice")} AS total FROM orders
+       |UNION ALL
+       |SELECT 'compacted', CAST(CEIL(COUNT(*) / 20000.0) AS BIGINT), COUNT(*),
+       |  ${O.dsum("o_totalprice")} FROM orders
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_cdc_apply" -> Q(cdcApply _, cdcApplySql),
+    "etl_compaction" -> Q(compaction _, compactionSql),
     "etl_backfill" -> Q(backfill _, backfillSql),
     "etl_full_load" -> Q(fullLoad _, fullLoadSql),
     "etl_incremental" -> Q(incremental _, incrementalSql),

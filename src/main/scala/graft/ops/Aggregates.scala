@@ -86,6 +86,33 @@ object Aggregates {
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           count(lit(1)).as("n_events")))
 
+  /** Mergeable-sketch aggregation (Apache DataSketches HLL, Spark 4
+    * `hll_sketch_agg`/`hll_union_agg`): per-nation distinct-customer
+    * sketches built in one pass, then UNIONED into a global estimate —
+    * without touching the raw keys again. This two-level
+    * sketch-then-merge shape is the 100 TB pattern for anything
+    * distinct-ish: sketches are a few KB each, so rollups across
+    * partitions/days/tenants merge at the driver or in a tiny second
+    * agg instead of re-scanning the corpus. The query also computes
+    * the direct one-level sketch estimate: union-of-disjoint-sketches
+    * must equal it EXACTLY (same registers, max-merge) — pinned in
+    * ScalaTest, rows-only for the driver (estimates are
+    * implementation-specific, like `agg_approx_distinct`). */
+  def aggSketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val perNation = cust.groupBy(col("c_nationkey"))
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+        count(lit(1)).as("n_rows"))
+    ordered(
+      perNation.agg(
+        count(lit(1)).as("n_nations"),
+        sum(col("n_rows")).as("n_rows"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_estimate"))
+        .crossJoin(cust.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("c_custkey")))
+            .as("direct_estimate"))))
+  }
+
   /** Rollup with subtotals + grand total (reporting). */
   def aggRollup(spark: SparkSession, dir: String): DataFrame = {
     val joined = t(spark, dir, "orders")
@@ -237,6 +264,7 @@ object Aggregates {
     "agg_hash" -> Q(aggHash _, aggHashSql),
     "agg_distinct" -> Q(aggDistinct _, aggDistinctSql),
     "agg_approx_distinct" -> Q.noOracle(aggApproxDistinct _),
+    "agg_sketch_merge" -> Q.noOracle(aggSketchMerge _),
     "agg_rollup" -> Q(aggRollup _, aggRollupSql),
     "agg_cube" -> Q(aggCube _, aggCubeSql),
     "agg_pivot" -> Q(aggPivot _, aggPivotSql),

@@ -60,6 +60,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact <= 0.10)
   }
 
+  test("HLL sketch union of disjoint groups equals the direct sketch exactly") {
+    val row = ops.Aggregates.aggSketchMerge(spark, Sf).head()
+    val merged = row.getAs[Long]("merged_estimate")
+    val direct = row.getAs[Long]("direct_estimate")
+    val exact = row.getAs[Long]("n_rows") // c_custkey is unique per row
+    assert(merged === direct,
+      "union of per-nation sketches must be register-identical to one global sketch")
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"sketch estimate $merged too far from exact $exact")
+  }
+
   test("money decimal casts: HALF_UP on clean 2-decimal doubles") {
     val df = Seq(1.005, 2.675, 104.25).toDF("x")
     val got = df.select(Determinism.money(col("x")).cast("string")).as[String].collect()
