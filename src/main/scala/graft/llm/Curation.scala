@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
 import graft.core.Determinism._
@@ -156,9 +157,225 @@ object Curation {
        |FROM documents
        |${O.OrderAll}"""
 
+  /** Knuth multiplicative constant for the deterministic bucket hashes
+    * below. Chosen over xxhash64 ONLY because the oracle must reproduce
+    * the bucket in ANSI SQL (DuckDB has no xxhash64 and no hex→int
+    * parse); products stay far below 2^63 for any realistic key space.
+    * At 100 TB swap in `xxhash64(key)` — same shape, still one map-side
+    * expression, zero shuffles. */
+  private val MixK = 2654435761L
+
+  /** Deterministic train/validation/test assignment (80/10/10): split
+    * membership is a pure function of the business key — stable across
+    * re-runs, engines, repartitioning, and corpus growth (a doc never
+    * changes split when new docs arrive), which is exactly why
+    * production pipelines hash-split rather than sample-split. No
+    * sampling state, no shuffle: one map-side expression per row. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("doc_id") * lit(MixK)) % 1000
+    ordered(
+      docs(spark, dir).select(
+        col("doc_id"), col("lang"),
+        bucket.as("bucket"),
+        when(bucket < 800, "train")
+          .when(bucket < 900, "validation")
+          .otherwise("test").as("split")))
+  }
+
+  private val trainSplitSql =
+    s"""SELECT doc_id, lang, (doc_id * $MixK) % 1000 AS bucket,
+       |  CASE WHEN (doc_id * $MixK) % 1000 < 800 THEN 'train'
+       |       WHEN (doc_id * $MixK) % 1000 < 900 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM documents
+       |${O.OrderAll}"""
+
+  /** Domain-mixture rebalancing: deterministically downsample each
+    * language to the size of the rarest one (the balanced-mix special
+    * case of "sample source s at rate r_s"). The keep decision
+    * `bucket(doc_id) * n_lang < min_n * 10^6` is pure integer
+    * arithmetic — no float thresholds to disagree across engines, and
+    * like [[trainSplit]] it is membership-stable under corpus
+    * repartitioning.
+    *
+    * 100 TB: per-domain counts are one map-side-combined groupBy over
+    * the corpus (or come free from table statistics); the keep filter
+    * is map-side against a broadcast rate table — the corpus itself is
+    * never shuffled. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    val minN = counts.agg(min(col("n_before")).as("_min_n"))
+    val kept = d
+      .join(broadcast(counts.crossJoin(broadcast(minN))), Seq("lang"))
+      .filter(((col("doc_id") * lit(MixK)) % 1000000) * col("n_before") <
+        col("_min_n") * 1000000)
+    val after = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+    val total = after.agg(sum(col("n_after")).as("_total_after"))
+    ordered(
+      counts.join(after, Seq("lang"), "left_outer")
+        .na.fill(0L, Seq("n_after"))
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("n_before"), col("n_after"),
+          (col("n_after").cast("double") / col("_total_after").cast("double"))
+            .as("share_after")))
+  }
+
+  private val domainMixSql =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY 1),
+       |m AS (SELECT MIN(n_before) AS mn FROM c),
+       |kept AS (
+       |  SELECT d.lang FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+       |  WHERE ((d.doc_id * $MixK) % 1000000) * c.n_before < m.mn * 1000000),
+       |a AS (SELECT lang, COUNT(*) AS n_after FROM kept GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_after) AS BIGINT) AS tot FROM a)
+       |SELECT c.lang, c.n_before, COALESCE(a.n_after, 0) AS n_after,
+       |  CAST(COALESCE(a.n_after, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE)
+       |    AS share_after
+       |FROM c LEFT JOIN a ON c.lang = a.lang CROSS JOIN t
+       |${O.OrderAll}"""
+
+  // Combined stopword list of Text.scala's three language profiles —
+  // the heuristic rule only needs "contains ANY common function word".
+  private val StopList = Seq(
+    "the", "a", "of", "and", "el", "la", "de", "y",
+    "der", "die", "das", "und")
+
+  /** Gopher-style heuristic quality rules (Rae et al. 2021, table A1 —
+    * public paper), each surfaced as its own flag so a pipeline can
+    * tune/ablate rules independently; `keep` is their conjunction:
+    * word count in [15, 90], mean word length in [3, 6], symbol
+    * ratio ≤ 0.1, ≥ 90% alphabetic words, ≥ 1 stopword. Complements
+    * `llm_quality` (a composed [0,1] score) with hard accept/reject
+    * gates. All exact rational arithmetic — no rounding (Determinism
+    * rules). Embarrassingly parallel: one columnar pass, no shuffle
+    * except the presentation sort. */
+  def heuristicFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks)
+    val meanLen = (col("n_chars") - (nWords - 1)).cast("double") /
+      nWords.cast("double")
+    val symRatio =
+      (col("n_chars") - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+        .cast("double") / col("n_chars").cast("double")
+    val alphaFrac = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("double") /
+      nWords.cast("double")
+    val nStop = size(filter(toks, x => x.isin(StopList: _*)))
+    val rWords = nWords >= 15 && nWords <= 90
+    val rMean = meanLen >= 3.0 && meanLen <= 6.0
+    val rSym = symRatio <= 0.1
+    val rAlpha = alphaFrac >= 0.9
+    val rStop = nStop >= 1
+    ordered(
+      docs(spark, dir).select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"),
+        alphaFrac.as("alpha_frac"),
+        nStop.as("n_stopwords"),
+        rWords.as("r_word_count"),
+        rMean.as("r_mean_len"),
+        rSym.as("r_symbol"),
+        rAlpha.as("r_alpha"),
+        rStop.as("r_stopword"),
+        (rWords && rMean && rSym && rAlpha && rStop).as("keep")))
+  }
+
+  private val heuristicFilterSql = {
+    val stopIn = StopList.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS l
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id,
+       |    len(l) AS n_words,
+       |    CAST(n_chars - (len(l) - 1) AS DOUBLE) / CAST(len(l) AS DOUBLE)
+       |      AS mean_word_len,
+       |    CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+       |      AS DOUBLE) / CAST(n_chars AS DOUBLE) AS symbol_ratio,
+       |    CAST(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS DOUBLE) / CAST(len(l) AS DOUBLE) AS alpha_frac,
+       |    len(list_filter(l, x -> x IN ($stopIn))) AS n_stopwords
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |  n_stopwords,
+       |  n_words >= 15 AND n_words <= 90 AS r_word_count,
+       |  mean_word_len >= 3.0 AND mean_word_len <= 6.0 AS r_mean_len,
+       |  symbol_ratio <= 0.1 AS r_symbol,
+       |  alpha_frac >= 0.9 AS r_alpha,
+       |  n_stopwords >= 1 AS r_stopword,
+       |  (n_words >= 15 AND n_words <= 90)
+       |    AND (mean_word_len >= 3.0 AND mean_word_len <= 6.0)
+       |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.9
+       |    AND n_stopwords >= 1 AS keep
+       |FROM v
+       |${O.OrderAll}"""
+  }
+
+  /** Repetition signals (the other Gopher rule family): per-doc top
+    * 2-gram concentration and distinct-2-gram fraction — high top_frac
+    * or low distinct_frac marks boilerplate/spam for exclusion.
+    *
+    * 100 TB: bigrams come from a zero-shuffle higher-order function
+    * over the token array (NOT a positional self-join — that would
+    * shuffle every token twice); per-doc concentration is one
+    * map-side-combined groupBy keyed by (doc_id, bigram), then a
+    * doc-partitioned window. Deterministic tiebreak: lexicographic min
+    * among equal-count top bigrams. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val big = docs(spark, dir).select(
+      col("doc_id"),
+      explode(expr(
+        """transform(sequence(0, size(split(text, ' ')) - 2),
+          |  i -> concat(element_at(split(text, ' '), i + 1), ' ',
+          |              element_at(split(text, ' '), i + 2)))""".stripMargin))
+        .as("bigram"))
+    val counts = big.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("bigram").asc)
+    ordered(
+      counts.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max(when(col("rn") === 1, col("bigram"))).as("top_bigram"),
+          max(when(col("rn") === 1, col("c"))).as("top_count"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          col("top_bigram"), col("top_count"),
+          (col("top_count").cast("double") / col("n_bigrams").cast("double"))
+            .as("top_frac"),
+          (col("n_distinct").cast("double") / col("n_bigrams").cast("double"))
+            .as("distinct_frac")))
+  }
+
+  private val repetitionSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |big AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+       |        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM big GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY doc_id ORDER BY c DESC, bigram ASC) AS rn FROM c)
+       |SELECT doc_id,
+       |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |  COUNT(*) AS n_distinct,
+       |  MAX(CASE WHEN rn = 1 THEN bigram END) AS top_bigram,
+       |  MAX(CASE WHEN rn = 1 THEN c END) AS top_count,
+       |  CAST(MAX(CASE WHEN rn = 1 THEN c END) AS DOUBLE)
+       |    / CAST(SUM(c) AS DOUBLE) AS top_frac,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_frac
+       |FROM r GROUP BY doc_id
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "llm_pii_redact" -> Q(piiRedact _, piiRedactSql),
     "llm_contamination" -> Q(contamination _, contaminationSql),
-    "llm_token_count" -> Q(tokenCount _, tokenCountSql)
+    "llm_token_count" -> Q(tokenCount _, tokenCountSql),
+    "llm_split" -> Q(trainSplit _, trainSplitSql),
+    "llm_domain_mix" -> Q(domainMix _, domainMixSql),
+    "llm_heuristic_filter" -> Q(heuristicFilter _, heuristicFilterSql),
+    "llm_repetition" -> Q(repetition _, repetitionSql)
   )
 }

@@ -258,7 +258,32 @@ object Aggregates {
        |FROM customer GROUP BY c_mktsegment
        |${O.OrderAll}"""
 
+  /** Fixed-width histogram of order value: bucket = floor(price/25k).
+    * The bucket id is per-row IEEE double arithmetic (identical bits on
+    * both engines — no aggregation-order sensitivity), the sum is the
+    * exact-decimal convention. One map-side-combined groupBy over a
+    * 2-column scan: the 100 TB profile of every monitoring histogram. */
+  def aggHist(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      Tables.load(spark, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price")))
+
+  private val aggHistSql =
+    s"""SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n,
+       |  ${O.dsum("o_totalprice")} AS sum_price,
+       |  MIN(o_totalprice) AS min_price,
+       |  MAX(o_totalprice) AS max_price
+       |FROM orders GROUP BY 1
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "agg_hist" -> Q(aggHist _, aggHistSql),
     "agg_unpivot" -> Q(aggUnpivot _, aggUnpivotSql),
     "agg_percentile" -> Q(aggPercentile _, aggPercentileSql),
     "agg_hash" -> Q(aggHash _, aggHashSql),

@@ -282,7 +282,39 @@ object Scalars {
        |FROM orders
        |${O.OrderAll}"""
 
+  /** Bitwise suite — AND/OR/XOR/NOT, shifts, popcount — the primitives
+    * under hash-bucketing, bitmap indexes, and the SimHash/SRP band
+    * extraction in §2.11 (there inside UDFs; here as first-class
+    * columnar expressions, fully codegen'd). Every output is cast to
+    * BIGINT on both engines (DuckDB narrows `&` to INT32 and bit_count
+    * to INT8; Spark keeps LongType). */
+  def fnBitwise(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      Tables.load(spark, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("l_orderkey").bitwiseOR(col("l_linenumber")).as("bor"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("bxor"),
+        bitwise_not(col("l_orderkey")).as("bnot"),
+        shiftleft(col("l_linenumber").cast("long"), 3).cast("long").as("shl"),
+        shiftright(col("l_orderkey"), 2).as("shr"),
+        bit_count(col("l_orderkey")).cast("long").as("popcnt")))
+
+  private val fnBitwiseSql =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(l_orderkey & 255 AS BIGINT) AS band,
+       |  CAST(l_orderkey | l_linenumber AS BIGINT) AS bor,
+       |  CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS bxor,
+       |  CAST(~l_orderkey AS BIGINT) AS bnot,
+       |  CAST(l_linenumber << 3 AS BIGINT) AS shl,
+       |  CAST(l_orderkey >> 2 AS BIGINT) AS shr,
+       |  CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS popcnt
+       |FROM lineitem
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "fn_bitwise" -> Q(fnBitwise _, fnBitwiseSql),
     "fn_null_safe" -> Q(fnNullSafe _, fnNullSafeSql),
     "fn_string" -> Q(fnString _, fnStringSql),
     "fn_date" -> Q(fnDate _, fnDateSql),

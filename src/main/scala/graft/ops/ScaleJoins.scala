@@ -163,7 +163,36 @@ object ScaleJoins {
        |GROUP BY 1
        |${O.OrderAll}"""
 
+  /** Shuffled hash join — the third physical equi-join strategy beside
+    * broadcast (`join_broadcast`) and sort-merge (`join_sortmerge`),
+    * forced via the `shuffle_hash` hint and pinned in PlanSpec. Both
+    * sides shuffle on the key, but the smaller side is HASHED per
+    * partition instead of both sides SORTING: at 100 TB this wins over
+    * SMJ whenever the per-partition build side fits executor memory
+    * (no sort CPU, no spill files), e.g. a mid-size dim too big to
+    * broadcast. The skew caveat: one giant key overflows the hash
+    * build, where SMJ degrades gracefully — AQE's skew-join split (or
+    * `join_salted`) covers that regime. */
+  def joinShuffleHash(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      Tables.load(spark, dir, "lineitem")
+        .join(Tables.load(spark, dir, "orders").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsumExpr(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("revenue")))
+
+  private val joinShuffleHashSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "join_shuffle_hash" -> Q(joinShuffleHash _, joinShuffleHashSql),
     "join_bucketed" -> Q(joinBucketed _, joinBucketedSql),
     "join_salted" -> Q(joinSalted _, joinSaltedSql),
     "join_dpp" -> Q(joinDpp _, joinDppSql)

@@ -162,7 +162,33 @@ object Scans {
        |FROM supplier GROUP BY s_nationkey
        |${O.OrderAll}"""
 
+  /** Text-line source round-trip: the rawest ingest format (one string
+    * per line — log shipping, wet-crawl dumps). Write a delimited
+    * extract of documents via the text sink, read it back with
+    * `spark.read.text`, and re-parse the columns — schema-on-read done
+    * manually, which is exactly what the text format means. The U+0001
+    * field separator cannot collide with the single-line
+    * space-separated corpus text. Oracle checks losslessness against
+    * the source table. */
+  def scanText(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "scan_text")
+    Tables.load(spark, dir, "documents")
+      .select(concat_ws("\u0001",
+        col("doc_id"), col("lang"), col("n_chars")).as("value"))
+      .write.mode("overwrite").text(path)
+    val parts = split(col("value"), "\u0001")
+    ordered(
+      spark.read.text(path).select(
+        element_at(parts, 1).cast("long").as("doc_id"),
+        element_at(parts, 2).as("lang"),
+        element_at(parts, 3).cast("long").as("n_chars")))
+  }
+
+  private val scanTextSql =
+    s"SELECT doc_id, lang, n_chars FROM documents ${O.OrderAll}"
+
   val queries: Map[String, Q] = Map(
+    "scan_text" -> Q(scanText _, scanTextSql),
     "scan_jdbc" -> Q(scanJdbc _, scanJdbcSql),
     "scan_parquet" -> Q(scanParquet _, scanParquetSql),
     "scan_orc" -> Q(scanOrc _, scanOrcSql),

@@ -102,8 +102,56 @@ object SqlApi {
        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
        |${O.OrderAll}"""
 
+  /** TPC-H Q5 (local supplier volume): the 6-table snowflake join with
+    * the local-supplier correlation (supplier and customer must share a
+    * nation). Catalyst broadcasts the three dim tables and reorders the
+    * join chain; the only big-big edge is orders⋈lineitem. The region
+    * filter reaches the region scan and prunes the nation/supplier
+    * sides through the join (PlanSpec pins broadcasts + pushdown on
+    * the DataFrame twin `join_star`; this is the SQL spelling). */
+  def sqlTpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach { n =>
+        Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+      }
+    ordered(spark.sql(
+      s"""SELECT n_name,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+         |    AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM graft_customer
+         |JOIN graft_orders ON c_custkey = o_custkey
+         |JOIN graft_lineitem ON l_orderkey = o_orderkey
+         |JOIN graft_supplier ON l_suppkey = s_suppkey
+         |  AND s_nationkey = c_nationkey
+         |JOIN graft_nation ON c_nationkey = n_nationkey
+         |JOIN graft_region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin))
+  }
+
+  private val sqlTpchQ5Sql =
+    s"""SELECT n_name,
+       |  CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sql_tpch_q3" -> Q(sqlTpchQ3 _, sqlTpchQ3Sql),
+    "sql_tpch_q5" -> Q(sqlTpchQ5 _, sqlTpchQ5Sql),
     "agg_grouping_sets" -> Q(aggGroupingSets _, aggGroupingSetsSql),
     "sql_correlated" -> Q(sqlCorrelated _, sqlCorrelatedSql)
   )

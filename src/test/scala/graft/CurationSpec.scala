@@ -51,4 +51,76 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() === 0)
     assert(out.filter(col("chars_per_token") <= 0).count() === 0)
   }
+
+  test("train split: exhaustive, deterministic, and near the 80/10/10 target") {
+    val out = llm.Curation.trainSplit(spark, Sf).cache()
+    try {
+      val total = out.count()
+      val byBucket = out.groupBy(col("split")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byBucket.values.sum === total, "every doc gets exactly one split")
+      // multiplicative hashing is uniform enough that 500 docs land
+      // within a generous band of the 80/10/10 target
+      val train = byBucket.getOrElse("train", 0L).toDouble / total
+      assert(train > 0.72 && train < 0.88, s"train share $train off target 0.8")
+      assert(byBucket.getOrElse("validation", 0L) > 0 &&
+        byBucket.getOrElse("test", 0L) > 0)
+      // membership is a pure function of doc_id: a re-run agrees row-for-row
+      val again = llm.Curation.trainSplit(spark, Sf)
+      assert(out.exceptAll(again).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("domain mix: shares rebalanced toward uniform, never above before-counts") {
+    val out = llm.Curation.domainMix(spark, Sf).cache()
+    try {
+      assert(out.filter(col("n_after") > col("n_before")).count() === 0,
+        "downsampling can only remove docs")
+      // the raw corpus is skewed (en dominates ~3×); after the mix every
+      // language's share must sit near 1/5
+      val shares = out.select(col("share_after")).collect().map(_.getDouble(0))
+      assert(shares.length === 5)
+      assert(shares.forall(s => s > 0.12 && s < 0.28),
+        s"rebalanced shares should be near 0.2, got ${shares.mkString(",")}")
+      // the dominant language must actually have been cut
+      val en = out.filter(col("lang") === "en").head()
+      assert(en.getAs[Long]("n_after") < en.getAs[Long]("n_before"))
+    } finally out.unpersist()
+  }
+
+  test("heuristic filter: keep is exactly the conjunction and does real work") {
+    val out = llm.Curation.heuristicFilter(spark, Sf).cache()
+    try {
+      val inconsistent = out.filter(
+        col("keep") =!= (col("r_word_count") && col("r_mean_len") &&
+          col("r_symbol") && col("r_alpha") && col("r_stopword"))).count()
+      assert(inconsistent === 0)
+      val kept = out.filter(col("keep")).count()
+      val total = out.count()
+      assert(kept > 0 && kept < total,
+        s"rules must split the corpus nontrivially ($kept/$total kept)")
+      // the all-alpha single-line synthetic corpus pins two rules
+      assert(out.filter(col("symbol_ratio") =!= 0.0).count() === 0)
+      assert(out.filter(col("alpha_frac") =!= 1.0).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("repetition: count algebra holds and a repeated doc scores high") {
+    val out = llm.Curation.repetition(spark, Sf).cache()
+    try {
+      val malformed = out.filter(
+        col("n_distinct") > col("n_bigrams") ||
+          col("top_count") < 1 ||
+          col("top_frac") < col("distinct_frac") / col("n_distinct") ||
+          col("top_frac") > 1.0 || col("distinct_frac") > 1.0).count()
+      assert(malformed === 0)
+      // n_bigrams == n_words - 1 for every doc (single-line corpus)
+      val docs = core.Tables.load(spark, Sf, "documents")
+        .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("exp"))
+      assert(out.join(docs, "doc_id").filter(col("n_bigrams") =!= col("exp"))
+        .count() === 0)
+      // repeated vocabulary means SOME doc repeats a bigram
+      assert(out.filter(col("top_count") > 1).count() > 0)
+    } finally out.unpersist()
+  }
 }

@@ -34,6 +34,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("join_sortmerge").contains("SortMergeJoin"))
   }
 
+  test("join_shuffle_hash plans a ShuffledHashJoin (hint honored, no sort)") {
+    val p = plan("join_shuffle_hash")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("topk_global plans TakeOrderedAndProject (no global sort)") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
