@@ -313,7 +313,39 @@ object Scalars {
        |FROM lineitem
        |${O.OrderAll}"""
 
+  /** URL suite: build a deterministic URL per document, then decompose
+    * it with `parse_url` (host / path / one query parameter) — the
+    * canonicalize-and-extract step every web-crawl pipeline runs before
+    * URL-level dedup. The oracle re-derives the same parts with
+    * regexps, which doubles as a spec of exactly what parse_url
+    * returns for these shapes. Pure columnar, no shuffle. */
+  def fnUrl(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+      col("doc_id"), lit("?lang="), col("lang"), lit("&v=2"))
+    ordered(
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        url.as("url"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("q_lang")))
+  }
+
+  private val fnUrlSql =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://' || source || '.example.com/docs/' || doc_id
+       |      || '?lang=' || lang || '&v=2' AS url
+       |  FROM documents)
+       |SELECT doc_id, url,
+       |  regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+       |  regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+       |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang
+       |FROM u
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "fn_url" -> Q(fnUrl _, fnUrlSql),
     "fn_bitwise" -> Q(fnBitwise _, fnBitwiseSql),
     "fn_null_safe" -> Q(fnNullSafe _, fnNullSafeSql),
     "fn_string" -> Q(fnString _, fnStringSql),

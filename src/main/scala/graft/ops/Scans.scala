@@ -187,8 +187,66 @@ object Scans {
   private val scanTextSql =
     s"SELECT doc_id, lang, n_chars FROM documents ${O.OrderAll}"
 
+  /** Z-order clustered sink: lineitem rewritten sorted by the
+    * bit-interleaved (l_partkey, l_suppkey) Morton code, so rows close
+    * in BOTH key dimensions land in the same files and every file's
+    * per-column min/max stats cover a narrow range of BOTH keys — a
+    * plain sort clusters only its leading column. At 100 TB this is
+    * what makes 2-D selective reads skip most row groups (Delta/Iceberg
+    * OPTIMIZE ZORDER — same public technique, here from first
+    * principles as a pure column expression + range repartition).
+    * IngestSpec proves the layout property from the files' actual
+    * min/max spreads; the oracle checks the rewrite is lossless by
+    * aggregating a 2-D-filtered read-back. */
+  def sinkZorder(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "sink_zorder")
+    val li = Tables.load(spark, dir, "lineitem")
+    // Normalize each key to an equal-width 16-bit space before
+    // interleaving — RAW interleave lets the higher-cardinality column
+    // monopolize the significant z bits and the other column never
+    // clusters (observed: suppkey spread == global at small sf). This
+    // is why Delta's ZORDER interleaves per-column RANGE IDS, not raw
+    // values. One driver-side min/max row (at scale: free from table
+    // stats), same justified pattern as scan_jdbc's partition bounds.
+    val b = li.agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    def norm(c: String, lo: Long, hi: Long) =
+      (col(c) - lo) * 65535L / math.max(1L, hi - lo)
+    val pkN = norm("l_partkey", b.getLong(0), b.getLong(1))
+    val skN = norm("l_suppkey", b.getLong(2), b.getLong(3))
+    // 16-bit × 2 Morton interleave: bit i of pkN → z bit 2i, bit i of
+    // skN → z bit 2i+1. Pure codegen'd long arithmetic.
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(pkN, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(skN, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+    li
+      .withColumn("_z", z)
+      .repartitionByRange(8, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+    ordered(
+      spark.read.schema(Tables.lineitem).parquet(path)
+        .filter(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 40))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price")))
+  }
+
+  private val sinkZorderSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${O.dsum("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+       |GROUP BY l_returnflag
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "scan_text" -> Q(scanText _, scanTextSql),
+    "sink_zorder" -> Q(sinkZorder _, sinkZorderSql),
     "scan_jdbc" -> Q(scanJdbc _, scanJdbcSql),
     "scan_parquet" -> Q(scanParquet _, scanParquetSql),
     "scan_orc" -> Q(scanOrc _, scanOrcSql),

@@ -452,6 +452,68 @@ object Streaming {
        |FROM events GROUP BY 1
        |${O.OrderAll}"""
 
+  /** Per-run input-row counts of the last [[checkpointResume]] fixture
+    * build (one entry per streaming run) — lets the spec assert the
+    * second run picked up ONLY the late-arriving files. */
+  @volatile private[graft] var resumeRunRows: Seq[Long] = Nil
+
+  /** Checkpoint-resume incremental ingest — the streaming spelling of
+    * the reference's incremental load (/root/reference/README.md:4):
+    * run an `AvailableNow` file-sink query, let MORE source files
+    * arrive, run it AGAIN with the SAME checkpoint. The checkpoint's
+    * file log makes the second run process exactly the new files —
+    * no high-water-mark bookkeeping in user code, no reprocessing, no
+    * double-writes (the parquet sink's `_spark_metadata` commits files
+    * atomically per batch). This is how a 100 TB landing zone is
+    * drained: a scheduled Trigger.AvailableNow run per ingest cycle,
+    * exactly-once by construction, restart-safe mid-run.
+    *
+    * The keyed result aggregates the sink table; it equals the plain
+    * batch aggregate over ALL events iff no row was lost or duplicated
+    * across the two runs — which is what the oracle checks. */
+  def checkpointResume(spark: SparkSession, dir: String): DataFrame = {
+    eventsStreamMultiBatch(spark, dir) // ensure the 6-slice fixture exists
+    val mbPath = graft.core.Fixtures.path(dir, "events_stream_src_mb")
+    val src = graft.core.Fixtures.path(dir, "stream_resume_src")
+    val ckpt = graft.core.Fixtures.path(dir, "stream_resume_ckpt")
+    val tgt = graft.core.Fixtures.path(dir, "stream_resume_tgt")
+    val marker = new java.io.File(src, "_RESUME_DONE")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      Seq(src, ckpt, tgt).foreach(p => rm(new java.io.File(p)))
+      new java.io.File(src).mkdirs()
+      val slices = new java.io.File(mbPath).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.lastModified())
+      def arrive(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(src, f.getName).toPath)
+      }
+      def runOnce(): Long = {
+        val q = spark.readStream.schema(Tables.events).parquet(src)
+          .writeStream.format("parquet")
+          .option("path", tgt).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q.recentProgress.map(_.numInputRows).sum
+      }
+      arrive(slices.take(3))
+      val n1 = runOnce()
+      arrive(slices.drop(3))
+      val n2 = runOnce()
+      resumeRunRows = Seq(n1, n2)
+      marker.createNewFile()
+    }
+    ordered(
+      spark.read.parquet(tgt)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sv"))
+        .select(col("event_type"), col("n"),
+          col("sv").cast("double").as("sum_value")))
+  }
+
   /** Stream-stream inner join with a time-range condition: each
     * purchase joined to the same user's views in the preceding 30
     * minutes. Both sides keep watermarked state; the range condition
@@ -491,6 +553,7 @@ object Streaming {
     "stream_tumbling_append" -> Q(tumblingAppend _, tumblingAppendSql),
     "stream_tumbling_append_mb" -> Q(tumblingAppendMb _, tumblingAppendSql),
     "stream_foreach_batch" -> Q(foreachBatchSink _, foreachBatchSql),
+    "stream_checkpoint_resume" -> Q(checkpointResume _, foreachBatchSql),
     "stream_sliding" -> Q(sliding _, slidingSql),
     "stream_session" -> Q(session _, sessionSql),
     "stream_dedup" -> Q(dedup _, dedupSql),

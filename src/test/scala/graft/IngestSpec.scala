@@ -41,6 +41,31 @@ class IngestSpec extends AnyFunSuite {
     assert(df.select(sum("k")).as[Long].head() === 4)
   }
 
+  test("z-order layout: every file covers a narrow range of BOTH keys") {
+    ops.Scans.sinkZorder(spark, Sf) // builds the clustered layout
+    val path = core.Fixtures.path(Sf, "sink_zorder")
+    val perFile = spark.read.parquet(path)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("_metadata.file_path").as("f"))
+      .groupBy(col("f"))
+      .agg((max(col("l_partkey")) - min(col("l_partkey"))).as("pk_range"),
+        (max(col("l_suppkey")) - min(col("l_suppkey"))).as("sk_range"))
+      .agg(avg(col("pk_range")).as("pk"), avg(col("sk_range")).as("sk"),
+        count(lit(1)).as("nf"))
+      .head()
+    val global = spark.read.parquet(path)
+      .agg((max(col("l_partkey")) - min(col("l_partkey"))).cast("double"),
+        (max(col("l_suppkey")) - min(col("l_suppkey"))).cast("double"))
+      .head()
+    assert(perFile.getAs[Long]("nf") >= 8, "range repartition produced the files")
+    // an unclustered layout gives every file ~the full key range; the
+    // Morton sort must cut the average per-file spread on BOTH columns
+    assert(perFile.getAs[Double]("pk") < 0.6 * global.getDouble(0),
+      s"partkey spread ${perFile.getAs[Double]("pk")} vs global ${global.getDouble(0)}")
+    assert(perFile.getAs[Double]("sk") < 0.6 * global.getDouble(1),
+      s"suppkey spread ${perFile.getAs[Double]("sk")} vs global ${global.getDouble(1)}")
+  }
+
   test("golden: flagship agg_hash pinned values at sf0.001") {
     val rows = ops.Aggregates.aggHash(spark, Sf).collect()
     assert(rows.length === 6) // {A,N,R} × {F,O}

@@ -107,6 +107,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(second === first, "re-running the sink query must be idempotent")
   }
 
+  test("checkpoint resume: second run ingests only the late-arriving files") {
+    // force a fresh fixture build so both streaming runs happen now
+    val src = core.Fixtures.path(TestSpark.Sf, "stream_resume_src")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(src))
+    val out = stream.Streaming.checkpointResume(spark, TestSpark.Sf).cache()
+    try {
+      val total = core.Tables.load(spark, TestSpark.Sf, "events").count()
+      val runs = stream.Streaming.resumeRunRows
+      assert(runs.length === 2)
+      assert(runs.sum === total,
+        s"two runs must ingest every event exactly once (${runs.mkString("+")} vs $total)")
+      assert(runs(1) > 0 && runs(1) < total,
+        "second run must process only the files that arrived after run 1")
+      // sink aggregate equals the batch aggregate → nothing lost/duplicated
+      assert(out.agg(sum(col("n"))).head().getLong(0) === total)
+    } finally out.unpersist()
+  }
+
   test("bounded session windows match batch sessionization row counts") {
     val out = stream.Streaming.session(spark, TestSpark.Sf)
     // every (user, session) appears exactly once
