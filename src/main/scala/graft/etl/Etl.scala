@@ -504,7 +504,41 @@ object Etl {
        |  ${O.dsum("o_totalprice")} FROM orders
        |${O.OrderAll}"""
 
+  /** Schema evolution across layout versions — the ingest reality a
+    * long-lived lake table faces: an upstream adds a column mid-stream.
+    * Batch 1 (orders before 1998) lands WITHOUT o_orderpriority; batch
+    * 2 (1998+) lands with it. A `mergeSchema` read unions the file
+    * schemas, old rows surface NULL for the new column, and no rewrite
+    * of historical files is needed. At 100 TB that no-rewrite property
+    * is the whole point: schema changes must be metadata-only.
+    * (Type WIDENING across versions is a different, riskier migration —
+    * out of scope here; column ADDITION is the safe, common case.) */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.Fixtures.path(dir, "etl_schema_evo")
+    val orders = Tables.load(spark, dir, "orders")
+    val cut = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+    orders.filter(!cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    orders.filter(cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$path/batch=2")
+    ordered(
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")))
+  }
+
+  private val schemaEvolutionSql =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice,
+       |  CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+       |    THEN o_orderpriority END AS o_orderpriority
+       |FROM orders
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_schema_evolution" -> Q(schemaEvolution _, schemaEvolutionSql),
     "etl_cdc_apply" -> Q(cdcApply _, cdcApplySql),
     "etl_compaction" -> Q(compaction _, compactionSql),
     "etl_backfill" -> Q(backfill _, backfillSql),

@@ -369,7 +369,66 @@ object Curation {
        |FROM r GROUP BY doc_id
        |${O.OrderAll}"""
 
+  /** Sequence packing (concat-then-chunk, the GPT-style pretraining
+    * layout): documents concatenated in doc_id order and cut into
+    * fixed 512-token context windows; each doc reports its global
+    * token offset and the chunk span it lands in. The global offset is
+    * a PREFIX SUM — computed distributed, the way a 100 TB pipeline
+    * must: range-partition by the order key, per-partition running
+    * sums (window inside each partition), then per-partition totals —
+    * a handful of rows — cumulated and broadcast back as bases. No
+    * single-partition global window anywhere; the result is invariant
+    * to the partition boundaries, which is also what the single-window
+    * oracle checks. */
+  def packing(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = 512L
+    val d = docs(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val parted = d.repartitionByRange(16, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    // exclusive running sum within each range partition
+    val localW = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("_local_off",
+      coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
+    // per-partition totals (16 rows) → exclusive cumulative bases; the
+    // tiny window over 16 rows is driver-scale by construction
+    val baseW = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = parted.groupBy(col("_pid"))
+      .agg(sum(col("n_tokens")).as("_ptot"))
+      .withColumn("_base", coalesce(sum(col("_ptot")).over(baseW), lit(0L)))
+      .select(col("_pid"), col("_base"))
+    val off = col("_base") + col("_local_off")
+    ordered(
+      local.join(broadcast(bases), Seq("_pid"))
+        .select(col("doc_id"), col("n_tokens"),
+          off.as("tok_offset"),
+          (off / chunk).cast("long").as("first_chunk"),
+          ((off + col("n_tokens") - 1) / chunk).cast("long").as("last_chunk"),
+          (((off + col("n_tokens") - 1) / chunk).cast("long") -
+            (off / chunk).cast("long") + 1).as("n_chunks")))
+  }
+
+  private val packingSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS tok_offset
+       |  FROM d)
+       |SELECT doc_id, n_tokens, tok_offset,
+       |  tok_offset // 512 AS first_chunk,
+       |  (tok_offset + n_tokens - 1) // 512 AS last_chunk,
+       |  (tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1 AS n_chunks
+       |FROM o
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_packing" -> Q(packing _, packingSql),
     "llm_pii_redact" -> Q(piiRedact _, piiRedactSql),
     "llm_contamination" -> Q(contamination _, contaminationSql),
     "llm_token_count" -> Q(tokenCount _, tokenCountSql),

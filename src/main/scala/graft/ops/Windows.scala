@@ -218,7 +218,50 @@ object Windows {
        |FROM sessions GROUP BY user_id, session_id
        |${O.OrderAll}"""
 
+  /** Running COUNT(DISTINCT) over a window — Spark (like ANSI engines
+    * generally) refuses DISTINCT aggregates in window frames, so this
+    * is the standard two-window rewrite: flag each row that is the
+    * FIRST occurrence of its (part, supplier) pair in ship order, then
+    * running-sum the flags per part. Same shuffle profile as any
+    * windowed query (one exchange on the partition key, sorted within);
+    * no distinct-set state materializes anywhere. Tiebreak on
+    * (orderkey, linenumber) makes "first" total, so both engines flag
+    * the same row. */
+  def winCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val first = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val run = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    ordered(
+      Tables.load(spark, dir, "lineitem")
+        .withColumn("_first",
+          when(row_number().over(first) === 1, 1L).otherwise(0L))
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          dateStr(col("l_shipdate")).as("ship_date"),
+          sum(col("_first")).over(run).as("suppliers_so_far")))
+  }
+
+  private val winCountDistinctSql =
+    s"""WITH f AS (
+       |  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+       |    CASE WHEN ROW_NUMBER() OVER (
+       |        PARTITION BY l_partkey, l_suppkey
+       |        ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) = 1
+       |      THEN 1 ELSE 0 END AS fst
+       |  FROM lineitem)
+       |SELECT l_partkey, l_orderkey, l_linenumber,
+       |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+       |  CAST(SUM(fst) OVER (
+       |    PARTITION BY l_partkey
+       |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
+       |    AS BIGINT) AS suppliers_so_far
+       |FROM f
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "win_count_distinct" -> Q(winCountDistinct _, winCountDistinctSql),
     "win_sessionize" -> Q(winSessionize _, winSessionizeSql),
     "win_first_last" -> Q(winFirstLast _, winFirstLastSql),
     "win_rank" -> Q(winRank _, winRankSql),

@@ -105,6 +105,28 @@ class CurationSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("packing: distributed prefix sum is gapless and chunk spans are exact") {
+    val out = llm.Curation.packing(spark, Sf).cache()
+    try {
+      // offsets must be the exact running sum in doc_id order — no gaps,
+      // no overlaps, regardless of how the 16 range partitions split
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      val bad = out
+        .withColumn("_expected",
+          coalesce(lag(col("tok_offset") + col("n_tokens"), 1).over(w), lit(0L)))
+        .filter(col("tok_offset") =!= col("_expected")).count()
+      assert(bad === 0, "prefix sum must be gapless in doc_id order")
+      val spans = out.filter(
+        col("last_chunk") < col("first_chunk") ||
+          col("n_chunks") =!= col("last_chunk") - col("first_chunk") + 1 ||
+          col("tok_offset") < col("first_chunk") * 512 ||
+          col("tok_offset") >= (col("first_chunk") + 1) * 512).count()
+      assert(spans === 0, "chunk spans must bracket the offset")
+      // docs are ≥10 tokens, so some must straddle a 512 boundary
+      assert(out.filter(col("n_chunks") > 1).count() > 0)
+    } finally out.unpersist()
+  }
+
   test("repetition: count algebra holds and a repeated doc scores high") {
     val out = llm.Curation.repetition(spark, Sf).cache()
     try {
