@@ -282,7 +282,33 @@ object Aggregates {
        |FROM orders GROUP BY 1
        |${O.OrderAll}"""
 
+  /** EXACT distinct counting with mergeable state — the bitmap
+    * counterpart of `agg_sketch_merge`'s approximate HLL: per-segment
+    * customer keys go into fixed 4096-bit bucket bitmaps
+    * (`bitmap_bucket_number` / `bitmap_construct_agg`), which OR
+    * together associatively. At 100 TB this is the standard exact
+    * distinct-at-scale layout (Roaring-style): partial bitmaps merge
+    * map-side and across days/partitions without rescanning keys —
+    * COUNT(DISTINCT) recomputes from raw keys every time. The oracle
+    * is plain COUNT(DISTINCT): the bitmap path must be exactly equal,
+    * not approximately. */
+  def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      Tables.load(spark, dir, "customer")
+        .groupBy(col("c_mktsegment"),
+          expr("bitmap_bucket_number(c_custkey)").as("_bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(c_custkey))")
+          .as("_bm"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(expr("bitmap_count(_bm)")).as("n_distinct")))
+
+  private val aggBitmapDistinctSql =
+    s"""SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_distinct
+       |FROM customer GROUP BY c_mktsegment
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "agg_bitmap_distinct" -> Q(aggBitmapDistinct _, aggBitmapDistinctSql),
     "agg_hist" -> Q(aggHist _, aggHistSql),
     "agg_unpivot" -> Q(aggUnpivot _, aggUnpivotSql),
     "agg_percentile" -> Q(aggPercentile _, aggPercentileSql),

@@ -244,7 +244,44 @@ object Scans {
        |GROUP BY l_returnflag
        |${O.OrderAll}"""
 
+  /** `binaryFile` source — how multimodal payloads (images, audio,
+    * model shards) actually land in Spark: one row per FILE with
+    * (path, length, content bytes), feeding the §2.11 binary-column
+    * pipeline. The fixture is one text blob per language (rows in
+    * doc_id order, so file bytes are deterministic); the read-back
+    * digests each file's raw bytes. The oracle recomputes length and
+    * sha256 from the documents table with an ordered string_agg — the
+    * bytes on disk must equal the logical content exactly, which also
+    * pins the text sink's framing (one trailing newline per row).
+    * 100 TB: file-granular rows mean no splitting; the source
+    * parallelizes across files, so shard counts — not file sizes —
+    * set the parallelism. */
+  def scanBinaryFile(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "scan_binaryfile")
+    Tables.load(spark, dir, "documents")
+      .repartition(col("lang"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .select(col("lang"), col("text").as("value"))
+      .write.mode("overwrite").partitionBy("lang").text(path)
+    ordered(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(path)
+        .select(
+          regexp_extract(col("path"), "lang=([^/]+)", 1).as("lang"),
+          col("length").as("n_bytes"),
+          sha2(col("content"), 256).as("digest")))
+  }
+
+  private val scanBinaryFileSql =
+    s"""SELECT lang,
+       |  CAST(SUM(n_chars) + COUNT(*) AS BIGINT) AS n_bytes,
+       |  sha256(string_agg(text || chr(10), '' ORDER BY doc_id)) AS digest
+       |FROM documents GROUP BY lang
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "scan_binaryfile" -> Q(scanBinaryFile _, scanBinaryFileSql),
     "scan_text" -> Q(scanText _, scanTextSql),
     "sink_zorder" -> Q(sinkZorder _, sinkZorderSql),
     "scan_jdbc" -> Q(scanJdbc _, scanJdbcSql),

@@ -111,6 +111,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m("open_rows").asInstanceOf[Long] > 0)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the automatic counterpart of join_salted: one key carries ~90% of
+    // the fact; with thresholds scaled to test data, AQE must detect
+    // the oversized shuffle partition after the map stage and split it
+    // (SortMergeJoin(skew=true) in the final adaptive plan) — no salting
+    // code, no manual repartition.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(200000).select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val dim = spark.range(64).select(col("id").as("k"), col("id").as("v"))
+      val joined = fact.join(dim.hint("merge"), "k")
+      // hot key matches dim 0 (180000 rows); tail keys k=id land in the
+      // dim's [0,64) range only for id%10==9 → {9,19,29,39,49,59}.
+      // collect() (not count()) so THIS DataFrame's own query execution
+      // runs — AQE only materializes the final plan on the executed
+      // instance
+      assert(joined.collect().length === 180000 + 6)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"final adaptive plan must mark the skewed join:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join_salted: the salt actually splits a hot key") {
     // one pathologically hot key (90% of the fact) plus a long tail —
     // the exact shape AQE's skew split can't always fix (e.g. when a
