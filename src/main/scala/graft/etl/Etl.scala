@@ -537,7 +537,48 @@ object Etl {
        |FROM orders
        |${O.OrderAll}"""
 
+  /** SCD Type 3 (completing the Kimball trio beside `etl_scd1`/
+    * `etl_scd2`): customers with an urgent order move segment to 'VIP';
+    * the dimension keeps current AND immediately-prior segment in one
+    * row per key, stamping `changed_at`. Same staged construction as
+    * `etl_scd1`, so the three SCD flavors are directly comparable. */
+  def scd3(spark: SparkSession, dir: String): DataFrame = {
+    val batchTs = "2021-06-01 00:00:00"
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit(null).cast("string").as("c_mktsegment_prev"),
+        lit(null).cast("timestamp").as("changed_at"))
+    val staged = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit("VIP").as("c_mktsegment"))
+    val merged = Scd.scd3Apply(dim.drop("c_name"), staged.drop("c_name"),
+      Seq("c_custkey"), "c_mktsegment", batchTs)
+    ordered(
+      merged.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_mktsegment_prev"),
+        date_format(col("changed_at"), "yyyy-MM-dd HH:mm:ss").as("changed_at")))
+  }
+
+  private val scd3Sql =
+    s"""SELECT c.c_custkey,
+       |  CASE WHEN u.c_custkey IS NOT NULL THEN 'VIP' ELSE c.c_mktsegment END
+       |    AS c_mktsegment,
+       |  CASE WHEN u.c_custkey IS NOT NULL AND c.c_mktsegment <> 'VIP'
+       |    THEN c.c_mktsegment END AS c_mktsegment_prev,
+       |  CASE WHEN u.c_custkey IS NOT NULL AND c.c_mktsegment <> 'VIP'
+       |    THEN '2021-06-01 00:00:00' END AS changed_at
+       |FROM customer c
+       |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+       |  WHERE EXISTS (SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')) u
+       |  ON c.c_custkey = u.c_custkey
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_scd3" -> Q(scd3 _, scd3Sql),
     "etl_schema_evolution" -> Q(schemaEvolution _, schemaEvolutionSql),
     "etl_cdc_apply" -> Q(cdcApply _, cdcApplySql),
     "etl_compaction" -> Q(compaction _, compactionSql),

@@ -142,6 +142,43 @@ object Scd {
       .unionByName(opened)
   }
 
+  /** SCD Type 3 apply: limited history IN PLACE — one previous-value
+    * column per tracked attribute instead of SCD2's versioned rows.
+    * On change: `<attr>_prev` ← current value, `<attr>` ← staged value,
+    * `changed_at` ← batchTs; unchanged and absent keys pass through;
+    * brand-new keys enter with NULL prev. The Kimball use case is
+    * "current vs immediately-prior" reporting (e.g. territory
+    * realignment) where full history is overkill and the dimension
+    * must stay one-row-per-key.
+    *
+    * 100 TB: same single key-hash-partitioned full-outer join as SCD1 —
+    * no history rows to carry, so the merge input never grows with
+    * time (unlike SCD2, whose history pass-through should live in a
+    * separate partition). */
+  def scd3Apply(
+      dim: DataFrame,
+      staged: DataFrame,
+      keyCols: Seq[String],
+      attrCol: String,
+      batchTs: String): DataFrame = {
+
+    val stg = staged.select(
+      (stagedKeys(keyCols) :+ col(attrCol).as("_stg_v")): _*)
+    val keyEq = keyCols.map(c => col(c) === col(s"_k_$c")).reduce(_ && _)
+    val joined = dim.join(stg, keyEq, "full_outer")
+
+    val inStg = col(s"_k_${keyCols.head}").isNotNull
+    val inCur = col(keyCols.head).isNotNull
+    val changed = inStg && inCur && !(col("_stg_v") <=> col(attrCol))
+    joined.select(
+      (keyCols.map(c => coalesce(col(c), col(s"_k_$c")).as(c)) :+
+        when(inStg, col("_stg_v")).otherwise(col(attrCol)).as(attrCol) :+
+        when(changed, col(attrCol)).otherwise(col(s"${attrCol}_prev"))
+          .as(s"${attrCol}_prev") :+
+        when(changed, lit(batchTs).cast("timestamp"))
+          .otherwise(col("changed_at")).as("changed_at")): _*)
+  }
+
   /** SCD1 apply: overwrite changed attributes in place, insert new keys,
     * no history. Returns the post-merge dimension.
     *

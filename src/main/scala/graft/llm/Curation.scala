@@ -432,7 +432,46 @@ object Curation {
        |FROM o
        |${O.OrderAll}"""
 
+  /** URL-level dedup — the FIRST dedup pass of a crawl pipeline (far
+    * cheaper than any content hash: no text is read at all). Each doc
+    * carries a synthetic URL whose `v=` tracking parameter and host
+    * case vary per crawl snapshot; canonicalization (lowercase host,
+    * drop tracking params) collapses the variants and min-doc_id wins.
+    * doc_id % 100 in the path makes distinct docs genuinely collide,
+    * so the op does real deduplication work the oracle replays.
+    *
+    * 100 TB: canonicalization is map-side string work; the dedup is
+    * one groupBy on the canonical key carrying (key, min_id, count) —
+    * the same shuffle profile as `llm_exact_dedup` but on short URLs
+    * instead of content hashes. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val host = concat(upper(col("source")), lit(".Example.com"))
+    val raw = concat(lit("https://"), host, lit("/docs/"),
+      col("doc_id") % 100, lit("?v="), col("doc_id"), lit("&lang="), col("lang"))
+    val canonical = concat(
+      lower(parse_url(raw, lit("HOST"))),
+      parse_url(raw, lit("PATH")),
+      lit("?lang="), parse_url(raw, lit("QUERY"), lit("lang")))
+    ordered(
+      docs(spark, dir)
+        .select(col("doc_id"), canonical.as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("kept_doc"), count(lit(1)).as("n_dups")))
+  }
+
+  private val urlDedupSql =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    lower(upper(source) || '.example.com') || '/docs/'
+       |      || CAST(doc_id % 100 AS VARCHAR) || '?lang=' || lang
+       |      AS canonical_url
+       |  FROM documents)
+       |SELECT canonical_url, MIN(doc_id) AS kept_doc, COUNT(*) AS n_dups
+       |FROM u GROUP BY canonical_url
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_dedup_url" -> Q(urlDedup _, urlDedupSql),
     "llm_packing" -> Q(packing _, packingSql),
     "llm_pii_redact" -> Q(piiRedact _, piiRedactSql),
     "llm_contamination" -> Q(contamination _, contaminationSql),

@@ -307,7 +307,25 @@ object Aggregates {
        |FROM customer GROUP BY c_mktsegment
        |${O.OrderAll}"""
 
+  /** Approximate percentiles (GK/KLL-style mergeable quantile sketch
+    * behind `percentile_approx`) — the 100 TB companion of
+    * `agg_percentile`'s exact sort-based path, exactly as
+    * `agg_approx_distinct` companions `agg_distinct`: bounded-memory
+    * partial sketches merge associatively, no global sort. No SQL
+    * oracle (sketch-impl-specific); OperatorsSpec bounds the error
+    * against the exact percentiles. */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("_p"))
+        .select(col("l_returnflag"),
+          element_at(col("_p"), 1).as("p50_approx"),
+          element_at(col("_p"), 2).as("p90_approx")))
+
   val queries: Map[String, Q] = Map(
+    "agg_approx_percentile" -> Q.noOracle(aggApproxPercentile _),
     "agg_bitmap_distinct" -> Q(aggBitmapDistinct _, aggBitmapDistinctSql),
     "agg_hist" -> Q(aggHist _, aggHistSql),
     "agg_unpivot" -> Q(aggUnpivot _, aggUnpivotSql),

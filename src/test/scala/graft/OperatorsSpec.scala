@@ -111,6 +111,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m("open_rows").asInstanceOf[Long] > 0)
   }
 
+  test("approx percentiles stay within 1% of the exact quantiles") {
+    val approx = ops.Aggregates.aggApproxPercentile(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = core.Tables.load(spark, TestSpark.Sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.01, s"$k p90: $a90 vs $e90")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     // the automatic counterpart of join_salted: one key carries ~90% of
     // the fact; with thresholds scaled to test data, AQE must detect

@@ -23,6 +23,29 @@ class ScdSpec extends AnyFunSuite {
   private val t2 = "2021-01-01 00:00:00"
   private val t3 = "2022-01-01 00:00:00"
 
+  test("scd3: prev column chains across merges, new keys enter with null prev") {
+    val d0 = Seq((1L, "A"), (2L, "B")).toDF("id", "seg")
+      .withColumn("seg_prev", lit(null).cast("string"))
+      .withColumn("changed_at", lit(null).cast("timestamp"))
+    // merge 1: key 1 changes A→X, key 3 is brand-new
+    val m1 = Scd.scd3Apply(d0, Seq((1L, "X"), (3L, "C")).toDF("id", "seg"),
+      Seq("id"), "seg", t2)
+    val r1 = m1.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), Option(r.getTimestamp(3)))).toMap
+    assert(r1(1L) === (("X", "A", Some(java.sql.Timestamp.valueOf(t2)))))
+    assert(r1(2L) === (("B", null, None)), "absent key passes through")
+    assert(r1(3L) === (("C", null, None)), "brand-new key has no prior value")
+    // merge 2: key 1 changes again X→Y — prev must now hold X (one step
+    // of history, not the original A); key 3 restated unchanged
+    val m2 = Scd.scd3Apply(m1, Seq((1L, "Y"), (3L, "C")).toDF("id", "seg"),
+      Seq("id"), "seg", t3)
+    val r2 = m2.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), Option(r.getTimestamp(3)))).toMap
+    assert(r2(1L) === (("Y", "X", Some(java.sql.Timestamp.valueOf(t3)))))
+    assert(r2(3L) === (("C", null, None)), "unchanged restatement is a no-op")
+    assert(m2.count() === 3, "type 3 keeps exactly one row per key")
+  }
+
   private def checkInvariants(d: DataFrame): Unit = {
     val cur = d.filter(col(Scd.CurrentCol))
       .groupBy(col("id")).count().filter(col("count") =!= 1).count()
