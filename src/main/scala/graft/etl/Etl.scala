@@ -53,7 +53,8 @@ object Etl {
       .drop("hwm")
       // dedup guard: never re-insert keys already in the target
       .join(target0.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
-    val merged = target0.unionByName(delta.select(target0.columns.map(col): _*))
+    val merged = target0.unionByName(
+      delta.select(target0.columns.toIndexedSeq.map(col): _*))
     ordered(
       merged.select(col("o_orderkey"), dateStr(col("o_orderdate")).as("o_date"),
         col("o_orderstatus"), col("o_totalprice")))

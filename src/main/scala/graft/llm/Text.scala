@@ -255,7 +255,44 @@ object Text {
        |GROUP BY doc_id
        |${O.OrderAll}"""
 
+  /** Inverted index build — the search-engine/RAG-retrieval building
+    * block: per term, document frequency, total term frequency, and a
+    * CAPPED posting list (first 20 doc_ids). The cap is enforced
+    * BEFORE any list materializes (row_number ≤ 20 per term on the
+    * distinct pairs, then collect) — at 100 TB an uncapped
+    * collect_list on a stopword-grade term is an executor OOM, and
+    * capping after collecting wouldn't prevent it. Three
+    * map-side-combinable aggregates joined on term. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val td = toks(spark, dir).select(col("token"), col("doc_id")).distinct()
+    val docFreq = td.groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+    val termFreq = toks(spark, dir).groupBy(col("token"))
+      .agg(count(lit(1)).as("total_tf"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val postings = td.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 20)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    ordered(
+      docFreq.join(termFreq, Seq("token")).join(postings, Seq("token")))
+  }
+
+  private val invertedIndexSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |td AS (SELECT DISTINCT token, doc_id FROM t),
+       |c AS (SELECT token, COUNT(*) AS doc_freq FROM td GROUP BY 1),
+       |tf AS (SELECT token, COUNT(*) AS total_tf FROM t GROUP BY 1),
+       |p AS (SELECT token, list(doc_id ORDER BY doc_id)[1:20] AS postings
+       |      FROM td GROUP BY 1)
+       |SELECT c.token, c.doc_freq, tf.total_tf, p.postings
+       |FROM c JOIN tf USING (token) JOIN p USING (token)
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_inverted_index" -> Q(invertedIndex _, invertedIndexSql),
     "llm_lm_score" -> Q(lmScore _, lmScoreSql),
     "llm_text_stats" -> Q(textStats _, textStatsSql),
     "llm_tfidf" -> Q(tfidf _, tfidfSql),
