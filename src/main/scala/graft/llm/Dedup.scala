@@ -369,7 +369,62 @@ object Dedup {
        |FROM reach GROUP BY src
        |${O.OrderAll}"""
 
+  /** Triangle counting — the classic distributed-graph benchmark op,
+    * here over the parts-co-ordered-together graph (edge = two parts
+    * appearing in the same order). Canonical a<b<c enumeration: each
+    * triangle found exactly once by joining edge lists (e1: a-b,
+    * e2: b-c, e3: a-c), never by materializing neighborhoods.
+    *
+    * 100 TB notes: the two joins shuffle the edge list on its
+    * endpoints — O(E) per join, plus the wedge set (a-b-c paths)
+    * which skew-explodes on hub nodes; production systems order
+    * endpoints by DEGREE (not id) to bound wedges per node, the same
+    * salting-family trick as `join_salted`. Canonical-id ordering is
+    * kept here because the oracle must replay it in SQL. The graph is
+    * built from a deterministic 25% order slice: this co-purchase
+    * graph is near-REGULAR (uniform ~90 degree at sf0.1), the one
+    * shape where no ordering trick bounds the Θ(Σdeg²) wedge set —
+    * wedge volume, not algorithm shape, is the knob that keeps the
+    * demo query inside its time budget. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a"))
+    ordered(
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(
+          e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+            .distinct().agg(count(lit(1)).as("n_nodes"))))
+  }
+
+  private val trianglesSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_orderkey % 4 = 0),
+       |e AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM e e1
+       |  JOIN e e2 ON e1.b = e2.a
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |ec AS (SELECT COUNT(*) AS n_edges FROM e),
+       |nc AS (SELECT COUNT(*) AS n_nodes FROM
+       |  (SELECT a AS n FROM e UNION SELECT b FROM e))
+       |SELECT n_triangles, n_edges, n_nodes FROM tri, ec, nc
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "graph_triangles" -> Q(triangles _, trianglesSql),
     "llm_dedup_apply" -> Q(dedupApply _, dedupApplySql),
     "llm_dup_clusters" -> Q(dupClusters _, dupClustersSql),
     "llm_exact_dedup" -> Q(exactDedup _, exactDedupSql),

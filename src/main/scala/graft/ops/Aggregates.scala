@@ -324,7 +324,35 @@ object Aggregates {
           element_at(col("_p"), 1).as("p50_approx"),
           element_at(col("_p"), 2).as("p90_approx")))
 
+  /** Statistical aggregate family — correlation, sample covariance,
+    * stddev, variance of (quantity, price) per return flag. These are
+    * single-pass mergeable moment aggregates (sum, sum², sum xy) — the
+    * shape that scales — but their DOUBLE sums are partition-order
+    * dependent in the low bits, so outputs are round6'd: the one case
+    * Determinism.scala licenses rounding (genuinely different bits per
+    * run, unlike exact rationals). */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          round6(covar_samp(col("l_quantity"), col("l_extendedprice")))
+            .as("covar_qp"),
+          round6(stddev_samp(col("l_quantity"))).as("stddev_qty"),
+          round6(var_samp(col("l_quantity"))).as("var_qty")))
+
+  private val aggStatsSql =
+    s"""SELECT l_returnflag,
+       |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       |  round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+       |  round(stddev_samp(l_quantity), 6) AS stddev_qty,
+       |  round(var_samp(l_quantity), 6) AS var_qty
+       |FROM lineitem GROUP BY l_returnflag
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "agg_stats" -> Q(aggStats _, aggStatsSql),
     "agg_approx_percentile" -> Q.noOracle(aggApproxPercentile _),
     "agg_bitmap_distinct" -> Q(aggBitmapDistinct _, aggBitmapDistinctSql),
     "agg_hist" -> Q(aggHist _, aggHistSql),
