@@ -461,7 +461,53 @@ object Similarity {
        |FROM documents JOIN embeddings ON doc_id = vec_id
        |${O.OrderAll}"""
 
+  /** Int8 embedding quantization — the storage lever that makes
+    * 100 TB-scale ANN affordable (4× smaller vectors, the IVF-PQ /
+    * faiss-scalar-quantizer family): per-vector affine map to [0,255]
+    * (scale = (max−min)/255), plus the mean absolute reconstruction
+    * error a pipeline monitors to know the recall cost. Every number
+    * is per-row IEEE double arithmetic in list order — identical bits
+    * on both engines, no rounding needed; embarrassingly parallel,
+    * no shuffle beyond the presentation sort. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val lo = array_min(e).cast(DoubleType)
+    val hi = array_max(e).cast(DoubleType)
+    val scale = when(hi > lo, (hi - lo) / 255.0).otherwise(lit(1.0))
+    // reconstruction error recomputes the quantized code inline: one
+    // transform, no zip, same spelling the oracle uses
+    val absErr = (x: Column) => {
+      val xd = x.cast(DoubleType)
+      abs(xd - (lo + round((xd - lo) / scale) * scale))
+    }
+    val err = aggregate(transform(e, absErr), lit(0.0), _ + _) /
+      size(e).cast(DoubleType)
+    ordered(
+      Tables.load(spark, dir, "embeddings").select(
+        col("vec_id"),
+        lo.as("lo"), hi.as("hi"), scale.as("scale"),
+        err.as("mean_abs_err")))
+  }
+
+  private val quantizeInt8Sql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS e,
+       |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS lo,
+       |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS hi
+       |  FROM embeddings),
+       |s AS (SELECT *,
+       |    CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale
+       |  FROM v)
+       |SELECT vec_id, lo, hi, scale,
+       |  list_aggregate(list_transform(e, x ->
+       |    abs(CAST(x AS DOUBLE)
+       |      - (lo + round((CAST(x AS DOUBLE) - lo) / scale) * scale))),
+       |    'sum') / len(e) AS mean_abs_err
+       |FROM s
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_quantize_int8" -> Q(quantizeInt8 _, quantizeInt8Sql),
     "llm_simsearch" -> Q(simsearch _, simsearchSql),
     "llm_simsearch_lsh" -> Q.noOracle(simsearchLsh _),
     "llm_simsearch_ivf" -> Q.noOracle(simsearchIvf _),

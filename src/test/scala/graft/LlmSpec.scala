@@ -8,6 +8,19 @@ import graft.functions.{DotProduct, WordShingles}
   * planted near-dup detection, codegen-vs-HOF bit-identity, recall of
   * the approximate search path, shingle generator edges. */
 class LlmSpec extends AnyFunSuite {
+
+  test("int8 quantization: error bounded by half a quantization step") {
+    import org.apache.spark.sql.functions._
+    val out = llm.Similarity.quantizeInt8(TestSpark.spark, TestSpark.Sf)
+    val bad = out.filter(
+      col("mean_abs_err") < 0.0 ||
+        col("mean_abs_err") > col("scale") / 2.0 ||
+        col("scale") <= 0.0 || col("hi") < col("lo")).count()
+    assert(bad === 0, "per-element |x - recon| ≤ scale/2 ⇒ mean within bound")
+    // quantization must be lossy on real float vectors (error strictly
+    // positive somewhere), else the op is vacuous
+    assert(out.filter(col("mean_abs_err") > 0.0).count() > 0)
+  }
   import TestSpark.{spark, Sf}
   import spark.implicits._
 
