@@ -351,7 +351,41 @@ object Aggregates {
        |FROM lineitem GROUP BY l_returnflag
        |${O.OrderAll}"""
 
+  /** min_by / max_by (argmin/argmax) — "the attribute of the earliest/
+    * latest row per key" without a self-join or window: one mergeable
+    * (key, extremal-ordering-value, payload) buffer per group. Ties
+    * would make the result engine-dependent, so the ordering key is a
+    * composite STRING (date + zero-padded unique orderkey) that totals
+    * the order — the same tiebreak discipline every deterministic
+    * query here follows, spelled the one way both engines' argmin
+    * signatures accept. */
+  def aggMinBy(spark: SparkSession, dir: String): DataFrame = {
+    val key = concat(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      lpad(col("o_orderkey").cast("string"), 12, "0"))
+    ordered(
+      Tables.load(spark, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          min_by(col("o_orderkey"), key).as("first_orderkey"),
+          min_by(col("o_totalprice"), key).as("first_price"),
+          max_by(col("o_orderkey"), key).as("latest_orderkey"),
+          max_by(col("o_orderpriority"), key).as("latest_priority")))
+  }
+
+  private val aggMinBySql = {
+    val key = "strftime(o_orderdate, '%Y-%m-%d') || " +
+      "lpad(CAST(o_orderkey AS VARCHAR), 12, '0')"
+    s"""SELECT o_custkey,
+       |  arg_min(o_orderkey, $key) AS first_orderkey,
+       |  arg_min(o_totalprice, $key) AS first_price,
+       |  arg_max(o_orderkey, $key) AS latest_orderkey,
+       |  arg_max(o_orderpriority, $key) AS latest_priority
+       |FROM orders GROUP BY o_custkey
+       |${O.OrderAll}"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_min_by" -> Q(aggMinBy _, aggMinBySql),
     "agg_stats" -> Q(aggStats _, aggStatsSql),
     "agg_approx_percentile" -> Q.noOracle(aggApproxPercentile _),
     "agg_bitmap_distinct" -> Q(aggBitmapDistinct _, aggBitmapDistinctSql),

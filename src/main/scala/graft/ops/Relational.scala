@@ -237,6 +237,40 @@ object Relational {
        |GROUP BY p.event_id, p.user_id, p.ts
        |${O.OrderAll}"""
 
+  /** Forward as-of join (pandas merge_asof direction='forward'): each
+    * purchase paired with the user's NEXT view at-or-after it — the
+    * attribution-window twin of `join_asof`'s lookback. Same
+    * window-over-union rewrite, mirrored: min over the FOLLOWING
+    * frame, with views ranked AFTER purchases on ts ties (the reverse
+    * of `join_asof`'s rank) so a same-instant view sits inside the
+    * following frame and counts as "next" — exactly the oracle's
+    * `v.ts >= p.ts`. One shuffle on user_id, sorted once — never the
+    * per-row range join a naive spelling produces. */
+  def joinAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("type_rank", when(col("event_type") === "view", 1).otherwise(0))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("type_rank"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ordered(
+      ev.withColumn("next_view_us",
+          min(when(col("event_type") === "view", epochUs(col("ts")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          epochUs(col("ts")).as("ts_us"), col("next_view_us")))
+  }
+
+  private val joinAsofForwardSql =
+    s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       |  epoch_us(min(v.ts)) AS next_view_us
+       |FROM events p LEFT JOIN events v
+       |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts >= p.ts
+       |WHERE p.event_type = 'purchase'
+       |GROUP BY p.event_id, p.user_id, p.ts
+       |${O.OrderAll}"""
+
   /** Full star join: the big fact against every dimension at once —
     * the canonical warehouse query shape. All five dims broadcast, so
     * the fact streams through five build-side hash joins with zero
@@ -415,6 +449,7 @@ object Relational {
     "join_anti" -> Q(joinAnti _, joinAntiSql),
     "join_range" -> Q(joinRange _, joinRangeSql),
     "join_asof" -> Q(joinAsof _, joinAsofSql),
+    "join_asof_forward" -> Q(joinAsofForward _, joinAsofForwardSql),
     "join_cross" -> Q(joinCross _, joinCrossSql),
     "join_star" -> Q(joinStar _, joinStarSql),
     "sort_multi" -> Q(sortMulti _, sortMultiSql),
