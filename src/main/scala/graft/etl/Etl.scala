@@ -578,7 +578,60 @@ object Etl {
        |  ON c.c_custkey = u.c_custkey
        |${O.OrderAll}"""
 
+  /** Snapshot diff — the reconciliation report behind README.md:12's
+    * integrity checks: classify every business key across two table
+    * snapshots as added / removed / changed / unchanged, comparing one
+    * sha2 row-hash per side rather than column-by-column (the same
+    * change-detection discipline as the SCD merges, so the diff scales
+    * as one full-outer join on the key carrying (key, hash)).
+    * Snapshots are deterministic date slices: orders before 1998 vs
+    * orders before 1999 with 1997's priorities restated. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val hashCols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority")
+    def snap(df: DataFrame) = df.select(col("o_orderkey"),
+      Scd.rowHash(hashCols).as("_h"))
+    val a = snap(orders
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+    // snapshot B: one more year of orders, and 1997's priorities restated
+    val b = snap(orders
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .withColumn("o_orderpriority",
+        when(year(col("o_orderdate")) === 1997, lit("RESTATED"))
+          .otherwise(col("o_orderpriority"))))
+    val diff = a.select(col("o_orderkey"), col("_h").as("_ha"))
+      .join(b.select(col("o_orderkey"), col("_h").as("_hb")),
+        Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when(col("_ha").isNull, "added")
+          .when(col("_hb").isNull, "removed")
+          .when(col("_ha") =!= col("_hb"), "changed")
+          .otherwise("unchanged"))
+    ordered(
+      diff.groupBy(col("change")).agg(count(lit(1)).as("n_keys")))
+  }
+
+  private val snapshotDiffSql =
+    s"""WITH a AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+       |b AS (
+       |  SELECT o_orderkey,
+       |    year(o_orderdate) = 1997 AS restated
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+       |d AS (
+       |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+       |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+       |         WHEN b.o_orderkey IS NULL THEN 'removed'
+       |         WHEN b.restated THEN 'changed'
+       |         ELSE 'unchanged' END AS change
+       |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+       |SELECT change, COUNT(*) AS n_keys FROM d GROUP BY change
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_snapshot_diff" -> Q(snapshotDiff _, snapshotDiffSql),
     "etl_scd3" -> Q(scd3 _, scd3Sql),
     "etl_schema_evolution" -> Q(schemaEvolution _, schemaEvolutionSql),
     "etl_cdc_apply" -> Q(cdcApply _, cdcApplySql),

@@ -271,6 +271,62 @@ object Relational {
        |GROUP BY p.event_id, p.user_id, p.ts
        |${O.OrderAll}"""
 
+  /** Interval-overlap join via GRID BINNING — the scale path for
+    * interval×interval joins (genomics, time-range analytics): a naive
+    * theta join `a.start <= b.end AND b.start <= a.end` has no equi
+    * component and degenerates to a nested-loop cross product. Binning
+    * both sides to day cells restores an equi key (cell), the overlap
+    * predicate runs as a residual on cell-collided pairs only, and a
+    * final distinct removes pairs found via multiple shared cells.
+    * At 100 TB, cell width is the knob: ~the typical interval length,
+    * so each interval lands in O(1) cells and each cell holds a
+    * bounded population. The DuckDB oracle runs the NAIVE theta join —
+    * the bin join must produce exactly its result.
+    *
+    * Sides here: per-(user, day) activity spans from events × 10
+    * deterministic 30-hour promo windows. */
+  def joinIntervalBin(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "events")
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(min(col("ts")).as("a_start"), max(col("ts")).as("a_end"))
+    val b = spark.range(10).select(
+      col("id").as("promo_id"),
+      expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, id * 67, 0, 0)")
+        .as("b_start"),
+      expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, id * 67 + 30, 0, 0)")
+        .as("b_end"))
+    val bCells = b.select(col("promo_id"), col("b_start"), col("b_end"),
+      explode(expr(
+        "sequence(date_trunc('DAY', b_start), date_trunc('DAY', b_end), interval 1 day)"))
+        .as("day"))
+    val pairs = a.join(bCells, Seq("day"))
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("promo_id"), col("user_id"), col("day"))
+      .distinct()
+    ordered(
+      pairs.groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_user_days"),
+          countDistinct(col("user_id")).as("n_users")))
+  }
+
+  private val joinIntervalBinSql =
+    s"""WITH a AS (
+       |  SELECT user_id, date_trunc('day', ts) AS day,
+       |    min(ts) AS a_start, max(ts) AS a_end
+       |  FROM events GROUP BY 1, 2),
+       |b AS (
+       |  SELECT i AS promo_id,
+       |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 67) HOUR AS b_start,
+       |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 67 + 30) HOUR AS b_end
+       |  FROM range(10) t(i)),
+       |p AS (
+       |  SELECT promo_id, user_id, day
+       |  FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end)
+       |SELECT promo_id, COUNT(*) AS n_user_days,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM p GROUP BY promo_id
+       |${O.OrderAll}"""
+
   /** Full star join: the big fact against every dimension at once —
     * the canonical warehouse query shape. All five dims broadcast, so
     * the fact streams through five build-side hash joins with zero
@@ -450,6 +506,7 @@ object Relational {
     "join_range" -> Q(joinRange _, joinRangeSql),
     "join_asof" -> Q(joinAsof _, joinAsofSql),
     "join_asof_forward" -> Q(joinAsofForward _, joinAsofForwardSql),
+    "join_interval_bin" -> Q(joinIntervalBin _, joinIntervalBinSql),
     "join_cross" -> Q(joinCross _, joinCrossSql),
     "join_star" -> Q(joinStar _, joinStarSql),
     "sort_multi" -> Q(sortMulti _, sortMultiSql),
