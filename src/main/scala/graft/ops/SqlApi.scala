@@ -149,9 +149,47 @@ object SqlApi {
        |GROUP BY n_name
        |${O.OrderAll}"""
 
+  /** TPC-H Q18 (large-volume customers): GROUP BY + HAVING-style
+    * subquery IN filter — Catalyst turns the IN-subquery into a
+    * left-semi join against the pre-aggregated lineitem, so the big
+    * table aggregates once, not once per outer row. Threshold scaled
+    * to the synthetic data's order sizes (sum qty > 180). */
+  def sqlTpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT c_name, c_custkey, o_orderkey,
+         |  date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+         |FROM graft_customer
+         |JOIN graft_orders ON c_custkey = o_custkey
+         |JOIN graft_lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM graft_lineitem
+         |  GROUP BY l_orderkey
+         |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate""".stripMargin))
+  }
+
+  private val sqlTpchQ18Sql =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       |  ${O.dsum("l_quantity")} AS total_qty
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem
+       |  GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sql_tpch_q3" -> Q(sqlTpchQ3 _, sqlTpchQ3Sql),
     "sql_tpch_q5" -> Q(sqlTpchQ5 _, sqlTpchQ5Sql),
+    "sql_tpch_q18" -> Q(sqlTpchQ18 _, sqlTpchQ18Sql),
     "agg_grouping_sets" -> Q(aggGroupingSets _, aggGroupingSetsSql),
     "sql_correlated" -> Q(sqlCorrelated _, sqlCorrelatedSql)
   )

@@ -40,6 +40,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("join_interval_bin: cell equi-join, never a nested-loop cross product") {
+    val p = plan("join_interval_bin")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binning must give the overlap join an equi component")
+  }
+
   test("topk_global plans TakeOrderedAndProject (no global sort)") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
