@@ -470,7 +470,58 @@ object Curation {
        |FROM u GROUP BY canonical_url
        |${O.OrderAll}"""
 
+  private val ChunkK = 32 // tokens per chunk
+  private val ChunkS = 24 // stride (8-token overlap)
+
+  /** Sliding-window chunking — the RAG/embedding preprocessing step
+    * (split each doc into K-token windows with K−S overlap), the
+    * per-document complement of [[packing]]'s cross-document
+    * concatenation. Standard window rule: starts at 0, S, 2S, …;
+    * n_chunks = 1 if n ≤ K else ceil((n−K)/S)+1, so the tail is
+    * always covered and no chunk is a suffix of its predecessor.
+    * Embarrassingly parallel: tokenize once per row (lambda-hoisting
+    * rule), explode the chunk index, slice — no shuffle. */
+  def chunking(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    val nChunks = when(col("n") <= ChunkK, lit(1))
+      .otherwise(ceil((col("n") - ChunkK).cast("double") / ChunkS)
+        .cast("int") + 1)
+    ordered(
+      d.select(col("doc_id"), col("t"), col("n"),
+          explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+        .select(col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          array_join(slice(col("t"), col("chunk_idx") * ChunkS + 1, lit(ChunkK)), " ")
+            .as("chunk_text"),
+          least(lit(ChunkK), col("n") - col("chunk_idx") * ChunkS)
+            .cast("long").as("chunk_n_tokens")))
+  }
+
+  private val chunkingSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, l, n,
+       |    unnest(generate_series(0,
+       |      CAST(CASE WHEN n <= $ChunkK THEN 1
+       |        ELSE ceil((n - $ChunkK) / $ChunkS.0) + 1 END AS BIGINT) - 1))
+       |      AS chunk_idx
+       |  FROM d)
+       |SELECT doc_id, chunk_idx,
+       |  array_to_string(
+       |    l[chunk_idx * $ChunkS + 1 : chunk_idx * $ChunkS + $ChunkK], ' ')
+       |    AS chunk_text,
+       |  CAST(least($ChunkK, n - chunk_idx * $ChunkS) AS BIGINT)
+       |    AS chunk_n_tokens
+       |FROM c
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_chunking" -> Q(chunking _, chunkingSql),
     "llm_dedup_url" -> Q(urlDedup _, urlDedupSql),
     "llm_packing" -> Q(packing _, packingSql),
     "llm_pii_redact" -> Q(piiRedact _, piiRedactSql),
