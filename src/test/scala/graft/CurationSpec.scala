@@ -127,6 +127,32 @@ class CurationSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("chunking: full coverage, fixed overlap, tail never orphaned") {
+    val out = llm.Curation.chunking(spark, Sf).cache()
+    try {
+      val docs = core.Tables.load(spark, Sf, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      val agg = out.groupBy(col("doc_id")).agg(
+        max(col("chunk_idx")).as("last_idx"),
+        max(when(col("chunk_idx") =!= 0 || col("chunk_idx") === 0,
+          col("chunk_n_tokens"))).as("max_n"),
+        min(col("chunk_n_tokens")).as("min_n"),
+        count(lit(1)).as("nc")).join(docs, "doc_id")
+      // last chunk must end exactly at the doc's last token: coverage
+      // with no orphaned tail and no chunk starting past the end
+      val bad = agg.filter(
+        col("last_idx") * 24 >= col("n") && col("n") > 32 ||
+          col("nc") =!= col("last_idx") + 1 ||
+          col("min_n") < 1 || col("max_n") > 32).count()
+      assert(bad === 0)
+      // every non-last chunk is exactly K tokens
+      val short = out.join(agg.select(col("doc_id"), col("last_idx")), "doc_id")
+        .filter(col("chunk_idx") < col("last_idx") &&
+          col("chunk_n_tokens") =!= 32).count()
+      assert(short === 0, "only the tail chunk may be short")
+    } finally out.unpersist()
+  }
+
   test("repetition: count algebra holds and a repeated doc scores high") {
     val out = llm.Curation.repetition(spark, Sf).cache()
     try {
