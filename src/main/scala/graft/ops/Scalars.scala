@@ -344,7 +344,36 @@ object Scalars {
        |FROM u
        |${O.OrderAll}"""
 
+  /** STRUCT suite — the nested type §1.3's mapping promises: build a
+    * struct column, access fields, serialize to JSON, and use the
+    * lexicographic struct ordering (the idiom behind composite-key
+    * min_by/argmin and struct-sorted arrays). Flattened scalar
+    * outputs so the oracle compares primitives; DuckDB's row()/
+    * struct_pack mirror the semantics exactly (verified: identical
+    * compact JSON, identical lexicographic comparison). */
+  def fnStruct(spark: SparkSession, dir: String): DataFrame = {
+    val meta = struct(col("lang").as("lang"), col("source").as("source"),
+      col("n_chars").as("n_chars"))
+    ordered(
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        meta.getField("lang").as("meta_lang"),
+        to_json(meta).as("meta_json"),
+        (struct(col("lang"), col("n_chars")) <
+          struct(lit("en"), lit(300L))).as("before_en300")))
+  }
+
+  private val fnStructSql =
+    s"""SELECT doc_id,
+       |  lang AS meta_lang,
+       |  to_json(struct_pack(lang := lang, source := source,
+       |    n_chars := n_chars)) AS meta_json,
+       |  (row(lang, n_chars) < row('en', 300)) AS before_en300
+       |FROM documents
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "fn_struct" -> Q(fnStruct _, fnStructSql),
     "fn_url" -> Q(fnUrl _, fnUrlSql),
     "fn_bitwise" -> Q(fnBitwise _, fnBitwiseSql),
     "fn_null_safe" -> Q(fnNullSafe _, fnNullSafeSql),
