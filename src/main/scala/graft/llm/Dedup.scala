@@ -74,10 +74,16 @@ object Dedup {
     // accumulate shingle-table blocks in executor memory.
     val sh = shingles(spark, dir).cache()
 
-    // signature: minimum of a seeded 64-bit hash per permutation.
+    // signature: minimum of a seeded 64-bit hash per permutation. The
+    // variable-length shingle STRING is hashed once into a 64-bit base;
+    // the 64 permutations re-hash that fixed-width base with the
+    // permutation id (still xxhash64 — full avalanche, independent
+    // family members), so per-row hashing cost is one string hash +
+    // 64 12-byte hashes instead of 64 ~35-byte string hashes.
+    val based = sh.withColumn("_hb", xxhash64(col("shingle")))
     val sigCols = (0 until NumPerms).map(p =>
-      min(xxhash64(lit(p), col("shingle"))).as(s"h$p"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      min(xxhash64(lit(p), col("_hb"))).as(s"h$p"))
+    val sig = based.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
 
     // LSH bands: hash of each 4-signature chunk.
     val bandCols = (0 until NumPerms / BandRows).map { b =>
