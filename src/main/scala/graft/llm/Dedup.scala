@@ -80,6 +80,13 @@ object Dedup {
     // permutation id (still xxhash64 — full avalanche, independent
     // family members), so per-row hashing cost is one string hash +
     // 64 12-byte hashes instead of 64 ~35-byte string hashes.
+    //
+    // Shape note: this explode→groupBy spelling is NOT a raw-shingle
+    // shuffle — Spark's partial aggregation combines map-side, so the
+    // exchange carries one (doc_id, 64 mins) row per doc per mapper.
+    // The zero-shuffle alternative (per-row array HOFs, 64×array_min
+    // over transform) was measured 30% SLOWER here: 64 intermediate
+    // array allocations per row outweigh a combiner-collapsed shuffle.
     val based = sh.withColumn("_hb", xxhash64(col("shingle")))
     val sigCols = (0 until NumPerms).map(p =>
       min(xxhash64(lit(p), col("_hb"))).as(s"h$p"))
