@@ -180,20 +180,36 @@ object Scalars {
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
     ordered(
       counts.groupBy(col("doc_id"))
-        .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
+        // sort entries BEFORE building the map: collect_list order is
+        // partition-dependent, sorted entries make the map (and its
+        // JSON serialization below) deterministic
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("token"), col("cnt")))))
           .as("tok_map"))
         .select(
           col("doc_id"),
           size(map_keys(col("tok_map"))).as("n_keys"),
           aggregate(map_values(col("tok_map")), lit(0L), (acc, x) => acc + x)
-            .as("n_tokens")))
+            .as("n_tokens"),
+          // full map CONTENT oracled (closes the round-2 "map columns
+          // re-sorted / partial oracle" note): compact JSON with keys
+          // in sorted order; the oracle builds the identical string
+          // with an ORDER BY string_agg
+          to_json(col("tok_map")).as("map_json")))
   }
 
   private val fnMapSql =
-    s"""SELECT doc_id,
-       |  len(list_distinct(string_split(text, ' '))) AS n_keys,
-       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |FROM documents
+    s"""WITH c AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, token, COUNT(*) AS cnt FROM c GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  COUNT(*) AS n_keys,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |  '{' || string_agg('"' || token || '":' || cnt, ',' ORDER BY token)
+       |    || '}' AS map_json
+       |FROM k GROUP BY doc_id
        |${O.OrderAll}"""
 
   /** JSON suite: both extraction styles must agree. */
