@@ -512,8 +512,8 @@ object Etl {
     * schemas, old rows surface NULL for the new column, and no rewrite
     * of historical files is needed. At 100 TB that no-rewrite property
     * is the whole point: schema changes must be metadata-only.
-    * (Type WIDENING across versions is a different, riskier migration —
-    * out of scope here; column ADDITION is the safe, common case.) */
+    * (Type CHANGE across versions is the riskier migration —
+    * `etl_schema_drift` below covers that negative path.) */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.core.Fixtures.path(dir, "etl_schema_evo")
     val orders = Tables.load(spark, dir, "orders")
@@ -535,6 +535,55 @@ object Etl {
     s"""SELECT o_orderkey, o_custkey, o_totalprice,
        |  CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
        |    THEN o_orderpriority END AS o_orderpriority
+       |FROM orders
+       |${O.OrderAll}"""
+
+  /** Schema-evolution NEGATIVE path — a type CHANGE, not a column add
+    * (README.md:12 "data integrity and consistency"): an upstream
+    * starts shipping o_totalprice as DECIMAL(12,2) where history holds
+    * DOUBLE. The integrity contract has two halves, both demonstrated:
+    * (1) FAIL-FAST — a `mergeSchema` read over the mixed layout must
+    * THROW ("Failed to merge incompatible data types"), never silently
+    * coerce; the query records that the engine actually refused (the
+    * oracle pins `merge_failed_fast = TRUE`, so if a future engine
+    * version started coercing silently this row goes red); and
+    * (2) the EXPLICIT migration — each batch read with its own declared
+    * schema, cast to the canonical type on purpose, unioned. At 100 TB
+    * the lesson is the same as `etl_schema_evolution`'s: additions are
+    * metadata-only, but type changes demand a declared cast (or a
+    * rewrite) — and the engine must make the unsafe path loud. */
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.Fixtures.path(dir, "etl_schema_drift")
+    val orders = Tables.load(spark, dir, "orders")
+    val cut = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+    orders.filter(!cut)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    orders.filter(cut)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/batch=2")
+    val mergeFailedFast =
+      try {
+        spark.read.option("mergeSchema", "true").parquet(path).schema
+        false
+      } catch { case _: Exception => true }
+    val b1 = spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+      .parquet(s"$path/batch=1")
+    val b2 = spark.read
+      .schema("o_orderkey BIGINT, o_totalprice DECIMAL(12,2)")
+      .parquet(s"$path/batch=2")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    ordered(
+      b1.unionByName(b2)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .withColumn("merge_failed_fast", lit(mergeFailedFast)))
+  }
+
+  private val schemaDriftSql =
+    s"""SELECT COUNT(*) AS n_rows, ${O.dsum("o_totalprice")} AS total,
+       |  TRUE AS merge_failed_fast
        |FROM orders
        |${O.OrderAll}"""
 
@@ -634,6 +683,7 @@ object Etl {
     "etl_snapshot_diff" -> Q(snapshotDiff _, snapshotDiffSql),
     "etl_scd3" -> Q(scd3 _, scd3Sql),
     "etl_schema_evolution" -> Q(schemaEvolution _, schemaEvolutionSql),
+    "etl_schema_drift" -> Q(schemaDrift _, schemaDriftSql),
     "etl_cdc_apply" -> Q(cdcApply _, cdcApplySql),
     "etl_compaction" -> Q(compaction _, compactionSql),
     "etl_backfill" -> Q(backfill _, backfillSql),

@@ -331,9 +331,16 @@ object Curation {
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(
         col("doc_id"),
+        // Guard size(t) >= 2: sequence(0, -1) on a 1-token doc is the
+        // DESCENDING [0, -1], so element_at(t, i + 1) would hit index 0
+        // and throw — the op must be total over arbitrary corpora, not
+        // just multi-token fixtures. explode() drops the empty array,
+        // which matches the oracle's self-join producing no rows.
         explode(expr(
-          """transform(sequence(0, size(t) - 2),
-            |  i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"""
+          """CASE WHEN size(t) >= 2 THEN
+            |  transform(sequence(0, size(t) - 2),
+            |    i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))
+            |ELSE cast(array() AS array<string>) END"""
             .stripMargin))
           .as("bigram"))
     val counts = big.groupBy(col("doc_id"), col("bigram"))
@@ -389,8 +396,16 @@ object Curation {
     val chunk = 512L
     val d = docs(spark, dir).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // localCheckpoint MATERIALIZES the range partitioning before both
+    // downstream branches (local offsets and bases) read it:
+    // RangePartitioner samples with an RDD-id-derived seed, so two
+    // independent evaluations of this frame could pick different range
+    // boundaries / partition ids and silently misalign _pid between the
+    // branches. Pinning the blocks makes the shared partition
+    // assignment provable rather than dependent on exchange reuse.
     val parted = d.repartitionByRange(16, col("doc_id"))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     // exclusive running sum within each range partition
     val localW = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

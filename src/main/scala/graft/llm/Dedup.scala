@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
 import graft.core.Determinism._
@@ -100,13 +101,11 @@ object Dedup {
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
 
-    // candidates: docs sharing any band bucket.
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    // candidates: docs sharing any band bucket, via the BOUNDED
+    // blocked self-join (see bandPairs) — a boilerplate-heavy corpus
+    // puts thousands of docs in one band bucket, and a naive bucket
+    // self-join would hand one join group O(m²) pair rows.
+    val cand = bandPairs(bands)
 
     // checkpoint the UNSORTED pair set (tiny — tens of rows), then sort:
     // round 2 checkpointed through ordered()'s global sort, which
@@ -117,6 +116,53 @@ object Dedup {
     sh.unpersist()
     ordered(out)
   }
+
+  /** Max docs per block in the blocked band self-join — bounds any
+    * single join group at BandBucketCap² pair rows. */
+  private[graft] val BandBucketCap = 64
+
+  /** All intra-bucket candidate pairs (doc_a < doc_b) of a
+    * (doc_id, band_idx, band_hash) frame, with BOUNDED per-join-key
+    * fan-out, key columns retained for the skew test. A naive bucket
+    * self-join makes each (band, hash) bucket ONE join group of m²
+    * pair rows — a hot bucket (boilerplate pages, empty docs) becomes
+    * a straggler task that AQE's skew split cannot divide, because the
+    * skew is within a single key, not across keys. Here docs in a
+    * bucket are ranked (window on the same key the join would shuffle
+    * on anyway) and cut into blocks of [[BandBucketCap]]; each doc is
+    * replicated to its partner blocks and pairs are joined
+    * block-pair-wise on (band, hash, gx, gy) — ≤ Cap² rows per join
+    * group, and the hot bucket's work spreads over ~(m/Cap)²/2
+    * independent keys. Replication is the block count ceil(m/Cap) per
+    * row — linear, and 1 (no overhead) for the common small bucket.
+    *
+    * Output is provably identical to the naive self-join: a pair
+    * (a ≤ blocks gx) × (b ≤ gy), gx ≤ gy, joins on exactly one key —
+    * (gx, gy) — and same-block mirrors die on doc_a < doc_b. */
+  private[graft] def bandPairsKeyed(bands: DataFrame): DataFrame = {
+    val cap = BandBucketCap
+    val bucket = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val ranked = bands
+      .withColumn("_g",
+        ((row_number().over(bucket.orderBy(col("doc_id"))) - 1) / cap)
+          .cast("long"))
+      .withColumn("_numG",
+        ((count(lit(1)).over(bucket) + cap - 1) / cap).cast("long"))
+    val x = ranked.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("_g").as("_gx"),
+      explode(sequence(col("_g"), col("_numG") - 1)).as("_gy"))
+    val y = ranked.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"),
+      explode(sequence(lit(0L), col("_g"))).as("_gx"),
+      col("_g").as("_gy"))
+    x.join(y, Seq("band_idx", "band_hash", "_gx", "_gy"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** Candidate pairs from band buckets — the bounded-skew spelling of
+    * `bands ⋈ bands ON same bucket AND doc_a < doc_b`. */
+  private[graft] def bandPairs(bands: DataFrame): DataFrame =
+    bandPairsKeyed(bands).select(col("doc_a"), col("doc_b")).distinct()
 
   /** Exact Jaccard for a pair list, given the (doc_id, shingle) set.
     * Returns UNSORTED pairs — callers order (or feed downstream ops). */

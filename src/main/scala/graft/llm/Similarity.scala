@@ -247,16 +247,63 @@ object Similarity {
     cents
   }
 
-  /** Trained quantizers, one per scale dir. An IVF index is trained
-    * ONCE and reused across every query against it (that is the whole
-    * economics of IVF); training is deterministic, so memoizing per
-    * JVM is behavior-neutral and keeps the bench honest about
-    * query-time cost vs one-time index build. */
+  /** Trained quantizers, one per scale dir — a JVM memo over the
+    * PERSISTED index (below): first touch per session loads (or
+    * builds) the parquet index; later calls skip the read. Training is
+    * deterministic, so memoizing is behavior-neutral and keeps the
+    * bench honest about query-time cost vs one-time index build. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Index-build counter, exposed so tests can prove a fresh session
+    * serves queries from the persisted index with NO retraining. */
+  private[graft] val ivfTrainCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def clearIvfMemo(): Unit = centroidCache.clear()
+
+  private def centroidsPath(dir: String) =
+    graft.core.Fixtures.path(dir, "ivf_centroids")
+  private def cellsPath(dir: String) =
+    graft.core.Fixtures.path(dir, "ivf_cells")
+
+  /** Build-once/serve-many: the real IVF index lifecycle. The trained
+    * centroids (K×64 doubles — KBs) and the cell-assigned corpus
+    * (vec_id, embedding, nrm, CLUSTERED BY cid — cells are the natural
+    * partition key of a stored IVF index, so a probe reads only its
+    * cells' directories) are written as parquet ONCE per scale dir;
+    * every later session — including a fresh JVM — serves queries by
+    * reading them back, never retraining ([[ivfTrainCount]] proves
+    * it). At 100 TB this split is the whole economics of IVF: index
+    * build is a one-time O(n) pass, queries touch K_probe cells. */
+  private[graft] def ensureIvfIndex(spark: SparkSession, dir: String): Unit = {
+    if (graft.core.Fixtures.exists(dir, "ivf_centroids") &&
+      graft.core.Fixtures.exists(dir, "ivf_cells")) return
+    DotProduct.register(spark) // nrm below uses the registered function
+    ivfTrainCount.incrementAndGet()
+    val cents = ivfCentroids(emb(spark, dir), IvfK, IvfIters)
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(dir))
+    emb(spark, dir)
+      .withColumn("nrm", norm("embedding"))
+      .withColumn("cid", nearestCentroid(cents)(col("embedding")))
+      .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(dir))
+  }
+
   private def trainedCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(dir,
-      _ => ivfCentroids(emb(spark, dir), IvfK, IvfIters))
+    centroidCache.computeIfAbsent(dir, _ => {
+      ensureIvfIndex(spark, dir)
+      spark.read.parquet(centroidsPath(dir))
+        .select(col("cid"), col("centroid")).collect()
+        .sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).toArray)
+    })
+
+  /** The persisted cell-assigned corpus (vec_id, embedding, nrm, cid). */
+  private def indexedCells(spark: SparkSession, dir: String): DataFrame = {
+    ensureIvfIndex(spark, dir)
+    spark.read.parquet(cellsPath(dir))
+  }
 
   /** Argmax-dot cluster assignment against unit centroids (|v| is
     * constant per row, so max dot = max cosine); ties resolve to the
@@ -302,9 +349,10 @@ object Similarity {
     * and K grows ~√n so cells stay executor-sized. */
   def simsearchIvf(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
-    val e = emb(spark, dir).withColumn("nrm", norm("embedding"))
     val cents = trainedCentroids(spark, dir)
-    val indexed = e.withColumn("cid", nearestCentroid(cents)(col("embedding")))
+    // served FROM the persisted index — cell assignment was paid once
+    // at index build, not per query
+    val indexed = indexedCells(spark, dir)
     val probes = indexed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         col("nrm").as("probe_nrm"),
@@ -326,9 +374,8 @@ object Similarity {
     * price the probed fraction directly. */
   private[graft] def simsearchIvfCandidates(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
-    val e = emb(spark, dir)
     val cents = trainedCentroids(spark, dir)
-    val indexed = e.withColumn("cid", nearestCentroid(cents)(col("embedding")))
+    val indexed = indexedCells(spark, dir)
     val probes = indexed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"),
         explode(nearestCentroids(cents, IvfProbes)(col("embedding"))).as("cid"))

@@ -262,7 +262,12 @@ object Text {
     * distinct pairs, then collect) — at 100 TB an uncapped
     * collect_list on a stopword-grade term is an executor OOM, and
     * capping after collecting wouldn't prevent it. Three
-    * map-side-combinable aggregates joined on term. */
+    * map-side-combinable aggregates joined on term. The posting list
+    * is emitted as a comma-joined STRING (not array<bigint>): the
+    * oracle harness sorts/hashes result columns with pandas, which
+    * cannot hash an ndarray cell, so an array column would be
+    * unverifiable — and a flat string is what a serving layer ships
+    * anyway. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
     val td = toks(spark, dir).select(col("token"), col("doc_id")).distinct()
     val docFreq = td.groupBy(col("token"))
@@ -273,7 +278,8 @@ object Text {
     val postings = td.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= 20)
       .groupBy(col("token"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
     ordered(
       docFreq.join(termFreq, Seq("token")).join(postings, Seq("token")))
   }
@@ -285,7 +291,9 @@ object Text {
        |td AS (SELECT DISTINCT token, doc_id FROM t),
        |c AS (SELECT token, COUNT(*) AS doc_freq FROM td GROUP BY 1),
        |tf AS (SELECT token, COUNT(*) AS total_tf FROM t GROUP BY 1),
-       |p AS (SELECT token, list(doc_id ORDER BY doc_id)[1:20] AS postings
+       |p AS (SELECT token,
+       |        array_to_string(list(doc_id ORDER BY doc_id)[1:20], ',')
+       |          AS postings
        |      FROM td GROUP BY 1)
        |SELECT c.token, c.doc_freq, tf.total_tf, p.postings
        |FROM c JOIN tf USING (token) JOIN p USING (token)

@@ -75,16 +75,33 @@ object Aggregates {
 
   /** HLL approximate distinct — the constant-memory counterpart of
     * `agg_distinct` for 100 TB (sketches merge at the exchange; the
-    * shuffle never carries the distinct values themselves). Result is
-    * implementation-specific → no SQL oracle (rows-only check);
-    * correctness vs exact counts is asserted in ScalaTest. */
+    * shuffle never carries the distinct values themselves). The raw
+    * estimate is implementation-specific, so the ORACLE-FACING output
+    * is the error bound itself: the exact twin rides along and the
+    * query emits whether |approx − exact| / exact stays within 5× the
+    * configured rsd (0.02) — the oracle pins the exact counts and
+    * `TRUE`, so a sketch drifting out of bound turns the row red at
+    * the driver gate instead of hiding behind `no_oracle`. (The exact
+    * countDistinct is the verification harness, not the scale path —
+    * at 100 TB you ship only the sketch column.) */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     ordered(
       t(spark, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count(lit(1)).as("n_events")))
+          approx_count_distinct(col("user_id"), 0.02).as("_approx"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          (abs(col("_approx") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double") <= 0.10).as("err_in_bound")))
+
+  private val aggApproxDistinctSql =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS exact_users,
+       |  TRUE AS err_in_bound
+       |FROM events GROUP BY event_type
+       |${O.OrderAll}"""
 
   /** Mergeable-sketch aggregation (Apache DataSketches HLL, Spark 4
     * `hll_sketch_agg`/`hll_union_agg`): per-nation distinct-customer
@@ -94,24 +111,50 @@ object Aggregates {
     * distinct-ish: sketches are a few KB each, so rollups across
     * partitions/days/tenants merge at the driver or in a tiny second
     * agg instead of re-scanning the corpus. The query also computes
-    * the direct one-level sketch estimate: union-of-disjoint-sketches
-    * must equal it EXACTLY (same registers, max-merge) — pinned in
-    * ScalaTest, rows-only for the driver (estimates are
-    * implementation-specific, like `agg_approx_distinct`). */
+    * the direct one-level sketch estimate and, since round 4, the
+    * exact twin — the oracle-facing columns are the closeness/bound
+    * booleans below, so the driver gate verifies the merge instead of
+    * recording `no_oracle`. */
   def aggSketchMerge(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
     val perNation = cust.groupBy(col("c_nationkey"))
       .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
         count(lit(1)).as("n_rows"))
+    val merged = perNation.agg(
+      count(lit(1)).as("n_nations"),
+      sum(col("n_rows")).as("n_rows"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("_merged"))
+    val direct = cust.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("c_custkey"))).as("_direct"),
+      countDistinct(col("c_custkey")).as("exact_distinct"))
+    // Oracle-facing: merge-closeness (union-of-disjoint and the direct
+    // one-level sketch must estimate within 1% of each other — raw HLL
+    // registers max-merge losslessly, but the DataSketches union
+    // gadget re-estimates through a different representation than the
+    // HLL_4 sketches themselves, so estimates match exactly only in
+    // sparse mode; found empirically at 1500 keys) and the estimate's
+    // relative error vs the exact twin ≤ 5× the default-lgK standard
+    // error (~1.6%). Both land as booleans the oracle pins to TRUE — a
+    // broken merge or drifting sketch goes red at the driver gate
+    // instead of hiding behind `no_oracle`.
     ordered(
-      perNation.agg(
-        count(lit(1)).as("n_nations"),
-        sum(col("n_rows")).as("n_rows"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_estimate"))
-        .crossJoin(cust.agg(
-          hll_sketch_estimate(hll_sketch_agg(col("c_custkey")))
-            .as("direct_estimate"))))
+      merged.crossJoin(direct)
+        .select(col("n_nations"), col("n_rows"), col("exact_distinct"),
+          (abs(col("_merged").cast("double") - col("_direct").cast("double")) /
+            col("_direct").cast("double") <= 0.01).as("merge_close"),
+          (abs(col("_merged").cast("double") -
+            col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double") <= 0.08).as("est_in_bound")))
   }
+
+  private val aggSketchMergeSql =
+    s"""SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
+       |  COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT c_custkey) AS exact_distinct,
+       |  TRUE AS merge_close,
+       |  TRUE AS est_in_bound
+       |FROM customer
+       |${O.OrderAll}"""
 
   /** Rollup with subtotals + grand total (reporting). */
   def aggRollup(spark: SparkSession, dir: String): DataFrame = {
@@ -307,22 +350,53 @@ object Aggregates {
        |FROM customer GROUP BY c_mktsegment
        |${O.OrderAll}"""
 
-  /** Approximate percentiles (GK/KLL-style mergeable quantile sketch
+  /** Approximate percentiles (GK-style mergeable quantile sketch
     * behind `percentile_approx`) — the 100 TB companion of
     * `agg_percentile`'s exact sort-based path, exactly as
     * `agg_approx_distinct` companions `agg_distinct`: bounded-memory
-    * partial sketches merge associatively, no global sort. No SQL
-    * oracle (sketch-impl-specific); OperatorsSpec bounds the error
-    * against the exact percentiles. */
-  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    * partial sketches merge associatively, no global sort. The sketch
+    * value is impl-specific, so the ORACLE-FACING output is the rank
+    * guarantee itself: the returned element's rank fraction must sit
+    * within ±0.001 of the requested quantile (10× the 1/accuracy
+    * guarantee, slack for tie granularity), checked by one extra
+    * aggregate pass over the data joined to the broadcast sketch
+    * output. The oracle pins counts and `TRUE` — an out-of-guarantee
+    * sketch goes red at the driver gate instead of hiding behind
+    * `no_oracle`. OperatorsSpec still bounds the values against the
+    * exact percentiles. */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val ap = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9)), lit(10000)).as("_p"))
+      .select(col("l_returnflag"),
+        element_at(col("_p"), 1).as("_p50"),
+        element_at(col("_p"), 2).as("_p90"))
+    val eps = 0.001
+    def lt(p: String) =
+      sum(when(col("l_extendedprice") < col(p), 1L).otherwise(0L))
+    def le(p: String) =
+      sum(when(col("l_extendedprice") <= col(p), 1L).otherwise(0L))
+    def rankOk(ltC: Column, leC: Column, q: Double) =
+      ltC <= (lit(q) + eps) * col("n_rows") &&
+        leC >= (lit(q) - eps) * col("n_rows")
     ordered(
-      Tables.load(spark, dir, "lineitem")
+      li.join(broadcast(ap), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9)), lit(10000)).as("_p"))
-        .select(col("l_returnflag"),
-          element_at(col("_p"), 1).as("p50_approx"),
-          element_at(col("_p"), 2).as("p90_approx")))
+        .agg(count(lit(1)).as("n_rows"),
+          lt("_p50").as("_lt50"), le("_p50").as("_le50"),
+          lt("_p90").as("_lt90"), le("_p90").as("_le90"))
+        .select(col("l_returnflag"), col("n_rows"),
+          rankOk(col("_lt50"), col("_le50"), 0.5).as("p50_rank_ok"),
+          rankOk(col("_lt90"), col("_le90"), 0.9).as("p90_rank_ok")))
+  }
+
+  private val aggApproxPercentileSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+       |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+       |FROM lineitem GROUP BY l_returnflag
+       |${O.OrderAll}"""
 
   /** Statistical aggregate family — correlation, sample covariance,
     * stddev, variance of (quantity, price) per return flag. These are
@@ -387,15 +461,15 @@ object Aggregates {
   val queries: Map[String, Q] = Map(
     "agg_min_by" -> Q(aggMinBy _, aggMinBySql),
     "agg_stats" -> Q(aggStats _, aggStatsSql),
-    "agg_approx_percentile" -> Q.noOracle(aggApproxPercentile _),
+    "agg_approx_percentile" -> Q(aggApproxPercentile _, aggApproxPercentileSql),
     "agg_bitmap_distinct" -> Q(aggBitmapDistinct _, aggBitmapDistinctSql),
     "agg_hist" -> Q(aggHist _, aggHistSql),
     "agg_unpivot" -> Q(aggUnpivot _, aggUnpivotSql),
     "agg_percentile" -> Q(aggPercentile _, aggPercentileSql),
     "agg_hash" -> Q(aggHash _, aggHashSql),
     "agg_distinct" -> Q(aggDistinct _, aggDistinctSql),
-    "agg_approx_distinct" -> Q.noOracle(aggApproxDistinct _),
-    "agg_sketch_merge" -> Q.noOracle(aggSketchMerge _),
+    "agg_approx_distinct" -> Q(aggApproxDistinct _, aggApproxDistinctSql),
+    "agg_sketch_merge" -> Q(aggSketchMerge _, aggSketchMergeSql),
     "agg_rollup" -> Q(aggRollup _, aggRollupSql),
     "agg_cube" -> Q(aggCube _, aggCubeSql),
     "agg_pivot" -> Q(aggPivot _, aggPivotSql),

@@ -191,7 +191,65 @@ object ScaleJoins {
        |GROUP BY o_orderpriority
        |${O.OrderAll}"""
 
+  /** AQE skew-join demo (reference README.md:8 "fine-tuning Spark
+    * configurations"): a sort-merge join where ONE key holds a third of
+    * the fact — every l_orderkey divisible by 3 collapses onto skew_key
+    * 0, so with static `shuffle.partitions` one reducer gets ~1/3 of
+    * lineitem while its siblings idle, and the stage runs at the
+    * straggler's pace. This is the regime where a static partition
+    * count LOSES no matter its value: more partitions shrink the
+    * healthy ones but the hot key still lands whole in a single
+    * reducer. AQE's skew-join rewrite (`OptimizeSkewedJoin`) splits the
+    * oversized partition into advisory-sized slices at runtime and
+    * replicates the matching dim partition — the result is identical
+    * (PlanSpec pins `skew=true` on the SMJ under thresholds scaled to
+    * test data, plus the oracle hash here), but the straggler is gone.
+    * Unlike `join_salted` this needs no query rewrite or dim blow-up;
+    * salting remains for the cases AQE can't touch (aggregation skew,
+    * or when downstream ops must keep the key partitioning). The merge
+    * hint keeps the demo an SMJ — at toy scale Spark would broadcast
+    * the dim and there would be no shuffle to skew. */
+  def joinAqeSkew(spark: SparkSession, dir: String): DataFrame = {
+    // every third l_partkey collapses onto part 1 → one hot join key
+    // holding ~1/3 of the fact. Both join inputs are PLAIN shuffles
+    // (projected scans) — the shape OptimizeSkewedJoin rewrites; had
+    // the dim side been an aggregate reusing its own exchange, the
+    // rule's Sort-over-ShuffleStage pattern would not match and the
+    // skew would silently survive (a real planning subtlety worth
+    // pinning: keep skewed joins directly over their exchanges).
+    // repartition(8): AQE's skew split slices a hot reduce partition
+    // by MAPPER ranges, so a one-file test-scale scan (one map task)
+    // is unsplittable no matter the thresholds — found empirically; at
+    // 100 TB a fact scan has thousands of mappers and this fan-out is
+    // the ambient reality, not an extra step.
+    val fact = t(spark, dir, "lineitem").select(
+      when(col("l_partkey") % 3 === 0, lit(1L)).otherwise(col("l_partkey"))
+        .as("skew_key"),
+      col("l_returnflag"), col("l_extendedprice"))
+      .repartition(8)
+    val dim = t(spark, dir, "part")
+      .select(col("p_partkey").as("skew_key"), col("p_retailprice"))
+    ordered(
+      fact.join(dim.hint("merge"), Seq("skew_key"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("total_price"),
+          dsum(col("p_retailprice")).as("matched_retail")))
+  }
+
+  private val joinAqeSkewSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |  ${O.dsum("l_extendedprice")} AS total_price,
+       |  ${O.dsum("p_retailprice")} AS matched_retail
+       |FROM (SELECT CASE WHEN l_partkey % 3 = 0 THEN 1 ELSE l_partkey END
+       |        AS skew_key,
+       |      l_returnflag, l_extendedprice FROM lineitem) f
+       |JOIN part ON p_partkey = skew_key
+       |GROUP BY l_returnflag
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "join_aqe_skew" -> Q(joinAqeSkew _, joinAqeSkewSql),
     "join_shuffle_hash" -> Q(joinShuffleHash _, joinShuffleHashSql),
     "join_bucketed" -> Q(joinBucketed _, joinBucketedSql),
     "join_salted" -> Q(joinSalted _, joinSaltedSql),

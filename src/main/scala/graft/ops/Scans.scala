@@ -211,8 +211,12 @@ object Scans {
     val b = li.agg(
       min(col("l_partkey")), max(col("l_partkey")),
       min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    // Explicit long cast: Column `/` is Divide → DOUBLE, and feeding a
+    // double into shiftright/bitwiseAND would lean on Spark's implicit
+    // truncating cast inside bit ops — correct today for these
+    // non-negative values, but the integer intent belongs in the plan.
     def norm(c: String, lo: Long, hi: Long) =
-      (col(c) - lo) * 65535L / math.max(1L, hi - lo)
+      ((col(c) - lo) * 65535L / math.max(1L, hi - lo)).cast("long")
     val pkN = norm("l_partkey", b.getLong(0), b.getLong(1))
     val skN = norm("l_suppkey", b.getLong(2), b.getLong(3))
     // 16-bit × 2 Morton interleave: bit i of pkN → z bit 2i, bit i of
@@ -242,6 +246,58 @@ object Scans {
        |FROM lineitem
        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
        |GROUP BY l_returnflag
+       |${O.OrderAll}"""
+
+  /** Keyed idempotent JDBC upsert — the reference's actual production
+    * load semantics (README.md:10 "load it into SQL Server"): the
+    * target table is seeded with supplier, then a delta batch (every
+    * 10th supplier re-priced +1000, plus the same slice re-keyed past
+    * max(s_suppkey) as brand-new rows) is MERGEd in TWICE through
+    * [[graft.sinks.JdbcSink.upsert]] (stage table + one server-side
+    * transactional MERGE). The double application is the point: the
+    * read-back aggregate equals the single-application state, proving
+    * the load is idempotent — re-running a failed batch can't double
+    * balances the way plain append would. The oracle computes the same
+    * merged state (base minus updated keys, plus updates, plus
+    * inserts) straight from parquet. */
+  def sinkJdbcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    System.setProperty("derby.stream.error.file",
+      s"${fix(dir, "derby_db")}.log")
+    val url = s"jdbc:derby:${fix(dir, "derby_db")};create=true"
+    val supplier = Tables.load(spark, dir, "supplier")
+    val sink = new graft.sinks.JdbcSink(url, "graft", "graft", numPartitions = 2)
+    sink.write(supplier, "graft_supplier_ups",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    // + maxKey + 1: keys start at 0, so a bare +maxKey shift would remap
+    // source key 0 onto existing key maxKey and the "insert" would
+    // silently match-and-update it (found by the oracle count mismatch
+    // — the idempotence gate doing its job on the fixture itself).
+    val maxKey = supplier.agg(max(col("s_suppkey"))).head().getLong(0)
+    val slice = supplier.filter(col("s_suppkey") % 10 === 0)
+    val delta = slice.withColumn("s_acctbal", col("s_acctbal") + 1000.0)
+      .unionByName(
+        slice.withColumn("s_suppkey", col("s_suppkey") + maxKey + 1L))
+    sink.upsert(delta, "graft_supplier_ups", Seq("s_suppkey"))
+    sink.upsert(delta, "graft_supplier_ups", Seq("s_suppkey"))
+    val back = new graft.sources.JdbcSource(url, "graft", "graft")
+      .read(spark, "graft_supplier_ups")
+    ordered(
+      back.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          dsum(col("s_acctbal")).as("total_bal")))
+  }
+
+  private val sinkJdbcUpsertSql =
+    s"""WITH merged AS (
+       |  SELECT s_nationkey, s_acctbal FROM supplier WHERE s_suppkey % 10 <> 0
+       |  UNION ALL
+       |  SELECT s_nationkey, s_acctbal + 1000.0 FROM supplier
+       |  WHERE s_suppkey % 10 = 0
+       |  UNION ALL
+       |  SELECT s_nationkey, s_acctbal FROM supplier WHERE s_suppkey % 10 = 0)
+       |SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       |  ${O.dsum("s_acctbal")} AS total_bal
+       |FROM merged GROUP BY s_nationkey
        |${O.OrderAll}"""
 
   /** `binaryFile` source — how multimodal payloads (images, audio,
@@ -285,6 +341,7 @@ object Scans {
     "scan_text" -> Q(scanText _, scanTextSql),
     "sink_zorder" -> Q(sinkZorder _, sinkZorderSql),
     "scan_jdbc" -> Q(scanJdbc _, scanJdbcSql),
+    "sink_jdbc_upsert" -> Q(sinkJdbcUpsert _, sinkJdbcUpsertSql),
     "scan_parquet" -> Q(scanParquet _, scanParquetSql),
     "scan_orc" -> Q(scanOrc _, scanOrcSql),
     "sink_zstd" -> Q(sinkZstd _, sinkZstdSql),

@@ -41,6 +41,25 @@ class IngestSpec extends AnyFunSuite {
     assert(df.select(sum("k")).as[Long].head() === 4)
   }
 
+  test("jdbc upsert: MERGE is idempotent and touches only its keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups").toString
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val sink = new sinks.JdbcSink(url, "u", "p", numPartitions = 1)
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    sink.write(base, "t", org.apache.spark.sql.SaveMode.Overwrite)
+    val delta = Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("k", "name", "bal")
+    sink.upsert(delta, "t", Seq("k"))
+    sink.upsert(delta, "t", Seq("k")) // re-running the batch must be a no-op
+    val out = new sources.JdbcSource(url, "u", "p").read(spark, "t")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out === Seq((1L, "a", 10.0), (2L, "b2", 25.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)),
+      "matched key updated, new key inserted, untouched keys intact, no dups")
+  }
+
   test("z-order layout: every file covers a narrow range of BOTH keys") {
     ops.Scans.sinkZorder(spark, Sf) // builds the clustered layout
     val path = core.Fixtures.path(Sf, "sink_zorder")

@@ -33,6 +33,51 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("band join: blocked self-join equals naive pairs with bounded fan-out") {
+    // planted skew: one hot band bucket with 300 docs (what a
+    // boilerplate-heavy corpus does to MinHash bands) plus a small tail
+    val hot = (0L until 300L).map(i => (i, 0, 777L))
+    val tail = (300L until 340L).map(i => (i, 1, i % 7))
+    val bands = (hot ++ tail).toDF("doc_id", "band_idx", "band_hash")
+    val naive = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = llm.Dedup.bandPairs(bands).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === naive, "blocking must not change the candidate set")
+    assert(naive.size === 300 * 299 / 2 +
+      (300L until 340L).groupBy(_ % 7).values.map(g => g.size * (g.size - 1) / 2).sum)
+    // bounded fan-out: no single join group exceeds Cap² pair rows…
+    val cap = llm.Dedup.BandBucketCap.toLong
+    val keyed = llm.Dedup.bandPairsKeyed(bands)
+    val maxGroup = keyed.groupBy(col("band_idx"), col("band_hash"),
+        col("_gx"), col("_gy")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxGroup <= cap * cap, s"join group of $maxGroup pairs > cap²")
+    // …and the hot bucket's work spreads over its 15 block-pair keys
+    // (ceil(300/64) = 5 blocks → 5·6/2 ordered block pairs)
+    val hotKeys = keyed.filter(col("band_hash") === 777L)
+      .select(col("_gx"), col("_gy")).distinct().count()
+    assert(hotKeys === 15L)
+  }
+
+  test("IVF index persists: a fresh session serves without retraining") {
+    llm.Similarity.ensureIvfIndex(spark, Sf)
+    assert(core.Fixtures.exists(Sf, "ivf_centroids") &&
+      core.Fixtures.exists(Sf, "ivf_cells"), "index written as parquet")
+    val first = llm.Similarity.simsearchIvf(spark, Sf).collect().toSeq
+    val builds = llm.Similarity.ivfTrainCount.get()
+    // simulate a fresh session: drop the JVM memo, serve purely from disk
+    llm.Similarity.clearIvfMemo()
+    val second = llm.Similarity.simsearchIvf(spark, Sf).collect().toSeq
+    assert(llm.Similarity.ivfTrainCount.get() === builds,
+      "rebuilt-from-disk index must serve queries with no retraining")
+    assert(second === first)
+  }
+
   test("simhash flags the planted exact-shape near-dups") {
     val sim = llm.Dedup.simhash(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

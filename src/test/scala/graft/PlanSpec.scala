@@ -102,6 +102,46 @@ class PlanSpec extends AnyFunSuite {
       s"decontamination must stream the corpus past a broadcast benchmark set:\n$p")
   }
 
+  test("join_aqe_skew: AQE rewrites the hot partition (skew=true) at runtime") {
+    // Thresholds scaled to test data (the default 256 MB trigger is
+    // sized for production shuffles); forceOptimizeSkewedJoin because
+    // the downstream groupBy means the skew split introduces an extra
+    // shuffle — the exact trade AQE declines by default and the right
+    // one here, since re-shuffling the joined rows is cheaper than one
+    // reducer holding 1/3 of the fact. This is the regime where static
+    // shuffle.partitions LOSES at any value: more partitions shrink the
+    // healthy ones, but the hot key still lands whole in one reducer.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // sf0.01, not the default sf0.001: the hot partition must exceed
+      // both the byte threshold and factor×median to register as skewed
+      val df = ops.ScaleJoins.joinAqeSkew(spark, "/root/testdata/sf0.01")
+      // execute THIS instance: AQE finalizes the plan only on execution
+      assert(df.collect().nonEmpty)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"final adaptive plan must mark the skewed join:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("llm_pii_redact and llm_token_count are single-pass columnar (no mid-plan shuffle)") {
     for (key <- Seq("llm_pii_redact", "llm_token_count")) {
       val p = plan(key)
