@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
@@ -65,8 +65,17 @@ object Dedup {
   /** MinHash-LSH near-dup detection: shingle → 64-perm minhash signature
     * → 16 LSH bands of 4 → band-bucket candidate pairs → exact-Jaccard
     * verification ≥ 0.8. Fixed seeds end-to-end → deterministic.
-    * No SQL oracle (hash-family-specific); ScalaTest asserts equality
-    * with the brute-force `llm_ngram_jaccard` result. */
+    *
+    * Oracled against the brute-force ground-truth SQL (since r5): the
+    * verify step makes LSH ⊆ brute BY CONSTRUCTION (every emitted pair
+    * passed the exact-Jaccard cut), and recall is exact on these
+    * corpora — a ≥0.8-Jaccard pair collides in at least one of the 16
+    * four-row bands (P[miss] = (1−s⁴)^16 ≤ 2·10⁻⁴ at s = 0.8, and the
+    * hash family is FIXED, so the empirical equality pinned by
+    * LlmSpec at sf0.001 AND sf0.01 — the driver's correctness scale —
+    * is reproducible, not probabilistic). Hash-matching the brute SQL
+    * is therefore the honest gate: a banding/signature regression
+    * breaks equality and turns the row red. */
   def nearDedup(spark: SparkSession, dir: String): DataFrame = {
     // cache: the shingle set feeds both the signature build and the
     // exact-Jaccard verify within ONE result computation. Materialize
@@ -251,11 +260,12 @@ object Dedup {
     h
   }
 
-  /** SimHash near-dup: 64-bit per-doc signature from token-hash bit
-    * votes; candidates share one of four 16-bit bands (pigeonhole
-    * guarantees recall for hamming ≤ 3); verified by exact hamming.
-    * No oracle (hash-specific); ScalaTest checks planted near-dups. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Hamming ≤ 3 SimHash pairs over an arbitrary (doc_id, text) frame:
+    * 64-bit per-doc signature from token-hash bit votes; candidates
+    * share one of four 16-bit bands (pigeonhole guarantees recall for
+    * hamming ≤ 3); verified by exact hamming. Shared by the keyed
+    * query and the planted-near-dup ScalaTest. */
+  private[graft] def simhashPairs(d: DataFrame): DataFrame = {
     val sim = udf { (text: String) =>
       val votes = new Array[Int](64)
       text.split(" ").foreach { tok =>
@@ -268,13 +278,12 @@ object Dedup {
       while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
       out
     }
-    val sigs = docs(spark, dir)
-      .select(col("doc_id"), sim(col("text")).as("sig"))
+    val sigs = d.select(col("doc_id"), sim(col("text")).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band_idx", "chunk")))
-    val pairs = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -284,8 +293,90 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-    ordered(pairs)
   }
+
+  /** Planted-variant id offsets for the keyed SimHash query: each is a
+    * text transformation that provably PRESERVES the SimHash signature,
+    * so detection (pair found, hamming exactly 0) is an invariant the
+    * oracle can pin — not a probabilistic hope. */
+  private val SimhashPlantBase = 20L // first N docs get variants
+  private val CopyOffset = 1000000L    // identical text
+  private val ShuffleOffset = 2000000L // tokens sorted: votes are a bag-of-words sum
+  private val DoubleOffset = 3000000L  // text repeated: votes double, signs unchanged
+
+  /** Keyed SimHash query (since r5): the signature family is
+    * hash-specific, so the ORACLE-FACING output is the set of pairs
+    * whose detection is mathematically guaranteed, each with its
+    * detection flags — planted variants exercising SimHash's defining
+    * invariances (order-independence: votes are a bag-of-words sum;
+    * repetition-independence: doubling every vote flips no sign;
+    * identity), plus every exact raw-text duplicate pair already in
+    * the corpus (identical text ⇒ identical signature ⇒ the pair
+    * shares all four bands and survives at hamming 0). The full
+    * corpus ∪ planted set flows through the real pipeline
+    * ([[simhashPairs]]) and the flags are computed from its actual
+    * output, so a banding or signature regression turns the row red
+    * at the driver gate. Probabilistic near-dup detection (hamming ≤ 3
+    * on almost-identical texts) stays pinned in ScalaTest, where a
+    * tolerance is expressible. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val base = d.filter(col("doc_id") < SimhashPlantBase)
+    def planted(offset: Long, f: Column => Column): DataFrame =
+      base.select((col("doc_id") + offset).as("doc_id"), f(col("text")).as("text"))
+    val corpus = d
+      .unionByName(planted(CopyOffset, identity))
+      .unionByName(planted(ShuffleOffset,
+        t => array_join(sort_array(split(t, " ")), " ")))
+      .unionByName(planted(DoubleOffset, t => concat(t, lit(" "), t)))
+    // the real pipeline over corpus ∪ planted; pairs is small (planted
+    // + true near-dups), localCheckpoint'ed so the three flag joins
+    // below don't re-run the band join each
+    val pairs = simhashPairs(corpus).localCheckpoint()
+    val zeroPairs = pairs.filter(col("hamming") === 0)
+      .select(col("doc_a"), col("doc_b"))
+
+    // expected pairs: one row per guaranteed detection
+    val plantedExpected = Seq(
+      ("planted_copy", CopyOffset), ("planted_shuffled", ShuffleOffset),
+      ("planted_doubled", DoubleOffset)).map { case (kind, off) =>
+      base.select(lit(kind).as("pair_kind"), col("doc_id").as("id_a"),
+        (col("doc_id") + off).as("id_b"))
+    }.reduce(_ unionByName _)
+    // corpus raw-text dup groups: canonical (min_id, other) pairs
+    val grp = d.groupBy(col("text")).agg(min(col("doc_id")).as("min_id"))
+    val corpusDups = d.join(grp, Seq("text"))
+      .filter(col("doc_id") > col("min_id"))
+      .select(lit("corpus_exact_dup").as("pair_kind"),
+        col("min_id").as("id_a"), col("doc_id").as("id_b"))
+
+    val expected = plantedExpected.unionByName(corpusDups)
+    ordered(
+      expected.join(zeroPairs,
+          col("id_a") === col("doc_a") && col("id_b") === col("doc_b"),
+          "left_outer")
+        .select(col("pair_kind"), col("id_a"), col("id_b"),
+          col("doc_a").isNotNull.as("detected_hamming0")))
+  }
+
+  private val simhashSql =
+    s"""WITH expected AS (
+       |  SELECT 'planted_copy' AS pair_kind, doc_id AS id_a,
+       |    doc_id + 1000000 AS id_b FROM documents WHERE doc_id < 20
+       |  UNION ALL
+       |  SELECT 'planted_shuffled', doc_id, doc_id + 2000000
+       |  FROM documents WHERE doc_id < 20
+       |  UNION ALL
+       |  SELECT 'planted_doubled', doc_id, doc_id + 3000000
+       |  FROM documents WHERE doc_id < 20
+       |  UNION ALL
+       |  SELECT 'corpus_exact_dup', m.min_id, d.doc_id
+       |  FROM documents d
+       |  JOIN (SELECT text, min(doc_id) AS min_id FROM documents GROUP BY text) m
+       |    ON d.text = m.text AND d.doc_id > m.min_id)
+       |SELECT pair_kind, id_a, id_b, TRUE AS detected_hamming0
+       |FROM expected
+       |${O.OrderAll}"""
 
   /** Apply the near-dedup: the cleaned corpus after dropping every doc
     * that near-duplicates a smaller-id partner (min-id-wins, the usual
@@ -487,8 +578,8 @@ object Dedup {
     "llm_dedup_apply" -> Q(dedupApply _, dedupApplySql),
     "llm_dup_clusters" -> Q(dupClusters _, dupClustersSql),
     "llm_exact_dedup" -> Q(exactDedup _, exactDedupSql),
-    "llm_near_dedup" -> Q.noOracle(nearDedup _),
+    "llm_near_dedup" -> Q(nearDedup _, ngramJaccardSql),
     "llm_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql),
-    "llm_simhash" -> Q.noOracle(simhash _)
+    "llm_simhash" -> Q(simhash _, simhashSql)
   )
 }

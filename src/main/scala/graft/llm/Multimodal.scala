@@ -71,9 +71,16 @@ object Multimodal {
   }
 
   /** Driver-contract query: documents' text bytes as the stand-in
-    * payload → partition-local decode → flat feature columns. No SQL
-    * oracle (byte-level fold not expressible in DuckDB) → rows-only
-    * check + pinned values in ScalaTest. */
+    * payload → partition-local decode → flat feature columns.
+    *
+    * Oracled exactly (since r5): the corpus is pure ASCII, so every
+    * payload byte IS the character's code point and DuckDB can replay
+    * the whole byte fold — length via octet_length, min/max/mean via a
+    * char-split + unicode() list fold. f_mean is double-divided then
+    * rounded ONCE to float32 on both engines (IEEE ⇒ bit-identical)
+    * before the 6-digit presentation round. The decode itself still
+    * runs the real partition-local `mapPartitions` path — the oracle
+    * verifies its output, it does not replace it. */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     val media = Tables.load(spark, dir, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
@@ -81,12 +88,25 @@ object Multimodal {
       decodeFeatures(spark, media).toDF()
         .select(col("doc_id"), col("mime"), col("n_bytes"),
           col("features")(0).cast("long").as("f_len"),
-          round6(col("features")(1)).as("f_mean"),
+          round6(col("features")(1).cast("double")).as("f_mean"),
           col("features")(2).cast("int").as("f_min"),
           col("features")(3).cast("int").as("f_max")))
   }
 
+  private val multimodalDecodeSql = {
+    val pts = "list_transform(regexp_split_to_array(text, ''), x -> unicode(x))"
+    s"""SELECT doc_id, 'text/plain' AS mime,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  octet_length(encode(text)) AS f_len,
+       |  round(CAST(CAST(CAST(list_aggregate($pts, 'sum') AS DOUBLE)
+       |    / octet_length(encode(text)) AS FLOAT) AS DOUBLE), 6) AS f_mean,
+       |  list_aggregate($pts, 'min') AS f_min,
+       |  list_aggregate($pts, 'max') AS f_max
+       |FROM documents
+       |ORDER BY ALL NULLS FIRST"""
+  }
+
   val queries: Map[String, Q] = Map(
-    "llm_multimodal_decode" -> Q.noOracle(multimodalDecode _)
+    "llm_multimodal_decode" -> Q(multimodalDecode _, multimodalDecodeSql)
   )
 }

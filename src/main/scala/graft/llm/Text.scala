@@ -187,11 +187,12 @@ object Text {
        |${O.OrderAll}"""
   }
 
-  /** Document fingerprinting: an order-sensitive rolling polynomial hash
-    * of the token stream (content-identity) + the minimum 4-gram window
-    * hash (winnowing-style locality fingerprint). Plain-Scala FNV — no
-    * SQL oracle; ScalaTest pins expected values. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+  /** Raw fingerprints: an order-sensitive rolling polynomial hash of
+    * the token stream (content-identity) + the minimum 4-gram window
+    * hash (winnowing-style locality fingerprint). Plain-Scala FNV.
+    * Exposed for the ScalaTest that pins stability and
+    * collision-freedom on the raw 64-bit values. */
+  private[graft] def fingerprintRaw(d: DataFrame): DataFrame = {
     val fp = udf { (text: String) =>
       val toks = text.split(" ")
       var h = 0xcbf29ce484222325L
@@ -204,12 +205,48 @@ object Text {
       else (0 to toks.length - 4)
         .map(i => Dedup.fnv1a(toks.slice(i, i + 4).mkString(" "))).min
     }
-    ordered(
-      docs(spark, dir).select(
-        col("doc_id"),
-        fp(col("text")).as("rolling_fp"),
-        minWin(col("text")).as("min_window_fp")))
+    d.select(col("doc_id"), col("text"),
+      fp(col("text")).as("rolling_fp"),
+      minWin(col("text")).as("min_window_fp"))
   }
+
+  /** Keyed fingerprint query (since r5): the 64-bit values are
+    * hash-family-specific, so the ORACLE-FACING columns are the two
+    * properties a fingerprint must have, computed over the real
+    * fingerprints and pinned to TRUE by the oracle:
+    *  - determinism/consistency: every doc sharing the same raw text
+    *    carries the same rolling AND window fingerprint (per-text-group
+    *    distinct-count = 1);
+    *  - discrimination: distinct texts get distinct rolling
+    *    fingerprints on this corpus (global distinct(fp) =
+    *    distinct(text) — a 64-bit FNV collision among ≤ 10⁴ docs
+    *    would be a ~10⁻¹² fluke, so a FALSE here means a real hash
+    *    regression, not bad luck).
+    * A broken hash (constant output, dropped tokens, seed drift) flips
+    * one of the booleans and turns the driver row red. ScalaTest pins
+    * the raw values separately. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val raw = fingerprintRaw(docs(spark, dir))
+    val grp = raw.groupBy(col("text")).agg(
+      countDistinct(col("rolling_fp")).as("_nfp"),
+      countDistinct(col("min_window_fp")).as("_nwin"))
+    val global = raw.agg(
+      (countDistinct(col("rolling_fp")) === countDistinct(col("text")))
+        .as("fp_collision_free"))
+    ordered(
+      raw.join(grp, Seq("text"))
+        .crossJoin(broadcast(global))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          (col("_nfp") === 1 && col("_nwin") === 1).as("fp_group_consistent"),
+          col("fp_collision_free")))
+  }
+
+  private val fingerprintSql =
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |  TRUE AS fp_group_consistent, TRUE AS fp_collision_free
+       |FROM documents
+       |${O.OrderAll}"""
 
   /** Bigram-LM quality scoring: train corpus bigram/unigram counts,
     * score each doc by its average negative log bigram probability
@@ -306,6 +343,6 @@ object Text {
     "llm_tfidf" -> Q(tfidf _, tfidfSql),
     "llm_lang_id" -> Q(langId _, langIdSql),
     "llm_quality" -> Q(quality _, qualitySql),
-    "llm_fingerprint" -> Q.noOracle(fingerprint _)
+    "llm_fingerprint" -> Q(fingerprint _, fingerprintSql)
   )
 }

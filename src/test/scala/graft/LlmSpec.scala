@@ -66,20 +66,23 @@ class LlmSpec extends AnyFunSuite {
 
   test("IVF index persists: a fresh session serves without retraining") {
     llm.Similarity.ensureIvfIndex(spark, Sf)
-    assert(core.Fixtures.exists(Sf, "ivf_centroids") &&
-      core.Fixtures.exists(Sf, "ivf_cells"), "index written as parquet")
-    val first = llm.Similarity.simsearchIvf(spark, Sf).collect().toSeq
+    assert(core.Fixtures.exists(Sf, llm.Similarity.IvfCentroidsName) &&
+      core.Fixtures.exists(Sf, llm.Similarity.IvfCellsName),
+      "index written as parquet under a parameter-keyed name")
+    val first = llm.Similarity.simsearchIvfTopK(spark, Sf).collect().toSeq
     val builds = llm.Similarity.ivfTrainCount.get()
     // simulate a fresh session: drop the JVM memo, serve purely from disk
     llm.Similarity.clearIvfMemo()
-    val second = llm.Similarity.simsearchIvf(spark, Sf).collect().toSeq
+    val second = llm.Similarity.simsearchIvfTopK(spark, Sf).collect().toSeq
     assert(llm.Similarity.ivfTrainCount.get() === builds,
       "rebuilt-from-disk index must serve queries with no retraining")
     assert(second === first)
   }
 
   test("simhash flags the planted exact-shape near-dups") {
-    val sim = llm.Dedup.simhash(spark, Sf).collect()
+    val d = core.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val sim = llm.Dedup.simhashPairs(d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = llm.Dedup.ngramJaccard(spark, Sf).collect()
       .filter(_.getDouble(2) >= 0.95)
@@ -146,7 +149,7 @@ class LlmSpec extends AnyFunSuite {
   test("IVF simsearch prunes most of the corpus at usable recall") {
     val exact = llm.Similarity.simsearch(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = llm.Similarity.simsearchIvf(spark, Sf).collect()
+    val ivf = llm.Similarity.simsearchIvfTopK(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     val n = spark.read.parquet(s"$Sf/embeddings.parquet").count()
@@ -173,13 +176,20 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("fingerprints are stable (pinned values) and collision-free here") {
-    val fp = llm.Text.fingerprint(spark, Sf)
+    val d = core.Tables.load(spark, Sf, "documents")
+    val fp = llm.Text.fingerprintRaw(d)
     val n = fp.count()
-    assert(fp.select("rolling_fp").distinct().count() === n,
-      "distinct docs should get distinct rolling fingerprints")
+    assert(fp.select("rolling_fp").distinct().count() ===
+      d.select("text").distinct().count(),
+      "distinct texts should get distinct rolling fingerprints")
     // pin one value: same input must hash identically forever
     assert(llm.Dedup.fnv1a("spark") === llm.Dedup.fnv1a("spark"))
     assert(llm.Dedup.fnv1a("spark") !== llm.Dedup.fnv1a("sparl"))
+    // the keyed invariant row must be all-green before the driver sees it
+    val keyed = llm.Text.fingerprint(spark, Sf)
+    assert(keyed.count() === n)
+    assert(keyed.filter(!col("fp_group_consistent") ||
+      !col("fp_collision_free")).count() === 0)
   }
 
   test("exact dedup keeps one representative per normalized text") {
@@ -189,9 +199,11 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("SRP-LSH cosine dedup equals brute ground truth at sf0.001 and sf0.01") {
+    // loose-threshold shallow-band regime (0.5, 2×16) on the raw corpus
     for (sf <- Seq(Sf, "/root/testdata/sf0.01")) {
-      val lsh = llm.Similarity.cosineDedupLsh(spark, sf).collect().toSeq
-      val brute = llm.Similarity.cosineDedup(spark, sf).collect().toSeq
+      val e = core.Tables.load(spark, sf, "embeddings")
+      val lsh = llm.Similarity.cosineDedupLshImpl(e, 2, 16, 0.5).collect().toSeq
+      val brute = llm.Similarity.cosineDedupImpl(e, 0.5).collect().toSeq
       assert(lsh === brute, s"banded SRP must have perfect recall at $sf")
     }
     // the equality above is only meaningful if the ground truth is
@@ -199,6 +211,30 @@ class LlmSpec extends AnyFunSuite {
     // pairs the 0.5 threshold was chosen to catch.
     assert(llm.Similarity.cosineDedup(spark, "/root/testdata/sf0.01")
       .count() > 0, "sf0.01 should contain pairs above the 0.5 threshold")
+  }
+
+  test("keyed cosine-dedup LSH: planted corpus, production 8×8/0.9 regime") {
+    val e = llm.Similarity.plantedEmbeddings(
+      core.Tables.load(spark, Sf, "embeddings"))
+    val keyed = llm.Similarity.cosineDedupLsh(spark, Sf)
+    val brute = llm.Similarity.cosineDedupImpl(e, 0.9).collect().toSeq
+    // both planted families land above the threshold and LSH keeps them
+    assert(brute.size >= 50, s"planted pairs missing: ${brute.size}")
+    assert(keyed.drop("cand_frac_lt_20pct").collect().toSeq === brute,
+      "keyed LSH must equal the planted-corpus brute ground truth")
+    // the production regime must demonstrate LSH *benefit*: <20% of all
+    // pairs become candidates (the keyed boolean pins this at the gate)
+    assert(keyed.filter(!col("cand_frac_lt_20pct")).count() === 0)
+  }
+
+  test("keyed ANN invariant rows are all-green at test scale") {
+    for (df <- Seq(llm.Similarity.simsearchLsh(spark, Sf),
+        llm.Similarity.simsearchIvf(spark, Sf))) {
+      val row = df.head()
+      assert(row.getLong(2) === 50L, "10 probes × top-5 = 50 exact pairs")
+      assert(row.getBoolean(3) && row.getBoolean(4),
+        s"ANN bound booleans must hold: $row")
+    }
   }
 
   test("SRP-LSH prunes hard at a production threshold on planted near-dups") {
