@@ -32,6 +32,37 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg
 
+    // Fixed-work CPU canary (r4 verdict ask): sorting the same 2M
+    // xorshift-filled longs is pure single-thread CPU with zero Spark
+    // involvement, so every bench artifact carries its own normalizer —
+    // a uniform query slowdown at an UNCHANGED canary is code; at an
+    // inflated canary it's machine drift (r3→r4 drift could only be
+    // inferred from unchanged queries). Warmup rep first (JIT), then
+    // min of 3.
+    def canaryRep(): Double = {
+      val a = new Array[Long](2000000)
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < a.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1
+      }
+      val t0 = System.nanoTime()
+      java.util.Arrays.sort(a)
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryRep()
+    val canarySec = (1 to 3).map(_ => canaryRep()).min
+    // nominal clock stamp — a thermally-throttled or power-capped box
+    // self-identifies
+    val cpuMhz = try {
+      val mhz = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/cpuinfo"))
+        .toArray(Array.empty[String]).toSeq
+        .filter(_.startsWith("cpu MHz"))
+        .map(_.split(":")(1).trim.toDouble)
+      if (mhz.isEmpty) -1.0 else mhz.sum / mhz.size
+    } catch { case _: Throwable => -1.0 }
+
     // One-time Structured Streaming engine init (classloading, offset
     // log machinery, codegen) costs several seconds and used to land on
     // whichever streaming query happened to run first, holding
@@ -100,7 +131,7 @@ object Bench {
       "\"" + esc(k) + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
     val total = best.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"cpu_mhz":$cpuMhz}"""
     println(line)
     // Self-contained artifact: the driver captures a stdout TAIL, and
     // BENCH_r01–r03 all truncated mid-map, losing per-query timings and
@@ -111,6 +142,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_out.json: $e")
     }
+    // bench_out.json is overwritten per run (driver contract); the
+    // history file keeps every run (e.g. one per scale factor) so no
+    // invocation clobbers another's numbers (round-4 advice).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_history.jsonl"), line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -563,11 +563,23 @@ object Etl {
       .select(col("o_orderkey"),
         col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
       .write.mode("overwrite").parquet(s"$path/batch=2")
+    // Only a SCHEMA-MERGE failure counts as the desired fail-fast; an
+    // unrelated error (missing path, IO) must propagate, not quietly
+    // satisfy the oracle's pinned TRUE (round-4 advice). The merge
+    // error may be wrapped, so the whole cause chain is searched.
     val mergeFailedFast =
       try {
         spark.read.option("mergeSchema", "true").parquet(path).schema
         false
-      } catch { case _: Exception => true }
+      } catch {
+        case e: Exception =>
+          val messages = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).take(10)
+            .flatMap(t => Option(t.getMessage)).mkString(" | ").toLowerCase
+          if (messages.contains("merge") || messages.contains("incompatible"))
+            true
+          else throw e
+      }
     val b1 = spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE")
       .parquet(s"$path/batch=1")
     val b2 = spark.read

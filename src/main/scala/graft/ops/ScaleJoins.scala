@@ -193,8 +193,8 @@ object ScaleJoins {
 
   /** AQE skew-join demo (reference README.md:8 "fine-tuning Spark
     * configurations"): a sort-merge join where ONE key holds a third of
-    * the fact — every l_orderkey divisible by 3 collapses onto skew_key
-    * 0, so with static `shuffle.partitions` one reducer gets ~1/3 of
+    * the fact — every l_partkey divisible by 3 collapses onto skew_key
+    * 1, so with static `shuffle.partitions` one reducer gets ~1/3 of
     * lineitem while its siblings idle, and the stage runs at the
     * straggler's pace. This is the regime where a static partition
     * count LOSES no matter its value: more partitions shrink the

@@ -25,6 +25,61 @@ final class ParquetSink(baseDir: String, partitionCols: Seq[String] = Nil)
   }
 }
 
+/** Dialect seam for the server-side MERGE emitted by
+  * [[JdbcSink.upsert]]: the stage+MERGE *shape* is portable, the MERGE
+  * *spelling* is not quite — SQL Server wants a statement terminator
+  * and (for concurrent upserts) a HOLDLOCK hint, while Derby speaks
+  * plain ANSI. Factored behind a trait (reference README.md:2,14
+  * targets SQL Server; the sandbox has no mssql driver, so the T-SQL
+  * variant is string-tested while Derby exercises the ANSI one
+  * end-to-end).
+  *
+  * Identifiers are double-quoted on both dialects: Spark's JDBC writer
+  * creates case-sensitive quoted column names, and SQL Server accepts
+  * ANSI double quotes under its default QUOTED_IDENTIFIER ON.
+  */
+sealed trait MergeDialect {
+  /** Full MERGE upserting `staging` into `target` on `keyCols`. When
+    * the frame carries no non-key columns the MATCHED clause is
+    * omitted entirely — `UPDATE SET` with an empty list is invalid SQL
+    * on every dialect (round-4 advice), and matching a key-only row is
+    * a no-op anyway. */
+  def mergeSql(target: String, staging: String,
+      cols: Seq[String], keyCols: Seq[String]): String = {
+    def q(s: String) = "\"" + s + "\""
+    val nonKey = cols.filterNot(keyCols.contains)
+    val matched =
+      if (nonKey.isEmpty) Nil
+      else Seq("WHEN MATCHED THEN UPDATE SET",
+        "  " + nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", "))
+    (Seq(
+      s"MERGE INTO ${mergeTarget(target)} USING $staging s",
+      s"ON ${keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")}") ++
+      matched ++ Seq(
+      s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})",
+      s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})$terminator"))
+      .mkString("\n")
+  }
+  protected def mergeTarget(target: String): String
+  protected def terminator: String
+}
+
+/** ANSI MERGE as Derby (≥10.11) executes it. */
+case object AnsiMergeDialect extends MergeDialect {
+  protected def mergeTarget(target: String): String = s"$target t"
+  protected def terminator: String = ""
+}
+
+/** T-SQL MERGE for SQL Server / Azure Synapse: the statement MUST end
+  * with a semicolon, and the documented upsert pattern takes HOLDLOCK
+  * so two concurrent MERGEs on the same key range serialize instead of
+  * racing into a duplicate insert. */
+case object SqlServerMergeDialect extends MergeDialect {
+  protected def mergeTarget(target: String): String =
+    s"$target WITH (HOLDLOCK) AS t"
+  protected def terminator: String = ";"
+}
+
 /** JDBC sink via Spark's built-in `jdbc` source. `batchsize` and
   * `numPartitions` bound parallel connections against the RDBMS —
   * "parallel processing" (README.md:8) has to be capped at what the
@@ -34,7 +89,8 @@ final class JdbcSink(
     user: String,
     password: String,
     batchSize: Int = 10000,
-    numPartitions: Int = 8)
+    numPartitions: Int = 8,
+    dialect: MergeDialect = AnsiMergeDialect)
     extends Sink {
 
   def options(table: String): Map[String, String] = Map(
@@ -64,23 +120,25 @@ final class JdbcSink(
     * state. This is the documented Spark→SQL-Server/Synapse upsert
     * pattern; Derby (≥10.11) speaks the same ANSI MERGE.
     *
-    * Identifiers are double-quoted to match Spark's JDBC writer, which
-    * creates case-sensitive quoted column names.
-    */
+    * The MERGE spelling comes from the [[MergeDialect]] seam.
+    *
+    * PRECONDITION (enforced): the batch must be key-unique. ANSI MERGE
+    * is undefined when two source rows match one target row — SQL
+    * Server raises error 8672 at runtime, Derby's pick is
+    * order-dependent — so a duplicate-key batch fails HERE, loudly,
+    * before any row lands. Producers that can emit duplicates
+    * pre-aggregate latest-wins first (see `etl_cdc_apply`). */
   def upsert(df: DataFrame, table: String, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dupKeys = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"upsert batch has duplicate rows per key (${keyCols.mkString(", ")}); " +
+        "MERGE semantics are undefined — pre-aggregate latest-wins first")
     val staging = table + "_stage"
     write(df, staging, SaveMode.Overwrite)
-    def q(s: String) = "\"" + s + "\""
-    val cols = df.columns.toSeq
-    val nonKey = cols.filterNot(keyCols.contains)
-    val merge =
-      s"""MERGE INTO $table t USING $staging s
-         |ON ${keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")}
-         |WHEN MATCHED THEN UPDATE SET
-         |  ${nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")}
-         |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
-         |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+    val merge = dialect.mergeSql(table, staging, df.columns.toSeq, keyCols)
     val conn = java.sql.DriverManager.getConnection(url, user, password)
     try {
       conn.setAutoCommit(false)
@@ -91,6 +149,19 @@ final class JdbcSink(
       case e: Throwable =>
         try conn.rollback() catch { case _: Throwable => () }
         throw e
-    } finally conn.close()
+    } finally {
+      // stage cleanup is best-effort housekeeping, never a failure:
+      // the merge already committed (or rolled back) above. The drop
+      // needs its own commit — autoCommit is still off.
+      try {
+        val st = conn.createStatement()
+        try { st.executeUpdate(s"DROP TABLE $staging"); conn.commit() }
+        finally st.close()
+      } catch {
+        case _: Throwable =>
+          try conn.rollback() catch { case _: Throwable => () }
+      }
+      conn.close()
+    }
   }
 }

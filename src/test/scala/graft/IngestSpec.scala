@@ -58,6 +58,43 @@ class IngestSpec extends AnyFunSuite {
     assert(out === Seq((1L, "a", 10.0), (2L, "b2", 25.0),
       (3L, "c", 30.0), (4L, "d", 40.0)),
       "matched key updated, new key inserted, untouched keys intact, no dups")
+    // stage-table hygiene: the staging table is dropped after the merge
+    val ex = intercept[Exception] {
+      new sources.JdbcSource(url, "u", "p").read(spark, "t_stage").collect()
+    }
+    assert(ex.getMessage != null)
+    // precondition: a duplicate-key batch must fail loudly up front
+    val dup = Seq((9L, "x", 1.0), (9L, "y", 2.0)).toDF("k", "name", "bal")
+    val err = intercept[IllegalArgumentException] {
+      sink.upsert(dup, "t", Seq("k"))
+    }
+    assert(err.getMessage.contains("duplicate"))
+  }
+
+  test("merge dialects: ANSI vs T-SQL spellings, key-only degenerate") {
+    val cols = Seq("k", "name", "bal")
+    val ansi = sinks.AnsiMergeDialect.mergeSql("t", "t_stage", cols, Seq("k"))
+    assert(ansi.startsWith("MERGE INTO t t USING t_stage s"))
+    assert(ansi.contains("ON t.\"k\" = s.\"k\""))
+    assert(ansi.contains("WHEN MATCHED THEN UPDATE SET"))
+    assert(ansi.contains("\"name\" = s.\"name\", \"bal\" = s.\"bal\""))
+    assert(!ansi.endsWith(";"), "Derby rejects a statement terminator via JDBC")
+
+    // T-SQL (SQL Server / Synapse): HOLDLOCK serializes concurrent
+    // upserts; MERGE must be semicolon-terminated
+    val tsql = sinks.SqlServerMergeDialect.mergeSql("dbo.t", "dbo.t_stage",
+      cols, Seq("k"))
+    assert(tsql.startsWith("MERGE INTO dbo.t WITH (HOLDLOCK) AS t USING dbo.t_stage s"))
+    assert(tsql.endsWith(";"))
+    assert(tsql.contains("WHEN MATCHED THEN UPDATE SET"))
+
+    // key-only frame: empty UPDATE SET list is invalid SQL — the
+    // MATCHED clause must disappear, leaving insert-if-absent semantics
+    val keyOnly = sinks.AnsiMergeDialect.mergeSql("t", "t_stage",
+      Seq("k"), Seq("k"))
+    assert(!keyOnly.contains("WHEN MATCHED"),
+      "no non-key columns -> no MATCHED clause")
+    assert(keyOnly.contains("WHEN NOT MATCHED THEN INSERT (\"k\")"))
   }
 
   test("z-order layout: every file covers a narrow range of BOTH keys") {
