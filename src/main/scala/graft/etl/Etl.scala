@@ -46,18 +46,26 @@ object Etl {
     * 100 TB: the delta filter prunes partitions at the scan when the
     * fact is date-partitioned — the whole point of incremental load. */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
-    val orders = t(spark, dir, "orders")
-    val target0 = orders.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val merged = incrementalMerge(t(spark, dir, "orders"), "1999-01-01")
+    ordered(
+      merged.select(col("o_orderkey"), dateStr(col("o_orderdate")).as("o_date"),
+        col("o_orderstatus"), col("o_totalprice")))
+  }
+
+  /** High-water-mark merge seam: target = rows before `cutover`, delta
+    * = source rows past max(target date), anti-join dedup guard makes
+    * re-delivered keys a no-op. Exposed for the PropertySpec law:
+    * for ANY key-unique order set (and any re-delivered delta), the
+    * merge reproduces the full extract exactly — incremental ≡ full. */
+  private[graft] def incrementalMerge(orders: DataFrame, cutover: String): DataFrame = {
+    val target0 = orders.filter(col("o_orderdate") < lit(cutover).cast("timestamp"))
     val hwm = target0.agg(max(col("o_orderdate")).as("hwm"))
     val delta = orders.join(broadcast(hwm), col("o_orderdate") > col("hwm"))
       .drop("hwm")
       // dedup guard: never re-insert keys already in the target
       .join(target0.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
-    val merged = target0.unionByName(
+    target0.unionByName(
       delta.select(target0.columns.toIndexedSeq.map(col): _*))
-    ordered(
-      merged.select(col("o_orderkey"), dateStr(col("o_orderdate")).as("o_date"),
-        col("o_orderstatus"), col("o_totalprice")))
   }
 
   private val incrementalSql =

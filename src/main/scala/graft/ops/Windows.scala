@@ -171,22 +171,30 @@ object Windows {
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        |${O.OrderAll}"""
 
-  /** Batch sessionization — the lag+cumsum classic: a gap ≥ 15 min
-    * starts a new session; a running sum of the gap flags numbers the
-    * sessions. Same semantics as the streaming `session_window` (its
-    * oracle is this exact SQL), expressed as two chained windows. */
-  def winSessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Event-level sessionization seam — the lag+cumsum classic: a gap
+    * ≥ `gapSec` starts a new session; a running sum of the gap flags
+    * numbers the sessions per user. Exposed for the PropertySpec gap
+    * law (every within-session gap < gapSec, every session break
+    * ≥ gapSec, session count = 1 + #breaks) on generated timelines. */
+  private[graft] def sessionized(events: DataFrame, gapSec: Long): DataFrame = {
     val byTs = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val running = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("new_session",
+        when(col("ts").cast("long") - lag(col("ts"), 1).over(byTs).cast("long")
+          >= gapSec, 1)
+          .when(lag(col("ts"), 1).over(byTs).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(running))
+  }
+
+  /** Batch sessionization over the events table (gap 15 min). Same
+    * semantics as the streaming `session_window` (its oracle is this
+    * exact SQL), expressed as two chained windows. */
+  def winSessionize(spark: SparkSession, dir: String): DataFrame = {
     ordered(
-      Tables.load(spark, dir, "events")
-        .withColumn("new_session",
-          when(col("ts").cast("long") - lag(col("ts"), 1).over(byTs).cast("long")
-            >= 15 * 60, 1)
-            .when(lag(col("ts"), 1).over(byTs).isNull, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("new_session")).over(running))
+      sessionized(Tables.load(spark, dir, "events"), 15 * 60)
         .groupBy(col("user_id"), col("session_id"))
         .agg(
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),

@@ -1,0 +1,198 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative property suites (SURVEY.md §5.2(3)): the laws fixed
+  * fixtures can't probe — SCD2 interval tiling under arbitrary batch
+  * sequences, the duplicate-business-key guard, incremental ≡ full
+  * equivalence, connected components vs a brute transitive closure,
+  * and the sessionization gap law — each on scalacheck-generated
+  * inputs with adversarial shapes (re-delivered batches, departed
+  * keys, equal timestamps, disconnected graphs).
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Run a Prop under a small deterministic budget; Spark jobs per case
+    * make 100-case defaults needlessly slow — 12 adversarial cases per
+    * law is where these generators stop finding new shapes. */
+  private def check(name: String, p: Prop, cases: Int = 12): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(cases)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L))
+        .withWorkers(1),
+      p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private def ts(day: Int): String = f"2020-01-${day + 1}%02d 00:00:00"
+
+  // ---------------------------------------------------------------- SCD2
+
+  /** A batch sequence: each batch maps a business key to an attribute
+    * value; later batches may restate, change, or drop keys. */
+  private val genBatches: Gen[List[Map[String, Int]]] = {
+    val keys = Gen.oneOf("a", "b", "c", "d", "e")
+    val batch = Gen.mapOf(Gen.zip(keys, Gen.choose(0, 3)))
+      .suchThat(_.nonEmpty)
+    Gen.nonEmptyListOf(batch).map(_.take(4))
+  }
+
+  private def batchDf(b: Map[String, Int]): DataFrame =
+    b.toSeq.toDF("k", "v")
+
+  test("property: SCD2 intervals tile and exactly one version is current") {
+    check("scd2-tiling", Prop.forAllNoShrink(genBatches) { batches =>
+      var dim = etl.Scd.initialLoad(batchDf(batches.head), ts(0))
+      batches.zipWithIndex.tail.foreach { case (b, i) =>
+        dim = etl.Scd.scd2Merge(dim, batchDf(b), Seq("k"), Seq("v"), ts(i))
+          .localCheckpoint() // truncate the per-batch join lineage
+      }
+      val rows = dim.collect().map(r => (r.getString(0), r.getInt(1),
+        r.getTimestamp(2), r.getTimestamp(3), r.getBoolean(4)))
+      val high = Timestamp.valueOf(etl.Scd.HighDate)
+      rows.groupBy(_._1).forall { case (k, versions) =>
+        val sorted = versions.sortBy(_._3.getTime).toList
+        val oneCurrent = versions.count(_._5) == 1
+        val openIsCurrent = versions.forall(v => v._5 == (v._4 == high))
+        // tiling: each closed version ends exactly where the next starts
+        val tiled = sorted.sliding(2).forall {
+          case Seq(a, b) => a._4 == b._3
+          case _ => true
+        }
+        // the current value is the last staged value for this key
+        val lastStaged = batches.zipWithIndex.reverse
+          .collectFirst { case (b, i) if b.contains(k) => b(k) }
+        val currentV = versions.find(_._5).map(_._2)
+        oneCurrent && openIsCurrent && tiled && currentV == lastStaged
+      } && {
+        // every staged key surfaced in the dimension
+        val staged = batches.flatMap(_.keys).toSet
+        rows.map(_._1).toSet == staged
+      }
+    })
+  }
+
+  test("property: duplicate business keys in one staged batch always fail loudly") {
+    val genDup = for {
+      k <- Gen.oneOf("a", "b", "c")
+      v1 <- Gen.choose(0, 9)
+      v2 <- Gen.choose(0, 9)
+      extra <- Gen.mapOf(Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0, 9)))
+    } yield (k, v1, v2, extra)
+    check("scd2-dup-guard", Prop.forAllNoShrink(genDup) { case (k, v1, v2, extra) =>
+      val dim = etl.Scd.initialLoad(Seq(("z", 0)).toDF("k", "v"), ts(0))
+      val staged = ((k, v1) +: (k, v2) +: extra.toSeq).toDF("k", "v")
+      try {
+        etl.Scd.scd2Merge(dim, staged, Seq("k"), Seq("v"), ts(1)).collect()
+        false // a silently-merged duplicate key corrupts the dimension
+      } catch {
+        case e: Throwable =>
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+            .exists(t => Option(t.getMessage)
+              .exists(_.contains("duplicate business key")))
+      }
+    }, cases = 6)
+  }
+
+  // ------------------------------------------------- incremental ≡ full
+
+  test("property: high-water-mark incremental merge equals the full extract") {
+    // keys are unique per extract (the delta contract); dates straddle
+    // the cutover arbitrarily, including empty-delta and all-delta-but-
+    // one shapes. Row 0 anchors the target — HWM load presumes an
+    // initialized target (an empty target has no watermark to advance).
+    val genOrders = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 19), Gen.choose(0.0, 9.0))).map { rows =>
+      (0, 1.0) +: rows.take(12)
+    }
+    check("incremental-equals-full", Prop.forAllNoShrink(genOrders) { rows =>
+      val orders = rows.zipWithIndex
+        .map { case ((day, v), i) =>
+          (i.toLong, Timestamp.valueOf(ts(day)), v) }
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      val mergedDf = etl.Etl.incrementalMerge(orders, ts(10)).localCheckpoint()
+      val merged = mergedDf
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      val full = orders
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      // re-running the load over the already-merged state is a no-op
+      val again = etl.Etl.incrementalMerge(mergedDf, ts(10))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      merged.sorted.toSeq == full.sorted.toSeq &&
+        again.sorted.toSeq == merged.sorted.toSeq
+    })
+  }
+
+  // ------------------------------------------- components vs closure
+
+  test("property: min-label components equal brute transitive closure") {
+    val genEdges = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))
+        .suchThat { case (a, b) => a != b }).map(_.take(15))
+    check("components-vs-closure", Prop.forAllNoShrink(genEdges) { edges =>
+      val pairs = edges
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .toDF("doc_a", "doc_b")
+      val got = llm.Dedup.components(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute union-find over the same edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = verts.map { v =>
+        // canonical label = min vertex id in the component
+        val root = find(v)
+        v -> verts.filter(find(_) == root).min
+      }.toMap
+      got == want
+    })
+  }
+
+  // ------------------------------------------------- sessionize gap law
+
+  test("property: sessions break exactly at gaps >= the threshold") {
+    val gapSec = 900L
+    // per-user gap sequences: dense bursts, exact-threshold gaps (the
+    // >= boundary), equal timestamps, and long silences
+    val genUsers = Gen.nonEmptyListOf(Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.choose(0L, 100L), Gen.const(900L), Gen.const(899L),
+        Gen.const(0L), Gen.choose(901L, 4000L)))).map(_.take(3))
+    check("sessionize-gap-law", Prop.forAllNoShrink(genUsers) { users =>
+      val base = Timestamp.valueOf(ts(0)).getTime
+      val rows = users.zipWithIndex.flatMap { case (gaps, u) =>
+        gaps.take(20).scanLeft(0L)(_ + _).zipWithIndex.map { case (off, i) =>
+          (u.toLong, (u * 100 + i).toLong, new Timestamp(base + off * 1000), 1.0)
+        }
+      }
+      val out = ops.Windows
+        .sessionized(rows.toDF("user_id", "event_id", "ts", "value"), gapSec)
+        .select("user_id", "event_id", "ts", "session_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      out.groupBy(_._1).forall { case (_, evs) =>
+        val ordered = evs.sortBy(e => (e._3.getTime, e._2)).toList
+        ordered.head._4 == 1L &&
+          ordered.sliding(2).forall {
+            case Seq(a, b) =>
+              val gap = (b._3.getTime - a._3.getTime) / 1000
+              if (gap >= gapSec) b._4 == a._4 + 1 else b._4 == a._4
+            case _ => true
+          }
+      }
+    })
+  }
+}
