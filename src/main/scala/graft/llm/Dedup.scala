@@ -556,6 +556,50 @@ object Dedup {
             .distinct().agg(count(lit(1)).as("n_nodes"))))
   }
 
+  /** Triangle count over an undirected canonical edge list (a < b)
+    * under an explicit vertex ORDER — the skew lever the `triangles`
+    * scaladoc names (production systems orient edges by DEGREE so a
+    * hub's wedges are enumerated from its low-degree neighbors, never
+    * from the hub itself). Edges are oriented low-rank → high-rank,
+    * wedges enumerated from each edge's low vertex, and a wedge closes
+    * iff its (v, w) pair is itself an oriented edge — every triangle
+    * counted exactly once for ANY total order, so the count is
+    * order-invariant while the wedge volume is Σ outdeg², which
+    * degree-ordering bounds by O(E^1.5) on any graph (a hub gets
+    * out-degree ~0). Returns (triangles, wedges) so ComponentsSpec can
+    * pin both the invariance and the wedge reduction on a skewed
+    * graph. */
+  private[graft] def orientedTriangleCounts(
+      edges: DataFrame, byDegree: Boolean): (Long, Long) = {
+    val both = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val rank =
+      if (!byDegree)
+        both.select(col("u").as("node")).distinct()
+          .select(col("node"), col("node").as("rnk"))
+      else
+        // rank = degree, tie-broken by id: rnk fits a long because ids
+        // stay below 2^31 and degree below 2^31
+        both.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .select(col("node"),
+            (col("deg") * 4294967296L + col("node")).as("rnk"))
+    val r = broadcast(rank) // vertex table; at 100 TB this is the one
+    // shuffle join by node instead — orientation stays O(E)
+    val oriented = both
+      .join(r.withColumnRenamed("node", "u").withColumnRenamed("rnk", "ru"), Seq("u"))
+      .join(r.withColumnRenamed("node", "v").withColumnRenamed("rnk", "rv"), Seq("v"))
+      .filter(col("ru") < col("rv"))
+      .select(col("u"), col("v"), col("rv"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.rv") < col("y.rv"))
+      .select(col("x.v").as("wu"), col("y.v").as("wv"))
+    val closing = oriented.select(col("u").as("wu"), col("v").as("wv"))
+    val wedgesN = wedges.count()
+    val triN = wedges.join(closing, Seq("wu", "wv"), "left_semi").count()
+    (triN, wedgesN)
+  }
+
   private val trianglesSql =
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
        |  FROM lineitem WHERE l_orderkey % 4 = 0),

@@ -54,4 +54,26 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.filter(_._1 <= 130L).values.toSet === Set(100L))
     assert(got.filter(_._1 >= 200L).values.toSet === Set(200L))
   }
+
+  test("degree-ordered triangles: same count, far fewer wedges on a hub graph") {
+    // adversarial skew: hub 0 touches every spoke 1..60 AND has the
+    // LOWEST id, so canonical-id orientation points every hub edge
+    // outward and enumerates all C(60,2)=1770 hub wedges; a clique on
+    // 1..5 plants real triangles (hub-i-j plus intra-clique)
+    val spokes = (1L to 60L).map(i => (0L, i))
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val edges = (spokes ++ clique).toDF("a", "b")
+    val (triById, wedgesById) =
+      llm.Dedup.orientedTriangleCounts(edges, byDegree = false)
+    val (triByDeg, wedgesByDeg) =
+      llm.Dedup.orientedTriangleCounts(edges, byDegree = true)
+    // count is orientation-invariant: C(5,2)=10 hub triangles + C(5,3)=10
+    assert(triById === 20L, s"canonical count wrong: $triById")
+    assert(triByDeg === triById, "ordering must never change the count")
+    // the lever itself: hub out-degree drops to 0 under degree order,
+    // so the wedge set collapses from Θ(hub²) to the spoke wedges
+    assert(wedgesById >= 1770L, s"hub wedges missing: $wedgesById")
+    assert(wedgesByDeg * 10 < wedgesById,
+      s"degree ordering should cut wedges >10x: $wedgesByDeg vs $wedgesById")
+  }
 }

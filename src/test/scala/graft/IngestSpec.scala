@@ -122,6 +122,55 @@ class IngestSpec extends AnyFunSuite {
       s"suppkey spread ${perFile.getAs[Double]("sk")} vs global ${global.getDouble(1)}")
   }
 
+  test("z-order read side: the 2-D box predicate prunes most of the scan") {
+    ops.Scans.sinkZorder(spark, Sf) // builds the clustered layout
+    val zPath = core.Fixtures.path(Sf, "sink_zorder")
+    // unclustered twin: same rows, same file count, no z sort — the
+    // layout a plain ingest would produce
+    val uPath = java.nio.file.Files.createTempDirectory("graft_unclustered").toString
+    spark.read.schema(core.Tables.lineitem).parquet(zPath)
+      .repartition(8).write.mode("overwrite").parquet(uPath)
+
+    // a ~25%-per-dimension box placed inside the actual key ranges
+    // (scale-factor-robust): ~6% of rows, the selective-lookup shape
+    // z-ordering exists for
+    val b = spark.read.schema(core.Tables.lineitem).parquet(zPath)
+      .agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    def box(lo: Long, hi: Long): (Long, Long) =
+      (lo + (hi - lo) / 10, lo + (hi - lo) * 35 / 100)
+    val (pkLo, pkHi) = box(b.getLong(0), b.getLong(1))
+    val (skLo, skHi) = box(b.getLong(2), b.getLong(3))
+
+    // rows the parquet reader actually SURFACES under the pushed filter
+    // = rows in row groups whose min/max stats overlap the box (the
+    // Filter node above re-evaluates exactly; scan metrics expose the
+    // skip). This is the query-level proof the file-stats test above
+    // can't give: clustering must turn stats into skipped IO.
+    def scanned(path: String): (Long, Long) = {
+      val df = spark.read.schema(core.Tables.lineitem).parquet(path)
+        .filter(col("l_partkey").between(pkLo, pkHi) &&
+          col("l_suppkey").between(skLo, skHi))
+        .select(col("l_orderkey"))
+      val matched = df.count()
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      (scan.metrics("numOutputRows").value, matched)
+    }
+    val (zScanned, zMatched) = scanned(zPath)
+    val (uScanned, uMatched) = scanned(uPath)
+    assert(zMatched === uMatched, "layout must never change the answer")
+    assert(zMatched > 0, "the box predicate should select something")
+    // unclustered: every row group overlaps the box -> full-table scan
+    val total = spark.read.parquet(zPath).count()
+    assert(uScanned >= (total * 0.9).toLong,
+      s"unclustered baseline unexpectedly pruned: $uScanned of $total")
+    // z-ordered: the Morton sort concentrates the box into few row
+    // groups; the reader must skip well over half the table
+    assert(zScanned * 2 < uScanned,
+      s"z-order pruned too little: scanned $zScanned vs unclustered $uScanned")
+  }
+
   test("golden: flagship agg_hash pinned values at sf0.001") {
     val rows = ops.Aggregates.aggHash(spark, Sf).collect()
     assert(rows.length === 6) // {A,N,R} × {F,O}
