@@ -343,9 +343,13 @@ object Dedup {
       base.select(lit(kind).as("pair_kind"), col("doc_id").as("id_a"),
         (col("doc_id") + off).as("id_b"))
     }.reduce(_ unionByName _)
-    // corpus raw-text dup groups: canonical (min_id, other) pairs
-    val grp = d.groupBy(col("text")).agg(min(col("doc_id")).as("min_id"))
-    val corpusDups = d.join(grp, Seq("text"))
+    // corpus raw-text dup groups: canonical (min_id, other) pairs.
+    // Grouped/joined on a 256-bit content hash so the exchange carries
+    // 32 bytes per row, never the document body (same scale rationale
+    // as llm_exact_dedup's hash-groupBy).
+    val keyed = d.select(col("doc_id"), sha2(col("text"), 256).as("_tkey"))
+    val grp = keyed.groupBy(col("_tkey")).agg(min(col("doc_id")).as("min_id"))
+    val corpusDups = keyed.join(grp, Seq("_tkey"))
       .filter(col("doc_id") > col("min_id"))
       .select(lit("corpus_exact_dup").as("pair_kind"),
         col("min_id").as("id_a"), col("doc_id").as("id_b"))

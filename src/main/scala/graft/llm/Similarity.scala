@@ -168,8 +168,7 @@ object Similarity {
     val exact = pairs(simsearch(spark, dir))       // tiny: 10 probes × 5
     val lsh = pairs(simsearchLshImpl(spark, dir, multiProbe = true))
     val recall = (exact & lsh).size.toDouble / exact.size
-    val cSingle = simsearchCandidates(spark, dir, multiProbe = false).count()
-    val cMulti = simsearchCandidates(spark, dir, multiProbe = true).count()
+    val (cSingle, cMulti) = simsearchCandidateCounts(spark, dir)
     spark.range(1).select(
       lit(10L).as("n_probes"), lit(5L).as("k"),
       lit(exact.size.toLong).as("n_exact_pairs"),
@@ -209,6 +208,30 @@ object Similarity {
     banded.join(broadcast(probeBands), Seq("band_idx", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id")).distinct()
+  }
+
+  /** Single- and multi-probe candidate-pair counts in ONE banding pass:
+    * each probe bucket carries its explode position (0 = the probe's
+    * own bucket, >0 = a 1-bit flip), so a per-pair max over the flag
+    * recovers the single-probe subset without re-banding the corpus —
+    * the keyed query's bound check costs one candidate join, not two. */
+  private[graft] def simsearchCandidateCounts(
+      spark: SparkSession, dir: String): (Long, Long) = {
+    val bandsOf = srpBands(SimBandBits, SimBands)
+    val banded = emb(spark, dir).select(col("vec_id"),
+      posexplode(bandsOf(col("embedding"))).as(Seq("band_idx", "bucket")))
+    val probeBands = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("band_idx"),
+        posexplode(array(col("bucket") +: (0 until SimBandBits).map(j =>
+          col("bucket").bitwiseXOR(lit(1 << j))): _*))
+          .as(Seq("probe_pos", "bucket")))
+    val row = banded.join(broadcast(probeBands), Seq("band_idx", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(max(when(col("probe_pos") === 0, 1L).otherwise(0L)).as("_direct"))
+      .agg(sum(col("_direct")).as("single"), count(lit(1)).as("multi"))
+      .head()
+    (row.getLong(0), row.getLong(1))
   }
 
   private[graft] def simsearchLshImpl(

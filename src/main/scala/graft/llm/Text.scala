@@ -226,15 +226,21 @@ object Text {
     * one of the booleans and turns the driver row red. ScalaTest pins
     * the raw values separately. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // group/distinct on a 256-bit content hash, not the raw text: the
+    // consistency shuffle carries 32 bytes per row instead of the
+    // document body (the difference between a metadata-sized exchange
+    // and re-shuffling the corpus at 100 TB); sha2-256 collisions are
+    // beyond-astronomical, so group identity is text identity
     val raw = fingerprintRaw(docs(spark, dir))
-    val grp = raw.groupBy(col("text")).agg(
+      .withColumn("_tkey", sha2(col("text"), 256))
+    val grp = raw.groupBy(col("_tkey")).agg(
       countDistinct(col("rolling_fp")).as("_nfp"),
       countDistinct(col("min_window_fp")).as("_nwin"))
     val global = raw.agg(
-      (countDistinct(col("rolling_fp")) === countDistinct(col("text")))
+      (countDistinct(col("rolling_fp")) === countDistinct(col("_tkey")))
         .as("fp_collision_free"))
     ordered(
-      raw.join(grp, Seq("text"))
+      raw.join(grp, Seq("_tkey"))
         .crossJoin(broadcast(global))
         .select(col("doc_id"),
           size(split(col("text"), " ")).as("n_tokens"),

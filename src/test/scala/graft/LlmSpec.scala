@@ -142,6 +142,10 @@ class LlmSpec extends AnyFunSuite {
     val cMulti = llm.Similarity.simsearchCandidates(spark, Sf, multiProbe = true).count()
     assert(cMulti <= 5 * cSingle,
       s"multi-probe candidates $cMulti exceed the (bits+1)× bound over $cSingle")
+    // the keyed query's one-pass tagged count must agree with the
+    // two-pass ground truth
+    assert(llm.Similarity.simsearchCandidateCounts(spark, Sf) ===
+      ((cSingle, cMulti)))
     info(f"recall ${recall(single)}%.2f → ${recall(multi)}%.2f; " +
       f"candidates $cSingle → $cMulti (${cMulti.toDouble / cSingle}%.1fx)")
   }

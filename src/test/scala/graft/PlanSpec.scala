@@ -151,4 +151,14 @@ class PlanSpec extends AnyFunSuite {
         s"$key should be embarrassingly parallel:\n$p")
     }
   }
+
+  test("llm_cosine_dedup_lsh verifies candidates via equi-joins, never a nested loop") {
+    // the whole point of the LSH path: the exact-cosine verify joins a
+    // bounded candidate list by id — a BroadcastNestedLoopJoin here
+    // would mean the O(n²) pair join snuck back in
+    val p = plan("llm_cosine_dedup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"LSH dedup must not plan a nested-loop pair join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
