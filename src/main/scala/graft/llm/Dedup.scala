@@ -53,9 +53,12 @@ object Dedup {
     * enough that the brute-force shingle join stays near-linear, while
     * 2-grams (~1k space) made every shingle a hot key (60M-row join at
     * sf0.1 — measured). Shingle rarity is THE scaling lever here. */
-  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(spark, docs(spark, dir))
+
+  private[graft] def shinglesOf(spark: SparkSession, d: DataFrame): DataFrame = {
     val fn = WordShingles.register(spark, 3)
-    docs(spark, dir).selectExpr("doc_id", s"$fn(text) AS shingle").distinct()
+    d.selectExpr("doc_id", s"$fn(text) AS shingle").distinct()
   }
 
   private val NumPerms = 64 // minhash permutations
@@ -76,13 +79,20 @@ object Dedup {
     * is reproducible, not probabilistic). Hash-matching the brute SQL
     * is therefore the honest gate: a banding/signature regression
     * breaks equality and turns the row red. */
-  def nearDedup(spark: SparkSession, dir: String): DataFrame = {
+  def nearDedup(spark: SparkSession, dir: String): DataFrame =
+    nearDedupPairs(spark, docs(spark, dir))
+
+  /** The full MinHash-LSH pipeline over an arbitrary (doc_id, text)
+    * frame — exposed so PropertySpec can assert LSH == brute on
+    * GENERATED corpora (tiny vocab ⇒ hot shingles, planted dups,
+    * adversarial short docs), not just the fixed fixtures. */
+  private[graft] def nearDedupPairs(spark: SparkSession, d: DataFrame): DataFrame = {
     // cache: the shingle set feeds both the signature build and the
     // exact-Jaccard verify within ONE result computation. Materialize
     // the (small) pair result eagerly, then release the cache — a long
-    // bench session (91 queries × several SFs in one JVM) must not
+    // bench session (139 queries × several SFs in one JVM) must not
     // accumulate shingle-table blocks in executor memory.
-    val sh = shingles(spark, dir).cache()
+    val sh = shinglesOf(spark, d).cache()
 
     // signature: minimum of a seeded 64-bit hash per permutation. The
     // variable-length shingle STRING is hashed once into a 64-bit base;
@@ -204,12 +214,17 @@ object Dedup {
     * truncated, shingle cache released). Shared by the keyed query and
     * the derived ops (`dedupApply`, `dupClusters`), which would
     * otherwise inherit a pointless global sort in their upstream. */
-  private def jaccardPairsBrute(spark: SparkSession, dir: String): DataFrame = {
+  private def jaccardPairsBrute(spark: SparkSession, dir: String): DataFrame =
+    bruteJaccardPairs(spark, docs(spark, dir))
+
+  /** Brute pair set over an arbitrary (doc_id, text) frame — the
+    * ground-truth twin of [[nearDedupPairs]] for generated corpora. */
+  private[graft] def bruteJaccardPairs(spark: SparkSession, d: DataFrame): DataFrame = {
     // Direct intersection counts from the shingle self-join — one
     // shuffle join + one aggregation. (A pairs→distinct→re-join
     // formulation does the same work three times: measured 10.6 s vs
     // ~4 s at sf0.1.)
-    val sh = shingles(spark, dir).cache() // released after checkpoint below
+    val sh = shinglesOf(spark, d).cache() // released after checkpoint below
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))

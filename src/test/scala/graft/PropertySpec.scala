@@ -162,6 +162,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // --------------------------------------------- minhash LSH vs brute
+
+  test("property: MinHash-LSH near-dedup equals brute Jaccard on generated corpora") {
+    // an 8-word vocabulary makes shingles HOT (many docs share every
+    // 3-gram — the boilerplate regime that stresses the banded join)
+    // and near-dups common; planted exact copies + a one-token edit of
+    // doc 0 guarantee pairs above the 0.8 threshold in every case
+    val vocab = Vector("the", "data", "spark", "shuffle", "join",
+      "scan", "agg", "sort")
+    val genDocs = for {
+      texts <- Gen.nonEmptyListOf(
+        Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.take(25).mkString(" ")))
+      copyOf <- Gen.choose(0, math.max(0, texts.size - 1))
+    } yield {
+      val base = texts.take(15).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val copied = (100L, base(copyOf % base.size)._2) // exact dup
+      val edited = (101L, base.head._2 + " extra")     // near dup of doc 0
+      base :+ copied :+ edited
+    }
+    check("minhash-lsh-vs-brute", Prop.forAllNoShrink(genDocs) { rows =>
+      val d = rows.toDF("doc_id", "text")
+      val lsh = llm.Dedup.nearDedupPairs(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val brute = llm.Dedup.bruteJaccardPairs(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      brute.nonEmpty && lsh == brute
+    }, cases = 8)
+  }
+
   // ------------------------------------------------- sessionize gap law
 
   test("property: sessions break exactly at gaps >= the threshold") {
