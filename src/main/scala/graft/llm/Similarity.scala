@@ -166,9 +166,15 @@ object Similarity {
       df.select(col("probe_id"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(simsearch(spark, dir))       // tiny: 10 probes × 5
-    val lsh = pairs(simsearchLshImpl(spark, dir, multiProbe = true))
+    // one banding pass: the tagged candidate set feeds the bound
+    // counts AND the scoring join (checkpointed — it's pairs-sized)
+    val tagged = simsearchCandidatesTagged(spark, dir).localCheckpoint()
+    val cRow = tagged
+      .agg(sum(col("_direct")).as("single"), count(lit(1)).as("multi")).head()
+    val (cSingle, cMulti) = (cRow.getLong(0), cRow.getLong(1))
+    val lsh = pairs(scoreTopK(spark, dir,
+      tagged.select(col("probe_id"), col("vec_id"))))
     val recall = (exact & lsh).size.toDouble / exact.size
-    val (cSingle, cMulti) = simsearchCandidateCounts(spark, dir)
     spark.range(1).select(
       lit(10L).as("n_probes"), lit(5L).as("k"),
       lit(exact.size.toLong).as("n_exact_pairs"),
@@ -210,13 +216,15 @@ object Similarity {
       .select(col("probe_id"), col("vec_id")).distinct()
   }
 
-  /** Single- and multi-probe candidate-pair counts in ONE banding pass:
-    * each probe bucket carries its explode position (0 = the probe's
-    * own bucket, >0 = a 1-bit flip), so a per-pair max over the flag
-    * recovers the single-probe subset without re-banding the corpus —
-    * the keyed query's bound check costs one candidate join, not two. */
-  private[graft] def simsearchCandidateCounts(
-      spark: SparkSession, dir: String): (Long, Long) = {
+  /** Multi-probe candidate pairs with a `_direct` flag in ONE banding
+    * pass: each probe bucket carries its explode position (0 = the
+    * probe's own bucket, >0 = a 1-bit flip), so a per-pair max over
+    * the flag recovers the single-probe subset without re-banding the
+    * corpus. The keyed query checkpoints this frame and derives the
+    * bound counts AND the scoring input from it — one candidate join
+    * total, not three. */
+  private[graft] def simsearchCandidatesTagged(
+      spark: SparkSession, dir: String): DataFrame = {
     val bandsOf = srpBands(SimBandBits, SimBands)
     val banded = emb(spark, dir).select(col("vec_id"),
       posexplode(bandsOf(col("embedding"))).as(Seq("band_idx", "bucket")))
@@ -225,20 +233,26 @@ object Similarity {
         posexplode(array(col("bucket") +: (0 until SimBandBits).map(j =>
           col("bucket").bitwiseXOR(lit(1 << j))): _*))
           .as(Seq("probe_pos", "bucket")))
-    val row = banded.join(broadcast(probeBands), Seq("band_idx", "bucket"))
+    banded.join(broadcast(probeBands), Seq("band_idx", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(max(when(col("probe_pos") === 0, 1L).otherwise(0L)).as("_direct"))
+  }
+
+  private[graft] def simsearchCandidateCounts(
+      spark: SparkSession, dir: String): (Long, Long) = {
+    val row = simsearchCandidatesTagged(spark, dir)
       .agg(sum(col("_direct")).as("single"), count(lit(1)).as("multi"))
       .head()
     (row.getLong(0), row.getLong(1))
   }
 
-  private[graft] def simsearchLshImpl(
-      spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
+  /** Exact-cosine scoring + per-probe top-5 over a candidate
+    * (probe_id, vec_id) list — the verify stage both ANN paths share. */
+  private def scoreTopK(
+      spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
     DotProduct.register(spark)
     val e = emb(spark, dir).withColumn("nrm", norm("embedding"))
-    val cand = simsearchCandidates(spark, dir, multiProbe)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         col("nrm").as("probe_nrm"))
@@ -255,6 +269,11 @@ object Similarity {
         .filter(col("rn") <= 5)
         .select(col("probe_id"), col("vec_id"), col("score"), col("rn")))
   }
+
+  private[graft] def simsearchLshImpl(
+      spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame =
+    scoreTopK(spark, dir,
+      simsearchCandidates(spark, dir, multiProbe).select(col("probe_id"), col("vec_id")))
 
   private val IvfK = 16      // coarse centroids (≈ √n at this scale)
   private val IvfProbes = 4  // clusters probed per query (recall knob)
