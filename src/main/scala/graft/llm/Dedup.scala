@@ -315,9 +315,9 @@ object Dedup {
     * so detection (pair found, hamming exactly 0) is an invariant the
     * oracle can pin — not a probabilistic hope. */
   private val SimhashPlantBase = 20L // first N docs get variants
-  private val CopyOffset = 1000000L    // identical text
-  private val ShuffleOffset = 2000000L // tokens sorted: votes are a bag-of-words sum
-  private val DoubleOffset = 3000000L  // text repeated: votes double, signs unchanged
+  private val CopyOffset = 100000000L    // identical text
+  private val ShuffleOffset = 200000000L // tokens sorted: votes are a bag-of-words sum
+  private val DoubleOffset = 300000000L  // text repeated: votes double, signs unchanged
 
   /** Keyed SimHash query (since r5): the signature family is
     * hash-specific, so the ORACLE-FACING output is the set of pairs
@@ -381,12 +381,12 @@ object Dedup {
   private val simhashSql =
     s"""WITH expected AS (
        |  SELECT 'planted_copy' AS pair_kind, doc_id AS id_a,
-       |    doc_id + 1000000 AS id_b FROM documents WHERE doc_id < 20
+       |    doc_id + 100000000 AS id_b FROM documents WHERE doc_id < 20
        |  UNION ALL
-       |  SELECT 'planted_shuffled', doc_id, doc_id + 2000000
+       |  SELECT 'planted_shuffled', doc_id, doc_id + 200000000
        |  FROM documents WHERE doc_id < 20
        |  UNION ALL
-       |  SELECT 'planted_doubled', doc_id, doc_id + 3000000
+       |  SELECT 'planted_doubled', doc_id, doc_id + 300000000
        |  FROM documents WHERE doc_id < 20
        |  UNION ALL
        |  SELECT 'corpus_exact_dup', m.min_id, d.doc_id

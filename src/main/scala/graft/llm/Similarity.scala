@@ -587,8 +587,8 @@ object Similarity {
         .select((col("vec_id") + offset).as("vec_id"),
           transform(col("embedding"),
             x => f(x.cast(DoubleType)).cast("float")).as("embedding"))
-    base.unionByName(derived(100000L, x => x * 2.0))
-      .unionByName(derived(200000L, x => x + lit(0.05) * abs(x)))
+    base.unionByName(derived(10000000L, x => x * 2.0))
+      .unionByName(derived(20000000L, x => x + lit(0.05) * abs(x)))
   }
 
   /** SCALE PATH for embedding near-dup: banded sign-random-projection
@@ -678,12 +678,12 @@ object Similarity {
     s"""WITH planted AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
-       |  SELECT vec_id + 100000,
+       |  SELECT vec_id + 10000000,
        |    list_transform(embedding,
        |      x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT))
        |  FROM embeddings WHERE vec_id < 25
        |  UNION ALL
-       |  SELECT vec_id + 200000,
+       |  SELECT vec_id + 20000000,
        |    list_transform(embedding,
        |      x -> CAST(CAST(x AS DOUBLE) + 0.05 * abs(CAST(x AS DOUBLE)) AS FLOAT))
        |  FROM embeddings WHERE vec_id < 25)
