@@ -294,10 +294,14 @@ object Dedup {
       out
     }
     val sigs = d.select(col("doc_id"), sim(col("text")).as("sig"))
+    // materialize the band index once — both self-join branches reuse
+    // it instead of re-hashing every document (see the same note on
+    // cosineBandCandidates)
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band_idx", "chunk")))
+      .localCheckpoint()
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.chunk") === col("y.chunk") &&
