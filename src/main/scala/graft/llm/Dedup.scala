@@ -117,8 +117,13 @@ object Dedup {
       val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
       xxhash64((lit(b) +: rows): _*)
     }
+    // materialize the signature bands once: bandPairsKeyed's x/y
+    // branches and its ranking window would otherwise re-run the
+    // 64-agg signature build per branch (same stored-index note as
+    // cosineBandCandidates)
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      .localCheckpoint()
 
     // candidates: docs sharing any band bucket, via the BOUNDED
     // blocked self-join (see bandPairs) — a boilerplate-heavy corpus
@@ -563,9 +568,13 @@ object Dedup {
     val op = Tables.load(spark, dir, "lineitem")
       .filter(col("l_orderkey") % 4 === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // materialize the edge list once: it feeds SIX plan branches (three
+    // join legs + edge/node counts), and each would otherwise replay
+    // the wedge-building self-join + distinct
     val e = op.as("x").join(op.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      .localCheckpoint()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
