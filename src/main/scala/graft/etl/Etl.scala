@@ -699,7 +699,60 @@ object Etl {
        |SELECT change, COUNT(*) AS n_keys FROM d GROUP BY change
        |${O.OrderAll}"""
 
+  /** Partition-scheme EVOLUTION (the Iceberg "partition evolution"
+    * problem on plain parquet): a table laid out by coarse partitions
+    * (order year) is migrated to a finer scheme (year, month) because
+    * query patterns changed — month-selective scans were reading a
+    * whole year. The migration is a read→rewrite of the SAME rows into
+    * the new directory layout (no values change, only placement), and
+    * the keyed output is the audit a production migration must emit:
+    * per-(year, month) row counts + exact value checksum from the NEW
+    * layout, plus an `intact` boolean proving the migrated table equals
+    * the source (row count + total checksum equality — computed from
+    * the actual files, so a lossy rewrite turns the row red).
+    *
+    * 100 TB notes: the rewrite is one shuffle-free pass (partition
+    * columns are derived per-row, dynamic partition insert routes
+    * files); you migrate partition-by-partition in production (here the
+    * whole fixture, same code path). The audit aggregates are
+    * map-side-combined counts/sums — negligible. Old-layout readers
+    * keep working during migration because both layouts carry the data
+    * columns; cutover is a path swap. */
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.Fixtures.path(dir, "etl_partition_evolution")
+    val src = t(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    // coarse base layout (rebuilt each run for idempotence)
+    src.write.mode("overwrite").partitionBy("o_year").parquet(s"$path/by_year")
+    // migration: same rows, finer (year, month) scheme
+    spark.read.parquet(s"$path/by_year")
+      .withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year", "o_month")
+      .parquet(s"$path/by_year_month")
+    val migrated = spark.read.parquet(s"$path/by_year_month")
+    val audit = migrated.agg(
+      count(lit(1)).as("_n"), dsum(col("o_totalprice")).as("_sum"))
+    val srcAudit = src.agg(
+      count(lit(1)).as("_n_src"), dsum(col("o_totalprice")).as("_sum_src"))
+    ordered(migrated
+      .groupBy(col("o_year"), col("o_month"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .crossJoin(broadcast(audit)).crossJoin(broadcast(srcAudit))
+      .select(col("o_year"), col("o_month"), col("n"), col("total"),
+        (col("_n") === col("_n_src") && col("_sum") === col("_sum_src"))
+          .as("intact")))
+  }
+
+  private val partitionEvolutionSql =
+    s"""SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+       |  COUNT(*) AS n, ${O.dsum("o_totalprice")} AS total,
+       |  TRUE AS intact
+       |FROM orders
+       |GROUP BY 1, 2
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_partition_evolution" -> Q(partitionEvolution _, partitionEvolutionSql),
     "etl_snapshot_diff" -> Q(snapshotDiff _, snapshotDiffSql),
     "etl_scd3" -> Q(scd3 _, scd3Sql),
     "etl_schema_evolution" -> Q(schemaEvolution _, schemaEvolutionSql),

@@ -39,6 +39,63 @@ object Udafs {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Count-min sketch over long keys — the mergeable frequency sketch
+    * (Cormode & Muthukrishnan 2005): d=[[CmDepth]] hash rows ×
+    * w=[[CmWidth]] counters, point estimate = min over rows. Guarantees
+    * (for total stream mass N): est ≥ true always (counters only
+    * over-count), and est ≤ true + (e/w)·N with probability ≥ 1−e^−d
+    * per query — the bounds `agg_count_min` surfaces as oracle-pinned
+    * booleans.
+    *
+    * Buffer = one flat Array[Long] of d·w counters (128 KiB): fixed
+    * memory per partial regardless of input size, and `merge` is
+    * element-wise addition — the exchange carries one sketch per
+    * mapper, never raw keys. That mergeability is the whole point at
+    * 100 TB: per-partition sketches combine associatively, exactly like
+    * the HLL/quantile sketches in `agg_approx_distinct` /
+    * `agg_approx_percentile`.
+    *
+    * Hashing: splitmix64-style finalizer over (row seed ⊕ key) —
+    * deterministic, no library dependence, independent-enough rows
+    * (each row uses a distinct odd multiplier seed). */
+  object CountMin {
+    val CmDepth = 4
+    val CmWidth = 4096
+
+    def bucket(row: Int, key: Long): Int = {
+      var z = key + 0x9e3779b97f4a7c15L * (row + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= (z >>> 31)
+      (((z % CmWidth) + CmWidth) % CmWidth).toInt
+    }
+
+    def estimate(sketch: Seq[Long], key: Long): Long =
+      (0 until CmDepth).map(r => sketch(r * CmWidth + bucket(r, key))).min
+  }
+
+  /** The Aggregator wrapping [[CountMin]]: IN = key, BUF/OUT = the flat
+    * counter array. */
+  object CountMinSketch extends Aggregator[Long, Array[Long], Seq[Long]] {
+    import CountMin._
+    override def zero: Array[Long] = new Array[Long](CmDepth * CmWidth)
+    override def reduce(b: Array[Long], key: Long): Array[Long] = {
+      var r = 0
+      while (r < CmDepth) { b(r * CmWidth + bucket(r, key)) += 1L; r += 1 }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Element-wise mean of fixed-dim float vectors. Buffer = one
     * Array[Double] of sums + count: O(dim) memory per group regardless
     * of input size. Output is rounded downstream (float-sum order is

@@ -535,7 +535,69 @@ object Curation {
        |FROM c
        |${O.OrderAll}"""
 
+  private val BloomFpp = 0.01
+  private val BloomExpected = 100000L
+
+  /** Bloom-filter pre-join membership — the cheapest decontamination /
+    * blocklist pass at 100 TB: instead of shuffling the corpus into a
+    * semi join against the benchmark set, build a ~100 KiB Bloom filter
+    * over the (small) benchmark side once and probe every corpus doc
+    * map-side. False positives then (and only then) pay the exact
+    * check; false negatives are IMPOSSIBLE — that one-sided error is
+    * the entire contract, and it's what Spark itself exploits for
+    * runtime row-level filtering. Here the filter is built over the
+    * benchmark docs' normalized texts (`doc_id % 50 = 0`, the same
+    * stand-in eval set as `llm_contamination`) with
+    * `DataFrameStatFunctions.bloomFilter` (distributed treeAggregate
+    * build, order-independent bit-OR ⇒ deterministic under
+    * repartitioning — verified), then probed in one columnar pass.
+    *
+    * Oracle-facing output follows the sketch-key pattern: per-probe
+    * EXACT membership (DuckDB replays it as a semi join) plus the two
+    * invariant booleans — `no_false_negative` (member ⇒ bloom hit,
+    * hard guarantee) and `fp_in_bound` (corpus-wide observed FP rate ≤
+    * 3×fpp, deterministic on fixed corpus + fixed hash family). The
+    * raw bloom bits stay out of the compared columns. */
+  def bloomFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("_norm"))
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val bloom = bench.stat.bloomFilter("_norm", BloomExpected, BloomFpp)
+    val hit = udf { (s: String) => bloom.mightContainString(s) }
+    // membership is CONTENT-level (normalized-text equality with the
+    // benchmark set), so `no_false_negative` is a strict guarantee even
+    // if a non-benchmark doc duplicates a benchmark text
+    val benchNorms = bench.select(col("_norm")).distinct()
+      .withColumn("_bm", lit(1))
+    val probed = d
+      .join(broadcast(benchNorms), Seq("_norm"), "left_outer")
+      .withColumn("is_member", col("_bm").isNotNull)
+      .withColumn("_bloom_hit", hit(col("_norm")))
+      .localCheckpoint() // one probe pass feeds both the rows and the audit agg
+    val audit = probed.agg(
+      max(when(col("is_member") && !col("_bloom_hit"), 1).otherwise(0)).as("_fn"),
+      (sum(when(!col("is_member") && col("_bloom_hit"), 1L).otherwise(0L)) /
+        greatest(sum(when(!col("is_member"), 1L).otherwise(0L)), lit(1L)))
+        .as("_fp_rate"))
+    ordered(probed.crossJoin(broadcast(audit))
+      .select(col("doc_id"), col("is_member"),
+        (col("_fn") === 0).as("no_false_negative"),
+        (col("_fp_rate") <= BloomFpp * 3).as("fp_in_bound")))
+  }
+
+  private val bloomFilterSql =
+    s"""SELECT doc_id,
+       |  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) IN (
+       |    SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+       |    FROM documents WHERE doc_id % 50 = 0) AS is_member,
+       |  TRUE AS no_false_negative,
+       |  TRUE AS fp_in_bound
+       |FROM documents
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_bloom_filter" -> Q(bloomFilter _, bloomFilterSql),
     "llm_chunking" -> Q(chunking _, chunkingSql),
     "llm_dedup_url" -> Q(urlDedup _, urlDedupSql),
     "llm_packing" -> Q(packing _, packingSql),

@@ -406,6 +406,185 @@ object Dedup {
        |FROM expected
        |${O.OrderAll}"""
 
+  /** Max global shingle doc-frequency for a shingle to be usable as a
+    * containment-blocking key. */
+  private[graft] val RareShingleDf = 32
+  private val ContainmentThreshold = 0.9
+  private val ContainedOffset = 400000000L // planted prefix-half sub-docs
+
+  /** Directed n-gram CONTAINMENT dedup — the doc-in-doc case Jaccard
+    * structurally misses: a short doc fully embedded in a long one has
+    * containment(C→A) = |C∩A|/|C| = 1.0 while its Jaccard
+    * |C∩A|/|C∪A| can be arbitrarily small, so `llm_near_dedup` never
+    * sees it. The standard quote/boilerplate/subset-page pass in
+    * training-corpus curation.
+    *
+    * Scale shape: candidates come from RARE-SHINGLE BLOCKING, not the
+    * full shingle self-join — only shingles with global doc-frequency
+    * ≤ [[RareShingleDf]] generate pairs, so one boilerplate shingle
+    * shared by m docs can never emit m² candidate rows (the same
+    * skew-bounding motivation as [[bandPairsKeyed]], realized by
+    * dropping hot keys instead of blocking them — legitimate here
+    * because a high-containment pair shares MANY shingles, nearly all
+    * of the contained doc's, so it survives unless every single one of
+    * its shared shingles is corpus-hot; a blocked band join can't make
+    * that argument for Jaccard's threshold regime). Exact containment
+    * is then computed ONLY for candidates, intersecting over the FULL
+    * shingle set (rare + hot) — the blocking bounds candidate
+    * generation, never the arithmetic. Fully relational, so the DuckDB
+    * oracle replays blocking and verification bit-for-bit.
+    *
+    * The fixture corpus carries no true sub-docs, so the keyed query
+    * PLANTS them (same pattern as the planted embedding near-dups):
+    * each doc_id < 10 contributes a prefix-half derivative at
+    * id + 4·10⁸ whose shingles are a strict subset of its source's —
+    * containment exactly 1.0, detection guaranteed, derivation pure
+    * string arithmetic both engines compute identically. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val planted = d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + ContainedOffset).as("doc_id"),
+        array_join(slice(toks, lit(1), ((size(toks) + 1) / 2).cast("int")), " ")
+          .as("text"))
+    ordered(containmentPairs(spark, d.unionByName(planted),
+      Some(RareShingleDf), ContainmentThreshold))
+  }
+
+  /** Containment pairs over an arbitrary (doc_id, text) frame.
+    * `rareCap = None` disables the rare-shingle blocking (full
+    * candidate self-join) — the brute twin LlmSpec compares the
+    * blocked path against. */
+  private[graft] def containmentPairs(
+      spark: SparkSession, d: DataFrame, rareCap: Option[Int],
+      thr: Double): DataFrame = {
+    val sh = shinglesOf(spark, d).localCheckpoint()
+    val candSrc = rareCap match {
+      case Some(cap) =>
+        val rare = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap)
+          .select(col("shingle"))
+        sh.join(rare, Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val cand = candSrc.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(candSrc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      // exact small-int rationals — bit-identical on both engines, never round
+      .withColumn("cont_a_in_b", col("n_inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("cont_b_in_a", col("n_inter").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= thr)
+      .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
+  private val containmentSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 400000000,
+       |    array_to_string(l[1:(len(l)+1)//2], ' ')
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+       |  WHERE doc_id < 10),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       |  UNION
+       |  SELECT doc_id, text AS s FROM corpus WHERE len(string_split(text, ' ')) <= 3),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 32),
+       |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS c
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a_in_b,
+       |  CAST(c AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b_in_a
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE greatest(CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE),
+       |               CAST(c AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.9
+       |${O.OrderAll}"""
+
+  private val SpanTokens = 8 // repeated-span window length
+  private val SpanTopK = 100 // presentation cap (deterministic total order)
+
+  /** Cross-document repeated-SPAN detection — the exact-substring
+    * complement of set-based near-dedup (the suffix-array dedup family
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, re-expressed relationally): every
+    * [[SpanTokens]]-token window that recurs VERBATIM in ≥ 2 distinct
+    * docs, with doc- and occurrence-counts. Set-Jaccard misses a short
+    * quoted span inside two otherwise-different docs; the span pass is
+    * how memorization-prone boilerplate (licenses, disclaimers,
+    * templates) is found verbatim.
+    *
+    * Scale shape: tokenize once per doc, slide the window with a
+    * zero-shuffle HOF (`transform(sequence)` over the token array —
+    * same lambda-hygiene pattern as `llm_repetition`), then ONE
+    * map-side-combined groupBy on the span string. No self-join at
+    * all; the shuffle carries (span, partial counts), and the
+    * presentation cap is a windowed row_number over the aggregate
+    * (tiny), never a collect. A production run would hash spans to
+    * 64-bit before the shuffle (8 bytes vs ~50) and keep the string
+    * only for the report join — noted, not needed at test scale. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val spans = docs(spark, dir)
+      // tokenize ONCE into a named column; the window HOF references it
+      .select(col("doc_id"),
+        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ").as("_toks"))
+      .filter(size(col("_toks")) >= SpanTokens)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(_toks) - ${SpanTokens - 1}), " +
+            s"i -> array_join(slice(_toks, i, $SpanTokens), ' '))")).as("span"))
+    val agg = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+    val w = Window.orderBy(col("n_docs").desc, col("n_occ").desc, col("span").asc)
+    ordered(agg
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= SpanTopK)
+      .select(col("span"), col("n_docs"), col("n_occ")))
+  }
+
+  private val spanDedupSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS l
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(l) - 6),
+       |      i -> array_to_string(l[i:i+7], ' '))) AS span
+       |  FROM t WHERE len(l) >= 8),
+       |agg AS (
+       |  SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+       |  FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+       |SELECT span, n_docs, n_occ FROM agg
+       |QUALIFY row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, span) <= 100
+       |${O.OrderAll}"""
+
   /** Apply the near-dedup: the cleaned corpus after dropping every doc
     * that near-duplicates a smaller-id partner (min-id-wins, the usual
     * training-corpus convention). Edges here come from the exact
@@ -655,6 +834,8 @@ object Dedup {
     "llm_dup_clusters" -> Q(dupClusters _, dupClustersSql),
     "llm_exact_dedup" -> Q(exactDedup _, exactDedupSql),
     "llm_near_dedup" -> Q(nearDedup _, ngramJaccardSql),
+    "llm_containment" -> Q(containment _, containmentSql),
+    "llm_span_dedup" -> Q(spanDedup _, spanDedupSql),
     "llm_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql),
     "llm_simhash" -> Q(simhash _, simhashSql)
   )

@@ -458,7 +458,66 @@ object Aggregates {
        |${O.OrderAll}"""
   }
 
+  /** Count-min sketch point queries (`Udafs.CountMinSketch`) — the
+    * mergeable FREQUENCY sketch completing the sketch family
+    * (`agg_approx_distinct` = cardinality, `agg_approx_percentile` =
+    * quantiles, `agg_sketch_merge` = partial-merge; this = per-key
+    * counts). One pass builds a single 4×4096 counter sketch over all
+    * lineitem supplier keys; ten fixed probe keys are then estimated
+    * from the sketch and joined against their exact counts (the exact
+    * twin runs in-query, same pattern as the ANN recall keys).
+    *
+    * Oracle-pinned guarantees, per probe: `overcount_ok` (est ≥ true —
+    * a hard sketch invariant, counters only over-count) and
+    * `within_bound` (est ≤ true + (e/w)·N — holds w.p. ≥ 1−e^−4 per
+    * probe; the hash family is FIXED, so on fixed corpora the outcome
+    * is deterministic and pinned TRUE like the r4 sketch keys). The
+    * estimates themselves stay out of the oracle-compared columns —
+    * they are hash-family-specific; the INVARIANTS are the contract.
+    *
+    * 100 TB: the sketch buffer is 128 KiB regardless of input size and
+    * merges element-wise at the exchange — one sketch per mapper
+    * crosses the wire, never keys. The exact twin's per-key groupBy is
+    * itself scale-fine (distinct suppliers, not rows). */
+  def aggCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Udafs.CountMin
+    val li = t(spark, dir, "lineitem")
+    val sketchDf = li.select(col("l_suppkey"))
+      .as[Long]
+      .select(Udafs.CountMinSketch.toColumn.name("sketch"))
+    val sketch = sketchDf.head()
+    // total stream mass N = any hash row's counter sum (every key
+    // increments exactly one counter per row) — no second input pass
+    val n = sketch.view.slice(0, CountMin.CmWidth).sum
+    val bound = math.ceil(math.E / CountMin.CmWidth * n).toLong
+    val probes = (1L to 10L)
+    val est = probes.map(k => (k, CountMin.estimate(sketch, k))).toDF("probe_key", "_est")
+    val exact = li.filter(col("l_suppkey").isin(probes: _*))
+      .groupBy(col("l_suppkey").as("probe_key"))
+      .agg(count(lit(1)).as("true_n"))
+    ordered(est.join(exact, Seq("probe_key"), "left_outer")
+      .select(col("probe_key"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"),
+        (col("_est") >= coalesce(col("true_n"), lit(0L))).as("overcount_ok"),
+        (col("_est") <= coalesce(col("true_n"), lit(0L)) + lit(bound))
+          .as("within_bound")))
+  }
+
+  private val aggCountMinSql =
+    s"""WITH probes AS (SELECT unnest(generate_series(1, 10)) AS probe_key),
+       |exact AS (
+       |  SELECT l_suppkey AS probe_key, COUNT(*) AS true_n
+       |  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 10 GROUP BY 1)
+       |SELECT p.probe_key,
+       |  COALESCE(e.true_n, 0) AS true_n,
+       |  TRUE AS overcount_ok,
+       |  TRUE AS within_bound
+       |FROM probes p LEFT JOIN exact e ON e.probe_key = p.probe_key
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "agg_count_min" -> Q(aggCountMin _, aggCountMinSql),
     "agg_min_by" -> Q(aggMinBy _, aggMinBySql),
     "agg_stats" -> Q(aggStats _, aggStatsSql),
     "agg_approx_percentile" -> Q(aggApproxPercentile _, aggApproxPercentileSql),

@@ -186,10 +186,108 @@ object SqlApi {
        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
        |${O.OrderAll}"""
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    * spelling of per-outer-row top-N (the DataFrame twin is
+    * `topk_grouped`'s window). Catalyst decorrelates the lateral into
+    * a join + per-key limit instead of executing the subquery once per
+    * customer row — the property that makes the spelling survive a
+    * 100 TB outer side (a re-execute-per-row strategy would be O(n)
+    * subquery runs). Verified in the physical plan: the lateral
+    * becomes one BroadcastHashJoin/SMJ, never an iterative subquery. */
+  def sqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         |FROM graft_customer c, LATERAL (
+         |  SELECT o_orderkey, o_totalprice FROM graft_orders
+         |  WHERE o_custkey = c.c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin))
+  }
+
+  private val sqlLateralSql =
+    s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+       |FROM customer c, LATERAL (
+       |  SELECT o_orderkey, o_totalprice FROM orders
+       |  WHERE o_custkey = c.c_custkey
+       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |${O.OrderAll}"""
+
+  /** Disjunctive IN-subquery — `IN (subquery) OR other_predicate`.
+    * A plain IN becomes a left-semi join, but under an OR the semi
+    * join can't filter rows outright; Catalyst plans an
+    * EXISTENCE join (a semi-join variant that APPENDS a boolean
+    * `exists` column instead of filtering) and evaluates the
+    * disjunction afterwards — the third semi-join family member next
+    * to `join_semi`/`join_anti`, pinned in PlanSpec. Same scale shape
+    * as a semi join: one hash join on the subquery key, no row
+    * explosion. */
+  def joinExistence(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT c_custkey, c_acctbal FROM graft_customer
+         |WHERE c_custkey IN (
+         |    SELECT o_custkey FROM graft_orders WHERE o_totalprice > 400000)
+         |  OR c_acctbal > 9000""".stripMargin))
+  }
+
+  private val joinExistenceSql =
+    s"""SELECT c_custkey, c_acctbal FROM customer
+       |WHERE c_custkey IN (
+       |    SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+       |  OR c_acctbal > 9000
+       |${O.OrderAll}"""
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted to the synthetic
+    * schema (no partsupp table — lineitem is the part↔supplier
+    * association; no s_comment — negative account balance stands in
+    * for the excluded-supplier predicate). The interesting operator is
+    * `NOT IN (subquery)` on a NULLABLE key: unlike NOT EXISTS, NOT IN
+    * is null-poisoned (one NULL in the subquery empties the result),
+    * so Catalyst cannot use a plain anti join — it plans a
+    * NULL-AWARE anti join (BroadcastHashJoin with
+    * `isNullAwareAntiJoin=true`, single-column broadcast case), the
+    * fourth semi-join family member. Pinned in PlanSpec — the naive
+    * fallback is a BroadcastNestedLoopJoin, which would be a
+    * scale-killer on a 100 TB probe side. */
+  def sqlTpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM graft_lineitem
+         |JOIN graft_part ON p_partkey = l_partkey
+         |WHERE p_brand <> 'Brand#1'
+         |  AND p_size IN (1, 7, 14, 23, 36, 45)
+         |  AND l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM graft_supplier WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_size""".stripMargin))
+  }
+
+  private val sqlTpchQ16Sql =
+    s"""SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand <> 'Brand#1'
+       |  AND p_size IN (1, 7, 14, 23, 36, 45)
+       |  AND l_suppkey NOT IN (
+       |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_size
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sql_tpch_q3" -> Q(sqlTpchQ3 _, sqlTpchQ3Sql),
     "sql_tpch_q5" -> Q(sqlTpchQ5 _, sqlTpchQ5Sql),
+    "sql_tpch_q16" -> Q(sqlTpchQ16 _, sqlTpchQ16Sql),
     "sql_tpch_q18" -> Q(sqlTpchQ18 _, sqlTpchQ18Sql),
+    "sql_lateral" -> Q(sqlLateral _, sqlLateralSql),
+    "join_existence" -> Q(joinExistence _, joinExistenceSql),
     "agg_grouping_sets" -> Q(aggGroupingSets _, aggGroupingSetsSql),
     "sql_correlated" -> Q(sqlCorrelated _, sqlCorrelatedSql)
   )

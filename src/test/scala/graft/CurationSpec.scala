@@ -171,4 +171,21 @@ class CurationSpec extends AnyFunSuite {
       assert(out.filter(col("top_count") > 1).count() > 0)
     } finally out.unpersist()
   }
+
+  test("bloom filter: no false negatives, FP bounded, membership exact") {
+    val out = llm.Curation.bloomFilter(spark, Sf).collect()
+    val docs = core.Tables.load(spark, Sf, "documents").count()
+    assert(out.length === docs)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("no_false_negative"),
+        "a Bloom filter can NEVER miss a true member — hard guarantee broken")
+      assert(r.getAs[Boolean]("fp_in_bound"))
+    }
+    // content-level membership == the id-defined benchmark set on this
+    // corpus (no exact text dups in the fixtures)
+    val members = out.filter(_.getAs[Boolean]("is_member"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val expected = out.map(_.getAs[Long]("doc_id")).filter(_ % 50 == 0).toSet
+    assert(members === expected)
+  }
 }

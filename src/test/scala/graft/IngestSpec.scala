@@ -171,6 +171,22 @@ class IngestSpec extends AnyFunSuite {
       s"z-order pruned too little: scanned $zScanned vs unclustered $uScanned")
   }
 
+  test("partition evolution: migrated layout is intact and physically (year, month)-nested") {
+    val out = etl.Etl.partitionEvolution(spark, Sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("intact")),
+      "migration must preserve row count and value checksum exactly")
+    // layout proof: the migrated table is really a two-level
+    // (o_year=*/o_month=*) directory tree, not just re-derived columns
+    val root = new java.io.File(
+      core.Fixtures.path(Sf, "etl_partition_evolution"), "by_year_month")
+    val yearDirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("o_year="))
+    assert(yearDirs.nonEmpty)
+    assert(yearDirs.forall(y => y.listFiles().exists(m =>
+      m.isDirectory && m.getName.startsWith("o_month="))))
+  }
+
   test("golden: flagship agg_hash pinned values at sf0.001") {
     val rows = ops.Aggregates.aggHash(spark, Sf).collect()
     assert(rows.length === 6) // {A,N,R} × {F,O}

@@ -263,4 +263,47 @@ class LlmSpec extends AnyFunSuite {
     assert(cand < n.toLong * (n - 1) / 2 / 10,
       s"8x8 banding should prune >90% of ${n.toLong * (n - 1) / 2} pairs, kept $cand")
   }
+
+  test("containment: planted prefix-half sub-docs all detected at exactly 1.0") {
+    val out = llm.Dedup.containment(spark, Sf)
+    // the 10 source↔derivative pairs specifically (a planted sub-doc may
+    // ALSO legitimately pair with near-dups of its source — not asserted here)
+    val planted = out
+      .filter(col("doc_b") === col("doc_a") + 400000000L).collect()
+    assert(planted.length === 10)
+    planted.foreach { r =>
+      assert(r.getAs[Double]("cont_b_in_a") === 1.0,
+        "a prefix-half sub-doc's shingles are a strict subset — containment exactly 1")
+    }
+    // Jaccard would NOT have flagged at least one of these pairs at 0.8:
+    // that's the doc-in-doc blind spot the operator exists for
+    val jac = llm.Dedup.ngramJaccard(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(planted.exists(r =>
+      !jac.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))))
+  }
+
+  test("containment: rare-shingle blocking loses no pair vs the full self-join") {
+    val d = core.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("text"))
+    def pairs(cap: Option[Int]) =
+      llm.Dedup.containmentPairs(spark, d, cap, 0.9).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    val blocked = pairs(Some(llm.Dedup.RareShingleDf))
+    val full = pairs(None)
+    assert(blocked === full,
+      "every ≥0.9-containment pair must share at least one rare shingle here")
+    assert(full.nonEmpty, "fixture should contain organic high-containment pairs")
+  }
+
+  test("span_dedup: spans are exactly 8 tokens, ≥2 docs each, capped at 100") {
+    val out = llm.Dedup.spanDedup(spark, Sf).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    out.foreach { r =>
+      assert(r.getAs[String]("span").split(" ").length === 8)
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
+    }
+  }
 }

@@ -238,4 +238,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(opts("dbtable") === "dbo.target" && opts("batchsize") === "500"
       && opts("numPartitions") === "2")
   }
+
+  test("count-min sketch: never undercounts, merge is exact, bounds hold end-to-end") {
+    import graft.functions.Udafs.{CountMin, CountMinSketch}
+    // deterministic synthetic stream with heavy + rare keys
+    val keys = (0 until 2000).map(i => (i % 97).toLong * 31 + 7) ++
+      (0 until 50).map(i => 100000L + i)
+    val trueCounts = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // split → partial sketches → merge must equal the one-pass sketch
+    val (k1, k2) = keys.splitAt(keys.length / 3)
+    val s1 = k1.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce)
+    val s2 = k2.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce)
+    val merged = CountMinSketch.merge(s1, s2)
+    val whole = keys.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce)
+    assert(merged.sameElements(whole), "merge must be exact elementwise addition")
+    // one-sided error: estimates never undercount
+    val est = merged.toSeq
+    trueCounts.foreach { case (k, n) =>
+      assert(CountMin.estimate(est, k) >= n, s"undercount at key $k")
+    }
+    // keyed query invariants on the fixture
+    val out = ops.Aggregates.aggCountMin(spark, Sf).collect()
+    assert(out.length === 10)
+    assert(out.forall(r => r.getAs[Boolean]("overcount_ok")
+      && r.getAs[Boolean]("within_bound")))
+  }
 }

@@ -152,6 +152,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_existence plans an ExistenceJoin (semi family; appends a bool, no row explosion)") {
+    val df = SparkEntry.queries("join_existence")(spark, Sf)
+    // the existence variant only shows by name in the logical plan; the
+    // physical BroadcastHashJoin carries it as its join type
+    assert(df.queryExecution.optimizedPlan.toString.contains("ExistenceJoin"))
+    assert(plan("join_existence").contains("ExistenceJoin"))
+  }
+
+  test("sql_tpch_q16: NOT IN plans a null-aware anti hash join, never a nested loop") {
+    val p = plan("sql_tpch_q16")
+    // the trailing `true` on the anti BHJ is isNullAwareAntiJoin — the
+    // fallback for null-poisoned NOT IN is a BroadcastNestedLoopJoin,
+    // which would be a scale-killer on the 100 TB probe side
+    assert(p.matches("(?s).*BroadcastHashJoin .*LeftAnti, BuildRight, true.*"),
+      s"expected null-aware anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sql_lateral decorrelates to a hash join + map-side WindowGroupLimit") {
+    val p = plan("sql_lateral")
+    // a non-decorrelated lateral would re-run the subquery per outer
+    // row; the decorrelated form is one join, and the per-key LIMIT
+    // runs as a PARTIAL WindowGroupLimit before the exchange (top-N
+    // pushdown — each mapper keeps 2 rows per key, the shuffle never
+    // carries the full orders table)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.matches("(?s).*WindowGroupLimit .*Partial.*"),
+      s"per-key limit should run map-side before the exchange:\n$p")
+  }
+
   test("llm_cosine_dedup_lsh verifies candidates via equi-joins, never a nested loop") {
     // the whole point of the LSH path: the exact-cosine verify joins a
     // bounded candidate list by id — a BroadcastNestedLoopJoin here
