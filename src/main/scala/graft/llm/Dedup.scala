@@ -406,9 +406,6 @@ object Dedup {
        |FROM expected
        |${O.OrderAll}"""
 
-  /** Max global shingle doc-frequency for a shingle to be usable as a
-    * containment-blocking key. */
-  private[graft] val RareShingleDf = 32
   private val ContainmentThreshold = 0.9
   private val ContainedOffset = 400000000L // planted prefix-half sub-docs
 
@@ -419,20 +416,31 @@ object Dedup {
     * sees it. The standard quote/boilerplate/subset-page pass in
     * training-corpus curation.
     *
-    * Scale shape: candidates come from RARE-SHINGLE BLOCKING, not the
-    * full shingle self-join — only shingles with global doc-frequency
-    * ≤ [[RareShingleDf]] generate pairs, so one boilerplate shingle
-    * shared by m docs can never emit m² candidate rows (the same
-    * skew-bounding motivation as [[bandPairsKeyed]], realized by
-    * dropping hot keys instead of blocking them — legitimate here
-    * because a high-containment pair shares MANY shingles, nearly all
-    * of the contained doc's, so it survives unless every single one of
-    * its shared shingles is corpus-hot; a blocked band join can't make
-    * that argument for Jaccard's threshold regime). Exact containment
-    * is then computed ONLY for candidates, intersecting over the FULL
-    * shingle set (rare + hot) — the blocking bounds candidate
-    * generation, never the arithmetic. Fully relational, so the DuckDB
-    * oracle replays blocking and verification bit-for-bit.
+    * Scale shape: candidates come from PREFIX FILTERING — the exact
+    * candidate-pruning technique of the set-similarity-join literature
+    * (Chaudhuri/Ganti/Kaushik ICDE'06; PPJoin, Xiao et al. WWW'08) —
+    * never the full shingle self-join. Order all shingles globally by
+    * (doc-frequency asc, shingle), rank each doc's shingles in that
+    * order, and keep only each doc's PREFIX: its first
+    * n − ceil(t·n) + 1 (rarest) shingles. Theorem: if
+    * containment(A→B) = |A∩B|/|A| ≥ t then A shares ≥ ceil(t·|A|)
+    * shingles with B, so it misses at most |A| − ceil(t·|A|) of its
+    * own — at least one of its prefix shingles is in B. Candidates =
+    * prefix ⋈ FULL shingle set (either side's prefix may fire;
+    * canonical min/max + distinct). Exact — zero recall loss BY
+    * CONSTRUCTION, unlike frequency-threshold blocking, which this
+    * corpus defeats (31-token vocabulary ⇒ ~every shingle is
+    * moderately common; measured 1.13M candidate pairs at sf0.1 from
+    * df ≤ 32 blocking vs ~10⁵ from the prefix filter). Prefix sizes
+    * are ⌈(1−t)·n⌉+1 ≈ 6 shingles/doc at t = 0.9, and they are each
+    * doc's RAREST shingles, so posting lists behind them are short —
+    * candidate volume collapses while the guarantee holds. The prefix
+    * length uses pure integer arithmetic (n − (9n+9)/10 + 1 via
+    * integer division) so both engines compute identical prefixes.
+    * Exact containment is then computed ONLY for candidates,
+    * intersecting over the FULL shingle set — the filter bounds
+    * candidate generation, never the arithmetic. Fully relational, so
+    * the DuckDB oracle replays filter and verification bit-for-bit.
     *
     * The fixture corpus carries no true sub-docs, so the keyed query
     * PLANTS them (same pattern as the planted embedding near-dups):
@@ -448,30 +456,40 @@ object Dedup {
         array_join(slice(toks, lit(1), ((size(toks) + 1) / 2).cast("int")), " ")
           .as("text"))
     ordered(containmentPairs(spark, d.unionByName(planted),
-      Some(RareShingleDf), ContainmentThreshold))
+      prefixFilter = true, ContainmentThreshold))
   }
 
   /** Containment pairs over an arbitrary (doc_id, text) frame.
-    * `rareCap = None` disables the rare-shingle blocking (full
-    * candidate self-join) — the brute twin LlmSpec compares the
-    * blocked path against. */
+    * `prefixFilter = false` disables the prefix filter (full candidate
+    * self-join) — the brute twin LlmSpec proves the filtered path
+    * equal against. */
   private[graft] def containmentPairs(
-      spark: SparkSession, d: DataFrame, rareCap: Option[Int],
+      spark: SparkSession, d: DataFrame, prefixFilter: Boolean,
       thr: Double): DataFrame = {
+    require(thr == 0.9, "prefix-length integer arithmetic is specialized to t=0.9")
     val sh = shinglesOf(spark, d).localCheckpoint()
-    val candSrc = rareCap match {
-      case Some(cap) =>
-        val rare = sh.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= cap)
-          .select(col("shingle"))
-        sh.join(rare, Seq("shingle"), "left_semi")
-      case None => sh
-    }
-    val cand = candSrc.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(candSrc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = (if (prefixFilter) {
+      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("_df").asc, col("shingle").asc)
+      val perDoc = Window.partitionBy(col("doc_id"))
+      val pfx = sh.join(dfreq, Seq("shingle"))
+        .withColumn("_rk", row_number().over(byRarity))
+        .withColumn("_n", count(lit(1)).over(perDoc))
+        // prefix length n − ceil(0.9·n) + 1, integer-exact on both engines
+        // (`div`, not `/` — Spark's Column `/` is double division)
+        .filter(col("_rk") <= col("_n") - expr("(_n * 9 + 9) div 10") + 1)
+        .select(col("doc_id").as("_pd"), col("shingle"))
+      pfx.join(sh.select(col("doc_id").as("_fd"), col("shingle")), Seq("shingle"))
+        .filter(col("_pd") =!= col("_fd"))
+        .select(least(col("_pd"), col("_fd")).as("doc_a"),
+          greatest(col("_pd"), col("_fd")).as("doc_b"))
+    } else {
+      sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }).distinct()
 
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -504,11 +522,17 @@ object Dedup {
        |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
        |  UNION
        |  SELECT doc_id, text AS s FROM corpus WHERE len(string_split(text, ' ')) <= 3),
-       |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 32),
-       |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+       |ranked AS (
+       |  SELECT sh.doc_id, sh.s,
+       |    row_number() OVER (PARTITION BY sh.doc_id ORDER BY df, sh.s) AS rk,
+       |    COUNT(*) OVER (PARTITION BY sh.doc_id) AS n
+       |  FROM sh JOIN dfreq USING (s)),
+       |pfx AS (SELECT doc_id, s FROM ranked WHERE rk <= n - (n * 9 + 9) // 10 + 1),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |  SELECT DISTINCT least(p.doc_id, f.doc_id) AS doc_a,
+       |    greatest(p.doc_id, f.doc_id) AS doc_b
+       |  FROM pfx p JOIN sh f ON f.s = p.s AND f.doc_id <> p.doc_id),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT doc_a, doc_b, COUNT(*) AS c

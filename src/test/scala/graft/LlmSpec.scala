@@ -283,17 +283,19 @@ class LlmSpec extends AnyFunSuite {
       !jac.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))))
   }
 
-  test("containment: rare-shingle blocking loses no pair vs the full self-join") {
+  test("containment: prefix filter loses no pair vs the full self-join") {
     val d = core.Tables.load(spark, Sf, "documents")
       .select(col("doc_id"), col("text"))
-    def pairs(cap: Option[Int]) =
-      llm.Dedup.containmentPairs(spark, d, cap, 0.9).collect()
+    def pairs(prefix: Boolean) =
+      llm.Dedup.containmentPairs(spark, d, prefix, 0.9).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
         .toSet
-    val blocked = pairs(Some(llm.Dedup.RareShingleDf))
-    val full = pairs(None)
-    assert(blocked === full,
-      "every ≥0.9-containment pair must share at least one rare shingle here")
+    val filtered = pairs(true)
+    val full = pairs(false)
+    // exactness is a THEOREM for the prefix filter (the contained side
+    // can miss at most n − ceil(t·n) of its own shingles), but the
+    // implementation can still get ranks/lengths wrong — pin equality
+    assert(filtered === full)
     assert(full.nonEmpty, "fixture should contain organic high-containment pairs")
   }
 
