@@ -268,7 +268,74 @@ object Windows {
        |FROM f
        |${O.OrderAll}"""
 
+  /** Ordered time-constrained FUNNEL (ClickHouse `windowFunnel`, the
+    * product-analytics staple), expressed relationally: per user, first
+    * signup → first view within 1 day OF THAT signup → first purchase
+    * within 1 day of that view; output = stage timestamps (epoch-µs,
+    * NULL where the funnel broke) + deepest stage reached.
+    *
+    * Shape: one map-side-combined min-agg per stage + user-keyed
+    * equi-joins whose probe side SHRINKS monotonically (stage N+1 only
+    * scans events of users who completed stage N — at 100 TB the
+    * conversion decay is the optimizer's friend: each later stage is a
+    * smaller broadcast/semi filter). The single-pass alternative
+    * (sessionize + per-user sorted scan via collect_list) holds whole
+    * user histories in memory; the per-stage spelling never does —
+    * each stage's agg carries one (user, min_ts) row per user per
+    * mapper. Timestamps leave as epoch-µs longs (Determinism rule:
+    * TimestampType never exits a query). */
+  def winFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(t(spark, dir, "events"))
+
+  /** The funnel over an arbitrary (user_id, ts, event_type) frame —
+    * exposed so PropertySpec can pin the stage laws on generated event
+    * sequences (boundary gaps, missing stages, pre-signup purchases). */
+  private[graft] def funnelOf(e: DataFrame): DataFrame = {
+    def stage(from: DataFrame, prevTs: String, typ: String, outTs: String) =
+      e.filter(col("event_type") === typ)
+        .join(from.select(col("user_id"), col(prevTs)), Seq("user_id"))
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 1 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val v = stage(s, "t0", "view", "t1")
+    val p = stage(v, "t1", "purchase", "t2")
+    ordered(s
+      .join(v, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        epochUs(col("t0")).as("signup_us"),
+        epochUs(col("t1")).as("view_us"),
+        epochUs(col("t2")).as("purchase_us"),
+        (lit(1) + col("t1").isNotNull.cast("int")
+          + col("t2").isNotNull.cast("int")).as("stage")))
+  }
+
+  private val winFunnelSql =
+    s"""WITH s AS (
+       |  SELECT user_id, min(ts) AS t0 FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |v AS (
+       |  SELECT e.user_id, min(e.ts) AS t1 FROM events e
+       |  JOIN s ON s.user_id = e.user_id
+       |    AND e.ts > s.t0 AND e.ts <= s.t0 + INTERVAL 1 DAY
+       |  WHERE e.event_type = 'view' GROUP BY 1),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       |  JOIN v ON v.user_id = e.user_id
+       |    AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+       |  WHERE e.event_type = 'purchase' GROUP BY 1)
+       |SELECT s.user_id, epoch_us(t0) AS signup_us, epoch_us(t1) AS view_us,
+       |  epoch_us(t2) AS purchase_us,
+       |  1 + CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT) AS stage
+       |FROM s
+       |LEFT JOIN v ON v.user_id = s.user_id
+       |LEFT JOIN p ON p.user_id = s.user_id
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "win_funnel" -> Q(winFunnel _, winFunnelSql),
     "win_count_distinct" -> Q(winCountDistinct _, winCountDistinctSql),
     "win_sessionize" -> Q(winSessionize _, winSessionizeSql),
     "win_first_last" -> Q(winFirstLast _, winFirstLastSql),

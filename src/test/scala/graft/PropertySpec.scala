@@ -191,6 +191,99 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 8)
   }
 
+  // ---------------------------------------- containment prefix filter
+
+  test("property: containment prefix filter equals full self-join on generated corpora") {
+    // tiny vocabulary ⇒ hot shingles with DEGENERATE df ordering (many
+    // ties) — the adversarial regime for prefix selection; a planted
+    // prefix-half derivative of doc 0 guarantees a true sub-doc pair
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val genDocs = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.take(20))).map { ls =>
+      val base = ls.take(10).zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.mkString(" "))
+      }
+      val srcToks = ls.head.take(20)
+      val half = (200L, srcToks.take((srcToks.size + 1) / 2).mkString(" "))
+      base :+ half
+    }
+    check("containment-prefix-vs-full", Prop.forAllNoShrink(genDocs) { rows =>
+      val d = rows.toDF("doc_id", "text")
+      def pairs(p: Boolean) = llm.Dedup.containmentPairs(spark, d, p, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      val filtered = pairs(true)
+      // the planted prefix-half doc is contained in its source at 1.0
+      filtered == pairs(false) &&
+        filtered.exists(p => p._1 == 0L && p._2 == 200L && p._4 == 1.0)
+    }, cases = 8)
+  }
+
+  // -------------------------------------------------- count-min laws
+
+  test("property: count-min never undercounts and merges exactly, any split") {
+    import graft.functions.Udafs.{CountMin, CountMinSketch}
+    val genStream = for {
+      keys <- Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.choose(0L, 5L),          // heavy keys
+        Gen.choose(1000L, 1000000L)) // long-tail keys
+      ).map(_.take(400))
+      cut <- Gen.choose(0, 400)
+    } yield (keys, cut)
+    check("count-min-laws", Prop.forAllNoShrink(genStream) { case (keys, cut0) =>
+      val cut = math.min(cut0, keys.size)
+      val (k1, k2) = keys.splitAt(cut)
+      val merged = CountMinSketch.merge(
+        k1.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce),
+        k2.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce))
+      val whole = keys.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce)
+      val est = merged.toSeq
+      merged.sameElements(whole) &&
+        keys.groupBy(identity).forall { case (k, ks) =>
+          CountMin.estimate(est, k) >= ks.size
+        }
+    }, cases = 20)
+  }
+
+  // ----------------------------------------------------- funnel laws
+
+  test("property: funnel stages match the sequential reference on generated histories") {
+    val DaySec = 86400L
+    // per-user event streams mixing types, boundary-exact gaps (the
+    // ≤ 1-day edge), pre-signup purchases, and absent stages
+    val genUsers = Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("signup", "view", "purchase", "click"),
+      Gen.oneOf(Gen.choose(0L, 2 * DaySec), Gen.const(DaySec),
+        Gen.const(DaySec + 1))))).map(_.take(4))
+    check("funnel-reference", Prop.forAllNoShrink(genUsers) { users =>
+      val base = Timestamp.valueOf(ts(0)).getTime
+      val rows = users.zipWithIndex.flatMap { case (evs, u) =>
+        evs.take(15).map { case (typ, off) =>
+          (u.toLong, new Timestamp(base + off * 1000), typ)
+        }
+      }
+      val got = ops.Windows.funnelOf(rows.toDF("user_id", "ts", "event_type"))
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getInt(4))).toSeq.sortBy(_._1)
+      // sequential in-memory reference
+      val want = users.zipWithIndex.flatMap { case (evs, u) =>
+        val e = evs.take(15).map { case (typ, off) => (typ, (base / 1000 + off) * 1000000L) }
+        def first(typ: String, after: Long, within: Long): Option[Long] =
+          e.filter { case (t, us) => t == typ && us > after && us <= within }
+            .map(_._2).sorted.headOption
+        e.filter(_._1 == "signup").map(_._2).sorted.headOption.map { t0 =>
+          val t1 = first("view", t0, t0 + DaySec * 1000000L)
+          val t2 = t1.flatMap(v => first("purchase", v, v + DaySec * 1000000L))
+          (u.toLong, Some(t0), t1, t2, 1 + t1.size + t2.size)
+        }
+      }.sortBy(_._1)
+      got == want
+    }, cases = 10)
+  }
+
   // ------------------------------------------------- sessionize gap law
 
   test("property: sessions break exactly at gaps >= the threshold") {
