@@ -516,7 +516,43 @@ object Aggregates {
        |FROM probes p LEFT JOIN exact e ON e.probe_key = p.probe_key
        |${O.OrderAll}"""
 
+  /** Cohort RETENTION matrix — the standard product-analytics
+    * aggregation: users cohorted by first-signup day; for each
+    * (cohort, days-since-cohort) cell, how many distinct cohort
+    * members were active. Two map-side-combined aggregations (first
+    * signup per user; distinct actives per cell) joined on user_id —
+    * the cohort table is one row per user (tiny relative to events),
+    * so at 100 TB it broadcasts and the event log never shuffles for
+    * the join; the cell aggregation shuffles (cohort, day, user) only.
+    * Exact integer counts + date strings — bit-stable on both engines. */
+  def aggRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val first = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(to_date(date_trunc("DAY", min(col("ts")))).as("_cohort"))
+    ordered(e
+      .join(broadcast(first), Seq("user_id"))
+      .filter(col("ts") >= col("_cohort").cast("timestamp"))
+      .groupBy(col("_cohort"), datediff(to_date(col("ts")), col("_cohort")).as("day_off"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(date_format(col("_cohort"), "yyyy-MM-dd").as("cohort"),
+        col("day_off"), col("n_active")))
+  }
+
+  private val aggRetentionSql =
+    s"""WITH first AS (
+       |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+       |  FROM events WHERE event_type = 'signup' GROUP BY 1)
+       |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+       |  datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_off,
+       |  COUNT(DISTINCT e.user_id) AS n_active
+       |FROM events e JOIN first f ON f.user_id = e.user_id
+       |WHERE e.ts >= CAST(f.cohort AS TIMESTAMP)
+       |GROUP BY f.cohort, day_off
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "agg_retention" -> Q(aggRetention _, aggRetentionSql),
     "agg_count_min" -> Q(aggCountMin _, aggCountMinSql),
     "agg_min_by" -> Q(aggMinBy _, aggMinBySql),
     "agg_stats" -> Q(aggStats _, aggStatsSql),

@@ -271,6 +271,58 @@ object Relational {
        |GROUP BY p.event_id, p.user_id, p.ts
        |${O.OrderAll}"""
 
+  /** Nearest as-of join (pandas merge_asof direction='nearest'): each
+    * purchase paired with the view MINIMIZING |Δt|, either direction,
+    * ties resolved to the earlier (backward) view. Completes the as-of
+    * family (backward `join_asof`, forward `join_asof_forward`). Same
+    * window-over-union rewrite run TWICE over one user_id shuffle —
+    * the two window specs share partitioning, so Spark adds a second
+    * per-partition sort but never a second exchange; the nearest pick
+    * is then a pure row-local CASE. A naive spelling (theta join on
+    * |Δt| argmin) is a per-row range scan — this is one shuffle. */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      // backward pass ranks same-ts views BEFORE purchases (v.ts <= p.ts),
+      // forward pass ranks them AFTER (v.ts >= p.ts) — mirroring the
+      // two oracle inequalities exactly
+      .withColumn("rank_b", when(col("event_type") === "view", 0).otherwise(1))
+      .withColumn("rank_f", when(col("event_type") === "view", 1).otherwise(0))
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("rank_b"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("rank_f"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val viewUs = when(col("event_type") === "view", epochUs(col("ts")))
+    ordered(
+      ev.withColumn("_lv", max(viewUs).over(wB))
+        .withColumn("_nv", min(viewUs).over(wF))
+        .filter(col("event_type") === "purchase")
+        .withColumn("_us", epochUs(col("ts")))
+        .select(col("event_id"), col("user_id"), col("_us").as("ts_us"),
+          when(col("_lv").isNull, col("_nv"))
+            .when(col("_nv").isNull, col("_lv"))
+            .when(col("_us") - col("_lv") <= col("_nv") - col("_us"), col("_lv"))
+            .otherwise(col("_nv")).as("nearest_view_us")))
+  }
+
+  private val joinAsofNearestSql =
+    s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       |  CASE WHEN lv IS NULL THEN nv WHEN nv IS NULL THEN lv
+       |       WHEN epoch_us(p.ts) - lv <= nv - epoch_us(p.ts) THEN lv
+       |       ELSE nv END AS nearest_view_us
+       |FROM (
+       |  SELECT p.event_id, p.user_id, p.ts,
+       |    epoch_us(max(v.ts) FILTER (WHERE v.ts <= p.ts)) AS lv,
+       |    epoch_us(min(v.ts) FILTER (WHERE v.ts >= p.ts)) AS nv
+       |  FROM events p LEFT JOIN events v
+       |    ON v.user_id = p.user_id AND v.event_type = 'view'
+       |  WHERE p.event_type = 'purchase'
+       |  GROUP BY p.event_id, p.user_id, p.ts) p
+       |${O.OrderAll}"""
+
   /** Interval-overlap join via GRID BINNING — the scale path for
     * interval×interval joins (genomics, time-range analytics): a naive
     * theta join `a.start <= b.end AND b.start <= a.end` has no equi
@@ -505,6 +557,7 @@ object Relational {
     "join_anti" -> Q(joinAnti _, joinAntiSql),
     "join_range" -> Q(joinRange _, joinRangeSql),
     "join_asof" -> Q(joinAsof _, joinAsofSql),
+    "join_asof_nearest" -> Q(joinAsofNearest _, joinAsofNearestSql),
     "join_asof_forward" -> Q(joinAsofForward _, joinAsofForwardSql),
     "join_interval_bin" -> Q(joinIntervalBin _, joinIntervalBinSql),
     "join_cross" -> Q(joinCross _, joinCrossSql),

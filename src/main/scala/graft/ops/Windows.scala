@@ -334,8 +334,49 @@ object Windows {
        |LEFT JOIN p ON p.user_id = s.user_id
        |${O.OrderAll}"""
 
+  /** Per-user event-SEQUENCE pattern matching — the relational stand-in
+    * for MATCH_RECOGNIZE (which Spark lacks): each user's history is
+    * collapsed to an ORDERED string of event-type initials (one
+    * order-safe pass: collect_list of (ts, event_id, initial) structs,
+    * array_sort — struct ordering is lexicographic by field, and
+    * (ts, event_id) is a total order — then join), and sequence
+    * patterns run as regexes over that string: adjacent view→purchase
+    * conversions and error-eventually-purchase recoveries (leftmost
+    * non-overlapping counts, identical in Java regex and RE2).
+    *
+    * 100 TB notes: one shuffle on user_id; per-user state is ~one byte
+    * per event (the initial), 10⁴ events/user ≈ 10 KB — bounded, unlike
+    * collecting full rows. A per-user cap (slice after sort) is the
+    * guard to add for adversarial histories; noted, not needed at test
+    * scale. */
+  def winEventPattern(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    ordered(e
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))).as("_evs"))
+      .select(col("user_id"),
+        expr("array_join(transform(array_sort(_evs), x -> x.c), '')").as("seq"))
+      .select(col("user_id"), col("seq"),
+        length(col("seq")).as("n_events"),
+        regexp_count(col("seq"), lit("vp")).as("n_view_purchase"),
+        regexp_count(col("seq"), lit("e[csv]*p")).as("n_error_recovery")))
+  }
+
+  private val winEventPatternSql =
+    s"""WITH seqs AS (
+       |  SELECT user_id,
+       |    string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS seq
+       |  FROM events GROUP BY 1)
+       |SELECT user_id, seq, len(seq) AS n_events,
+       |  len(regexp_extract_all(seq, 'vp')) AS n_view_purchase,
+       |  len(regexp_extract_all(seq, 'e[csv]*p')) AS n_error_recovery
+       |FROM seqs
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "win_funnel" -> Q(winFunnel _, winFunnelSql),
+    "win_event_pattern" -> Q(winEventPattern _, winEventPatternSql),
     "win_count_distinct" -> Q(winCountDistinct _, winCountDistinctSql),
     "win_sessionize" -> Q(winSessionize _, winSessionizeSql),
     "win_first_last" -> Q(winFirstLast _, winFirstLastSql),

@@ -239,6 +239,61 @@ class OperatorsSpec extends AnyFunSuite {
       && opts("numPartitions") === "2")
   }
 
+  test("asof nearest: picks the argmin of the backward/forward twins, ties backward") {
+    def keyed(name: String, c: String) =
+      SparkEntry.queries(name)(spark, Sf).collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          (r.getAs[Long]("ts_us"), Option(r.getAs[java.lang.Long](c)).map(_.toLong))))
+        .toMap
+    val back = keyed("join_asof", "last_view_us")
+    val fwd = keyed("join_asof_forward", "next_view_us")
+    val near = keyed("join_asof_nearest", "nearest_view_us")
+    assert(near.nonEmpty && near.keySet === back.keySet)
+    near.foreach { case (id, (ts, got)) =>
+      val lv = back(id)._2
+      val nv = fwd(id)._2
+      val want = (lv, nv) match {
+        case (None, x) => x
+        case (x, None) => x
+        case (Some(l), Some(n)) => if (ts - l <= n - ts) Some(l) else Some(n)
+      }
+      assert(got === want, s"event $id: nearest != argmin(backward, forward)")
+    }
+  }
+
+  test("retention: the day-0 cell counts the whole cohort") {
+    val out = ops.Aggregates.aggRetention(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // every cohort member is active on its cohort day (the signup
+    // itself) — day-0 count == cohort size
+    val cohortSizes = core.Tables.load(spark, Sf, "events")
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"))
+      .groupBy(date_format(date_trunc("DAY", col("t0")), "yyyy-MM-dd").as("cohort"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cohortSizes.foreach { case (cohort, size) =>
+      assert(out((cohort, 0)) === size, s"day-0 cell of $cohort")
+    }
+  }
+
+  test("event pattern: sequence length and pattern counts are consistent") {
+    val out = ops.Windows.winEventPattern(spark, Sf).collect()
+    val perUser = core.Tables.load(spark, Sf, "events")
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length === perUser.size)
+    out.foreach { r =>
+      val seq = r.getAs[String]("seq")
+      assert(r.getAs[Int]("n_events").toLong === perUser(r.getAs[Long]("user_id")))
+      assert(seq.length === r.getAs[Int]("n_events"))
+      val vp = r.getAs[Int]("n_view_purchase")
+      assert(vp <= math.min(seq.count(_ == 'v'), seq.count(_ == 'p')))
+      assert(r.getAs[Int]("n_error_recovery") <= seq.count(_ == 'e'))
+    }
+  }
+
   test("count-min sketch: never undercounts, merge is exact, bounds hold end-to-end") {
     import graft.functions.Udafs.{CountMin, CountMinSketch}
     // deterministic synthetic stream with heavy + rare keys
