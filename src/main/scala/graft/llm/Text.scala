@@ -342,7 +342,83 @@ object Text {
        |FROM c JOIN tf USING (token) JOIN p USING (token)
        |${O.OrderAll}"""
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169, the
+    * hashed-n-gram variant re-expressed relationally): per doc, the
+    * average bigram log-likelihood RATIO between a target-domain LM
+    * (the benchmark set, doc_id % 50 = 0 — same stand-in eval set as
+    * decontamination) and the raw-corpus LM, Laplace-smoothed over the
+    * shared bigram vocabulary. Positive weight ⇒ the doc looks more
+    * like the target than like the background — the ranking key DSIR
+    * resamples by.
+    *
+    * 100 TB: both LMs are bigram COUNT tables (map-side-combined
+    * groupBy, broadcast back — benchmarks are small and the corpus LM
+    * table is vocabulary-sized, not corpus-sized); scoring is one
+    * broadcast-join pass over the exploded bigrams, the same shape as
+    * `llm_lm_score`. The three corpus scalars (bigram masses, vocab)
+    * ride one crossJoin(broadcast(1-row agg)). Weights are
+    * transcendental (ln) → round6 on the avg, the `lm_score` pattern
+    * the oracle already hash-matches. */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    val fn = graft.functions.WordShingles.register(spark, 2)
+    val bigrams = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .selectExpr("doc_id", s"$fn(text) AS bg")
+      .withColumn("_tgt", col("doc_id") % 50 === 0)
+    val tgtLm = bigrams.filter(col("_tgt"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("_ct"))
+    val rawLm = bigrams.filter(!col("_tgt"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("_cr"))
+    val scalars = bigrams.agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_nt"),
+      sum(when(!col("_tgt"), 1L).otherwise(0L)).as("_nr"),
+      count_distinct(col("bg")).as("_v"))
+    ordered(bigrams
+      .join(broadcast(tgtLm), Seq("bg"), "left_outer")
+      .join(broadcast(rawLm), Seq("bg"), "left_outer")
+      .crossJoin(broadcast(scalars))
+      // ln of a ratio of exact-long products — identical doubles on
+      // both engines; only the avg needs round6 (partition-order sums)
+      .withColumn("_llr", log(
+        ((coalesce(col("_ct"), lit(0L)) + 1) * (col("_nr") + col("_v")))
+          .cast("double") /
+          ((coalesce(col("_cr"), lit(0L)) + 1) * (col("_nt") + col("_v")))
+            .cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(round6(avg(col("_llr"))).as("dsir_logweight"),
+        count(lit(1)).as("n_bigrams")))
+  }
+
+  private val dsirSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |toks AS (SELECT doc_id, unnest(l) AS tok,
+       |  generate_subscripts(l, 1) AS pos FROM t),
+       |bg AS (
+       |  SELECT a.doc_id, a.doc_id % 50 = 0 AS tgt,
+       |    a.tok || ' ' || b.tok AS bg
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |tlm AS (SELECT bg, COUNT(*) AS ct FROM bg WHERE tgt GROUP BY 1),
+       |rlm AS (SELECT bg, COUNT(*) AS cr FROM bg WHERE NOT tgt GROUP BY 1),
+       |sc AS (SELECT COUNT(*) FILTER (WHERE tgt) AS nt,
+       |  COUNT(*) FILTER (WHERE NOT tgt) AS nr,
+       |  COUNT(DISTINCT bg) AS v FROM bg)
+       |SELECT doc_id,
+       |  round(avg(ln(
+       |    CAST((COALESCE(ct, 0) + 1) * (nr + v) AS DOUBLE) /
+       |    CAST((COALESCE(cr, 0) + 1) * (nt + v) AS DOUBLE))), 6)
+       |    AS dsir_logweight,
+       |  COUNT(*) AS n_bigrams
+       |FROM bg
+       |LEFT JOIN tlm USING (bg)
+       |LEFT JOIN rlm USING (bg)
+       |CROSS JOIN sc
+       |GROUP BY doc_id
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_dsir" -> Q(dsir _, dsirSql),
     "llm_inverted_index" -> Q(invertedIndex _, invertedIndexSql),
     "llm_lm_score" -> Q(lmScore _, lmScoreSql),
     "llm_text_stats" -> Q(textStats _, textStatsSql),

@@ -7,6 +7,14 @@ import graft.core.{Q, Tables}
 import graft.core.Determinism._
 import graft.core.{OracleDsl => O}
 
+/** Case class mirror of the events schema for the typed-Dataset
+  * surface (`ds_typed`) — field names/types must match
+  * [[graft.core.Tables.events]] exactly or `as[TypedEv]` fails at
+  * analysis (that fail-fast IS the type-safety the API buys). */
+case class TypedEv(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
 /** SURVEY.md §2.8 — scalar function suites (string / date / math /
   * conditional / array / map / JSON / hash) + §2.11 `udf_scalar`.
   *
@@ -388,6 +396,44 @@ object Scalars {
        |FROM documents
        |${O.OrderAll}"""
 
+  /** Typed `Dataset[T]` API surface (SURVEY §1.3 API mapping): the
+    * same engine through case-class Encoders — compile-time-checked
+    * lambdas instead of Column expressions. Pipeline: `as[Ev]` (schema
+    * validated against the case class at analysis), typed `filter`,
+    * `groupByKey` + `mapGroups` computing per-user purchase stats.
+    *
+    * The 100 TB honesty note, in code where it belongs:
+    * groupByKey+mapGroups shuffles WHOLE deserialized rows (no
+    * map-side combine — the lambda is opaque to Catalyst), so for
+    * aggregations expressible as Columns the untyped `groupBy().agg()`
+    * (one combined row per group per mapper crosses the wire) is
+    * strictly better — that tradeoff is what this key demonstrates,
+    * next to `agg_udaf`'s typed-Aggregator middle road (typed AND
+    * partial-aggregating). Outputs are order-independent exacts
+    * (count/min/max), so the typed lambda stays deterministic. */
+  def dsTyped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = Tables.load(spark, dir, "events").as[TypedEv]
+      .filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, evs) =>
+        var n = 0L
+        var mx = Double.MinValue
+        var mn = Double.MaxValue
+        evs.foreach { e => n += 1; mx = math.max(mx, e.value); mn = math.min(mn, e.value) }
+        (uid, n, mx, mn)
+      }
+      .toDF("user_id", "n_purchases", "max_value", "min_value")
+    ordered(out)
+  }
+
+  private val dsTypedSql =
+    s"""SELECT user_id, COUNT(*) AS n_purchases,
+       |  max(value) AS max_value, min(value) AS min_value
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY 1
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "fn_struct" -> Q(fnStruct _, fnStructSql),
     "fn_url" -> Q(fnUrl _, fnUrlSql),
@@ -402,6 +448,7 @@ object Scalars {
     "fn_map" -> Q(fnMap _, fnMapSql),
     "fn_json" -> Q(fnJson _, fnJsonSql),
     "fn_hash" -> Q(fnHash _, fnHashSql),
-    "udf_scalar" -> Q(udfScalar _, udfScalarSql)
+    "udf_scalar" -> Q(udfScalar _, udfScalarSql),
+    "ds_typed" -> Q(dsTyped _, dsTypedSql)
   )
 }

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Catalyst extension surface (SURVEY §7.4 decision record): every
+  * operator in this engine is expressible with built-in plans, so the
+  * one custom `Rule[LogicalPlan]` we ship is the kind a 100 TB
+  * platform team actually deploys — a SAFETY LINT, not a rewrite.
+  *
+  * [[ScanGuardRule]] fails a query at optimization time when it
+  * contains a join with NO equi component (cross product or pure
+  * theta join — the shapes that execute as CartesianProduct /
+  * BroadcastNestedLoopJoin) whose BOTH sides exceed a size budget.
+  * On a cluster, that plan shape is the difference between a job and
+  * an outage: O(|L|·|R|) row visits that no amount of parallelism
+  * absorbs. Catching it at plan time costs nothing; catching it at
+  * runtime costs the cluster. Deliberately-small cross joins (the
+  * audit-scalar `crossJoin(broadcast(agg))` pattern used across this
+  * repo, TPC-H-style dim×dim products) pass untouched because at
+  * least one side sits far under the budget.
+  *
+  * The rule only ever THROWS — it returns the plan unchanged, so it
+  * cannot alter results (the property that makes a lint safe to
+  * inject globally). Budget: `graft.scanGuard.maxNonEquiBytes` SQL
+  * conf (default 1 GiB per side at the default; sizes come from
+  * Catalyst stats — file sizes at the leaves, propagated estimates
+  * above).
+  *
+  * Wiring: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)` on the builder). Tested
+  * rule-level in ExtensionSpec — one JVM has one SparkContext, and
+  * extensions bind at session construction, so the spec drives the
+  * rule against real optimized plans directly.
+  */
+object ScanGuardRule extends Rule[LogicalPlan] {
+
+  val ConfKey = "graft.scanGuard.maxNonEquiBytes"
+  val DefaultMaxBytes: Long = 1L << 30 // 1 GiB per side
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val maxBytes = conf.getConfString(ConfKey, DefaultMaxBytes.toString).toLong
+    plan.foreach {
+      case j @ Join(left, right, _, _, _) =>
+        val equi = ExtractEquiJoinKeys.unapply(j).exists(_._2.nonEmpty)
+        if (!equi) {
+          val l = left.stats.sizeInBytes
+          val r = right.stats.sizeInBytes
+          if (l > maxBytes && r > maxBytes) {
+            throw new IllegalStateException(
+              s"ScanGuard: non-equi join (${j.joinType}) with both sides over " +
+                s"$maxBytes bytes (left=$l, right=$r) would execute as a " +
+                "nested-loop/cartesian product — add an equi component, " +
+                s"broadcastable side, or raise $ConfKey")
+          }
+        }
+      case _ => ()
+    }
+    plan
+  }
+}
+
+/** `spark.sql.extensions` entry point registering [[ScanGuardRule]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => ScanGuardRule)
+}

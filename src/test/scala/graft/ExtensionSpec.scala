@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{GraftExtensions, ScanGuardRule}
+
+/** The Catalyst extension surface: ScanGuard must flag scale-killer
+  * join shapes (non-equi over two big sides) and pass everything the
+  * engine legitimately plans — including the deliberate small cross
+  * joins (audit scalars) and the capped brute twins. Driven rule-level
+  * against real optimized plans (one JVM = one SparkContext; extensions
+  * bind at session construction, so a fixture session can't re-wire). */
+class ExtensionSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+
+  private def guard(plan: org.apache.spark.sql.DataFrame): Unit =
+    ScanGuardRule(plan.queryExecution.optimizedPlan)
+
+  test("scan guard passes every keyed query at the default budget") {
+    // the whole inventory's logical plans are lint-clean: anything
+    // non-equi in them keeps one side under the budget by design
+    for ((name, q) <- SparkEntry.registry) {
+      try guard(q.fn(spark, Sf))
+      catch {
+        case e: IllegalStateException =>
+          fail(s"$name tripped ScanGuard: ${e.getMessage}")
+        case _: Throwable => () // keys needing runtime fixtures: not the lint's concern
+      }
+    }
+  }
+
+  test("scan guard trips on a big×big cross join and respects the budget conf") {
+    val li = core.Tables.load(spark, Sf, "lineitem")
+    val cross = li.as("a").crossJoin(li.as("b"))
+    // under a tiny budget the cross join must throw...
+    spark.conf.set(ScanGuardRule.ConfKey, "1024")
+    try {
+      val e = intercept[IllegalStateException](guard(cross))
+      assert(e.getMessage.contains("non-equi join"))
+      // ...an equi join over the same big sides must NOT
+      guard(li.as("a").join(li.as("b"), Seq("l_orderkey")))
+      // ...and the audit-scalar pattern (big × 1-row agg) must NOT:
+      // the broadcast side's stats sit far under any sane budget
+      guard(li.crossJoin(broadcast(li.agg(count(lit(1)).as("n")))))
+    } finally spark.conf.unset(ScanGuardRule.ConfKey)
+    // at the default budget the same cross join passes (test tables are small)
+    guard(cross)
+  }
+
+  test("GraftExtensions registers the rule without touching results") {
+    // the entry point must wire cleanly into a fresh extensions registry
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // and the rule is identity on plans it doesn't reject
+    val df = core.Tables.load(spark, Sf, "orders").filter(col("o_totalprice") > 100)
+    val plan = df.queryExecution.optimizedPlan
+    assert(ScanGuardRule(plan) eq plan)
+  }
+}

@@ -299,6 +299,20 @@ class LlmSpec extends AnyFunSuite {
     assert(full.nonEmpty, "fixture should contain organic high-containment pairs")
   }
 
+  test("dsir: target-domain docs score above the background on average") {
+    val out = llm.Text.dsir(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val (tgt, raw) = out.partition(_._1 % 50 == 0)
+    assert(tgt.nonEmpty && raw.nonEmpty)
+    val tgtMean = tgt.map(_._2).sum / tgt.size
+    val rawMean = raw.map(_._2).sum / raw.size
+    // the target docs' own bigrams define the target LM — their mean
+    // log-ratio must exceed the background's (the property DSIR
+    // resamples by); equality would mean the weight carries no signal
+    assert(tgtMean > rawMean,
+      s"dsir weight carries no target signal: target=$tgtMean raw=$rawMean")
+  }
+
   test("span_dedup: spans are exactly 8 tokens, ≥2 docs each, capped at 100") {
     val out = llm.Dedup.spanDedup(spark, Sf).collect()
     assert(out.nonEmpty && out.length <= 100)
