@@ -396,6 +396,42 @@ object Scalars {
        |FROM documents
        |${O.OrderAll}"""
 
+  /** Error-safe `try_*` function family (ANSI-mode error handling,
+    * §2.8): under ANSI SQL semantics a bad cast or zero divide kills
+    * the JOB — at 100 TB one malformed row out of 10¹² must not.
+    * `try_divide` / `try_cast` return NULL instead of raising; the
+    * query surfaces per-row safe results + corpus-level failure
+    * counts (the DQ signal a pipeline alerts on). Oracle mirrors with
+    * TRY_CAST and an explicit zero-guard CASE (DuckDB's division has
+    * no try_ spelling). Pure columnar pass, zero shuffle beyond the
+    * count agg. */
+  def fnTry(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    ordered(li
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_extendedprice, l_quantity - 17.0)").as("unit_adj"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_num"),
+        expr("try_cast(cast(l_linenumber AS STRING) AS INT)").as("line_rt"))
+      .groupBy(col("l_linenumber"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("unit_adj").isNull, 1L).otherwise(0L)).as("n_div_fail"),
+        sum(when(col("flag_num").isNull, 1L).otherwise(0L)).as("n_cast_fail"),
+        sum(when(col("line_rt") === col("l_linenumber"), 1L).otherwise(0L))
+          .as("n_roundtrip_ok")))
+  }
+
+  private val fnTrySql =
+    s"""SELECT l_linenumber, COUNT(*) AS n,
+       |  COUNT(*) FILTER (WHERE l_quantity = 17.0) AS n_div_fail,
+       |  COUNT(*) FILTER (WHERE TRY_CAST(l_returnflag AS INT) IS NULL)
+       |    AS n_cast_fail,
+       |  COUNT(*) FILTER (
+       |    WHERE TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) = l_linenumber)
+       |    AS n_roundtrip_ok
+       |FROM lineitem
+       |GROUP BY 1
+       |${O.OrderAll}"""
+
   /** Typed `Dataset[T]` API surface (SURVEY §1.3 API mapping): the
     * same engine through case-class Encoders — compile-time-checked
     * lambdas instead of Column expressions. Pipeline: `as[Ev]` (schema
@@ -449,6 +485,7 @@ object Scalars {
     "fn_json" -> Q(fnJson _, fnJsonSql),
     "fn_hash" -> Q(fnHash _, fnHashSql),
     "udf_scalar" -> Q(udfScalar _, udfScalarSql),
-    "ds_typed" -> Q(dsTyped _, dsTypedSql)
+    "ds_typed" -> Q(dsTyped _, dsTypedSql),
+    "fn_try" -> Q(fnTry _, fnTrySql)
   )
 }

@@ -281,7 +281,62 @@ object SqlApi {
        |GROUP BY p_brand, p_size
        |${O.OrderAll}"""
 
+  /** Recursive CTE (new SQL surface in Spark 4): bounded-depth BFS
+    * reachability over the parts-co-ordered graph (a sparse
+    * deterministic slice), depth ≤ 3 from the minimum part key, final
+    * aggregation = parts first reached at each depth. The depth bound
+    * carries IN the recursion (`WHERE depth < 3`) so UNION ALL
+    * terminates on cyclic graphs; min-depth dedup happens in the final
+    * aggregate — both engines execute the identical iteration.
+    *
+    * 100 TB: each recursive step is one equi-join of the frontier
+    * against the edge list — the same per-round shape as
+    * `llm_dup_clusters`' iterative components, now expressed in pure
+    * SQL; the engine materializes each step, so bounding depth (or
+    * deduping the frontier) is what keeps step size finite on dense
+    * graphs — exactly what the depth column does here. */
+  def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    ordered(spark.sql(
+      s"""WITH RECURSIVE
+         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM graft_lineitem WHERE l_orderkey % 16 = 0),
+         |e AS (
+         |  SELECT DISTINCT x.p AS src, y.p AS dst
+         |  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+         |seed AS (SELECT min(src) AS v FROM e),
+         |reach(v, depth) AS (
+         |  SELECT v, 0 FROM seed
+         |  UNION ALL
+         |  SELECT e.dst, r.depth + 1
+         |  FROM reach r JOIN e ON e.src = r.v
+         |  WHERE r.depth < 3)
+         |SELECT min_depth, COUNT(*) AS n_parts
+         |FROM (SELECT v, min(depth) AS min_depth FROM reach GROUP BY v)
+         |GROUP BY min_depth""".stripMargin))
+  }
+
+  private val sqlRecursiveSql =
+    s"""WITH RECURSIVE
+       |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_orderkey % 16 = 0),
+       |e AS (
+       |  SELECT DISTINCT x.p AS src, y.p AS dst
+       |  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+       |seed AS (SELECT min(src) AS v FROM e),
+       |reach(v, depth) AS (
+       |  SELECT v, 0 FROM seed
+       |  UNION ALL
+       |  SELECT e.dst, r.depth + 1
+       |  FROM reach r JOIN e ON e.src = r.v
+       |  WHERE r.depth < 3)
+       |SELECT min_depth, COUNT(*) AS n_parts
+       |FROM (SELECT v, min(depth) AS min_depth FROM reach GROUP BY v)
+       |GROUP BY min_depth
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "sql_recursive" -> Q(sqlRecursive _, sqlRecursiveSql),
     "sql_tpch_q3" -> Q(sqlTpchQ3 _, sqlTpchQ3Sql),
     "sql_tpch_q5" -> Q(sqlTpchQ5 _, sqlTpchQ5Sql),
     "sql_tpch_q16" -> Q(sqlTpchQ16 _, sqlTpchQ16Sql),
