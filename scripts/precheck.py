@@ -23,8 +23,9 @@ def main():
     out_dir = args[1] if len(args) > 1 else "/root/repo/target/verify_out"
     only = set(args[2:])
     if "--skip-verify" not in sys.argv:
+        keys = " " + " ".join(sorted(only)) if only else ""
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}{keys}'],
             cwd="/root/repo", capture_output=True, text=True, timeout=3000)
         sys.stdout.write("\n".join(r.stdout.splitlines()[-3:]) + "\n")
         if r.returncode != 0:

@@ -751,7 +751,59 @@ object Etl {
        |GROUP BY 1, 2
        |${O.OrderAll}"""
 
+  /** Whole-table column profile — the first thing a data engineer runs
+    * on an unknown extract (and the input to `etl_dq_check` thresholds):
+    * per column, null count, exact distinct count, min/max. The scale
+    * point is SINGLE-PASS: all per-column aggregates ride one scan as
+    * one aggregate row (count_distinct partials merge per column in the
+    * same exchange), then unpivot driver-side-free via `stack`. The
+    * naive spelling — one `SELECT count(distinct c) FROM t` job per
+    * column — reads the table k times; at 100 TB × k columns that is
+    * the difference between one pass and a week. Numeric min/max
+    * surface through DECIMAL(18,2) so the string form never goes
+    * scientific (both engines print decimals plainly; doubles diverge
+    * to 1.0E7-style above 10^7). */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    def sCol(c: String) = col(c).cast("string")
+    def nCol(c: String) =
+      col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")
+    val cols = Seq[(String, String => org.apache.spark.sql.Column)](
+      ("o_orderkey", nCol), ("o_custkey", nCol), ("o_orderstatus", sCol),
+      ("o_totalprice", nCol), ("o_orderpriority", sCol))
+    val aggs = cols.flatMap { case (c, f) =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(f(c)).as(s"${c}__min"),
+        max(f(c)).as(s"${c}__max"))
+    }
+    val one = t(spark, dir, "orders").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { case (c, _) =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    ordered(
+      one.select(expr(
+        s"$stackExpr AS (col_name, n_nulls, n_distinct, min_val, max_val)")))
+  }
+
+  private val dqProfileSql = {
+    def row(c: String, numeric: Boolean) = {
+      val v = if (numeric) s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+              else s"CAST($c AS VARCHAR)"
+      s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  MIN($v) AS min_val, MAX($v) AS max_val FROM orders"""
+    }
+    s"""${row("o_orderkey", true)}
+       |UNION ALL ${row("o_custkey", true)}
+       |UNION ALL ${row("o_orderstatus", false)}
+       |UNION ALL ${row("o_totalprice", true)}
+       |UNION ALL ${row("o_orderpriority", false)}
+       |${O.OrderAll}"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_dq_profile" -> Q(dqProfile _, dqProfileSql),
     "etl_partition_evolution" -> Q(partitionEvolution _, partitionEvolutionSql),
     "etl_snapshot_diff" -> Q(snapshotDiff _, snapshotDiffSql),
     "etl_scd3" -> Q(scd3 _, scd3Sql),

@@ -545,7 +545,46 @@ object Relational {
        |SELECT c_custkey AS o_custkey FROM customer
        |${O.OrderAll}"""
 
+  // ---- sampling ------------------------------------------------------
+
+  /** Exact, deterministic stratified sampling: the first 10 customers
+    * per market segment under a content-keyed pseudo-random total order
+    * (`md5(custkey)` — identical bytes on any engine, any partitioning,
+    * any run). Spark's own `sampleBy` is Bernoulli per row: the stratum
+    * sizes WOBBLE (binomial, not exact) and depend on a seed+partition
+    * layout, so a resampled pipeline is neither reproducible across
+    * engines nor auditable. This spelling trades one shuffle on the
+    * stratum key for exact-n, engine-portable strata.
+    *
+    * 100 TB: window row_number over (stratum, hash-order) is one
+    * hash-partitioned sort per stratum; with k strata ≪ cores, skew is
+    * the stratum-size imbalance itself — for tiny n-per-stratum, a
+    * TakeOrderedAndProject per stratum (`topk_grouped` shape) bounds
+    * memory at n rows/partition, which is exactly what the rank filter
+    * compiles to via WindowGroupLimit. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+    ordered(
+      t(spark, dir, "customer")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("c_mktsegment"), col("rk"), col("c_custkey"),
+          col("c_name")))
+  }
+
+  private val sampleStratifiedSql =
+    s"""SELECT c_mktsegment, rk, c_custkey, c_name FROM (
+       |  SELECT c_mktsegment, c_custkey, c_name,
+       |    row_number() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rk
+       |  FROM customer)
+       |WHERE rk <= 10
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "sample_stratified" -> Q(sampleStratified _, sampleStratifiedSql),
     "set_except_all" -> Q(setExceptAll _, setExceptAllSql),
     "project_derive" -> Q(projectDerive _, projectDeriveSql),
     "filter_pred" -> Q(filterPred _, filterPredSql),

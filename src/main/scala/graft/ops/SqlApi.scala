@@ -335,8 +335,70 @@ object SqlApi {
        |GROUP BY min_depth
        |${O.OrderAll}"""
 
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    * synthetic schema: no receipt/commit dates, so a line is "late"
+    * when it shipped more than 60 days after the order date; the
+    * partsupp association is lineitem itself. The operator of interest
+    * is the DOUBLE correlated quantifier pair on the same fact table —
+    * `EXISTS (other supplier in this order)` AND `NOT EXISTS (other
+    * supplier ALSO late in this order)` — i.e. blame suppliers who were
+    * the sole late shipper on a multi-supplier finished order.
+    *
+    * Catalyst decorrelates each quantifier into a join on
+    * `l_orderkey` with the `l_suppkey <> …` residual as a join
+    * condition: EXISTS → LeftSemi, NOT EXISTS → LeftAnti — never a
+    * per-row subquery re-execution. 100 TB: three passes over
+    * lineitem, all equi-keyed on l_orderkey, so with lineitem bucketed
+    * by orderkey (see `join_bucketed`) all three co-locate; nothing in
+    * the plan is quadratic. The `late` CTE keeps the two quantifier
+    * probes small (late lines only) before the semi/anti pair. */
+  def sqlTpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "orders", "lineitem").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""WITH late AS (
+         |  SELECT l_orderkey, l_suppkey
+         |  FROM graft_lineitem JOIN graft_orders ON o_orderkey = l_orderkey
+         |  WHERE o_orderstatus = 'F'
+         |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         |SELECT s_name, COUNT(*) AS numwait
+         |FROM graft_supplier
+         |JOIN late l1 ON s_suppkey = l1.l_suppkey
+         |WHERE EXISTS (
+         |    SELECT 1 FROM graft_lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM late l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey)
+         |GROUP BY s_name""".stripMargin))
+  }
+
+  private val sqlTpchQ21Sql =
+    s"""WITH late AS (
+       |  SELECT l_orderkey, l_suppkey
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |  WHERE o_orderstatus = 'F'
+       |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       |SELECT s_name, COUNT(*) AS numwait
+       |FROM supplier
+       |JOIN late l1 ON s_suppkey = l1.l_suppkey
+       |WHERE EXISTS (
+       |    SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM late l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey)
+       |GROUP BY s_name
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sql_recursive" -> Q(sqlRecursive _, sqlRecursiveSql),
+    "sql_tpch_q21" -> Q(sqlTpchQ21 _, sqlTpchQ21Sql),
     "sql_tpch_q3" -> Q(sqlTpchQ3 _, sqlTpchQ3Sql),
     "sql_tpch_q5" -> Q(sqlTpchQ5 _, sqlTpchQ5Sql),
     "sql_tpch_q16" -> Q(sqlTpchQ16 _, sqlTpchQ16Sql),

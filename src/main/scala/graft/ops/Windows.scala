@@ -374,7 +374,115 @@ object Windows {
        |FROM seqs
        |${O.OrderAll}"""
 
+  /** Calendar gap-fill + forward fill (time-series resample): per-user
+    * daily value series where missing days become explicit rows carrying
+    * the last observed value — the transform every downstream
+    * daily-grain model/report needs, and the one naive SQL silently
+    * skips (absent rows are invisible to GROUP BY). Spine = per-user
+    * `sequence(first_day, last_day)` exploded — generated, never read;
+    * forward fill = running `last(value, ignoreNulls)` window, which
+    * needs ONE pass per user partition.
+    *
+    * 100 TB: the spine explode multiplies per-user day-span rows, not
+    * data rows — bounded by calendar days, not events; the left join is
+    * user+day keyed (equi), and the fill window rides the same user_id
+    * partitioning as the join output, so AQE coalesces without a second
+    * exchange. Never gap-fill on a global calendar join (cross join
+    * with a date dim explodes before filtering). */
+  def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .filter(col("user_id") % 25 === 0)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(dsum(col("value")).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered(
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(
+          col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled"),
+          col("day_value").isNull.as("is_gap")))
+  }
+
+  private val tsGapfillSql =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |    ${O.dsum("value")} AS day_value
+       |  FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT user_id,
+       |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+       |        FROM daily GROUP BY user_id))
+       |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       |  last_value(d.day_value IGNORE NULLS) OVER (
+       |    PARTITION BY s.user_id ORDER BY s.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       |  d.day_value IS NULL AS is_gap
+       |FROM spine s LEFT JOIN daily d
+       |  ON s.user_id = d.user_id AND s.day = d.day
+       |${O.OrderAll}"""
+
+  /** Rolling z-score anomaly detection: each event scored against the
+    * trailing-20-event mean/stddev of its own user's series — the
+    * streaming-friendly outlier signal (state = one bounded frame, no
+    * global statistics). The anomaly FLAG compares the ROUNDED z (both
+    * engines see identical bits after round6) so a last-ulp difference
+    * in windowed double accumulation can never flip a row across the
+    * threshold — windowed stddev is engine-order-dependent (Spark
+    * accumulates in frame order, DuckDB may use a segment tree).
+    *
+    * 100 TB: one shuffle on user_id, one sorted pass, O(1) state per
+    * row (incremental frame add/remove) — the same shape as
+    * `win_frame_rows`; never compute anomalies against a global mean
+    * (one all-rows aggregate + rebroadcast, and skewed users poison
+    * the threshold anyway). */
+  def winAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, Window.currentRow)
+    val z = (col("value") - avg(col("value")).over(w)) /
+      stddev_samp(col("value")).over(w)
+    ordered(
+      t(spark, dir, "events")
+        .filter(col("user_id") % 50 === 0)
+        .select(
+          col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("value"),
+          // the std>0 guard also dodges engine-divergent x/0 semantics
+          // (Spark: NULL, DuckDB IEEE: inf)
+          when(count(lit(1)).over(w) >= 10 &&
+            stddev_samp(col("value")).over(w) > 0, round6(z)).as("z"))
+        .withColumn("is_anomaly",
+          coalesce(abs(col("z")) > 2.0, lit(false))))
+  }
+
+  private val winAnomalySql =
+    s"""WITH scored AS (
+       |  SELECT user_id, event_id,
+       |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
+       |    CASE WHEN COUNT(*) OVER w >= 10
+       |        AND STDDEV_SAMP(value) OVER w > 0 THEN
+       |      round((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6)
+       |    END AS z
+       |  FROM events WHERE user_id % 50 = 0
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       |SELECT user_id, event_id, ts_s, value, z,
+       |  COALESCE(abs(z) > 2.0, false) AS is_anomaly
+       |FROM scored
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "ts_gapfill" -> Q(tsGapfill _, tsGapfillSql),
+    "win_anomaly" -> Q(winAnomaly _, winAnomalySql),
     "win_funnel" -> Q(winFunnel _, winFunnelSql),
     "win_event_pattern" -> Q(winEventPattern _, winEventPatternSql),
     "win_count_distinct" -> Q(winCountDistinct _, winCountDistinctSql),
