@@ -13,6 +13,7 @@ object SparkEntry {
   /** The §2 inventory: key → (Spark impl, optional DuckDB oracle). */
   def registry: Map[String, Q] =
     ops.Scans.queries ++ ops.Relational.queries ++ ops.ScaleJoins.queries ++
+      ops.Graph.queries ++
       ops.SqlApi.queries ++
       ops.Aggregates.queries ++
       ops.Windows.queries ++ ops.Scalars.queries ++ etl.Etl.queries ++

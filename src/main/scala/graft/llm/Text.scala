@@ -417,7 +417,44 @@ object Text {
        |GROUP BY doc_id
        |${O.OrderAll}"""
 
+  /** BPE tokenizer-training inner loop: corpus-wide adjacent
+    * character-pair frequencies, top 50. Training a byte-pair-encoding
+    * vocabulary at 100 TB is exactly this query run per merge round —
+    * the merge DECISION (argmax pair) is tiny; the COUNT is the
+    * at-scale work, and it is one explode → one map-side-combined
+    * count → one TakeOrderedAndProject (per-partition top-k heap +
+    * driver merge of 50 rows, never a global sort). Pairs are emitted
+    * by a zero-shuffle higher-order function over each word
+    * (`transform(sequence(...))`) — no UDF, stays inside codegen.
+    * (cnt, pair) is unique, so DESC cnt + ASC pair totals the order and
+    * LIMIT 50 is deterministic on both engines. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(50)
+  }
+
+  private val bpePairsSql =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(
+       |    generate_series(1, length(w) - 1), i -> substr(w, i, 2))) AS pair
+       |  FROM words WHERE length(w) >= 2)
+       |SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+       |ORDER BY cnt DESC, pair ASC LIMIT 50"""
+
   val queries: Map[String, Q] = Map(
+    "llm_bpe_pairs" -> Q(bpePairs _, bpePairsSql),
     "llm_dsir" -> Q(dsir _, dsirSql),
     "llm_inverted_index" -> Q(invertedIndex _, invertedIndexSql),
     "llm_lm_score" -> Q(lmScore _, lmScoreSql),

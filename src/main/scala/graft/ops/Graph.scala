@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.core.Determinism._
+import graft.core.{OracleDsl => O}
+
+/** Iterative graph analytics over the parts-co-ordered graph (the same
+  * derived relation `sql_recursive` and `graph_triangles` use). The
+  * reference's "querying and analysis" surface (README.md:10) plus the
+  * north star's scale mandate: PageRank is the canonical
+  * iterate-until-converged workload whose 100 TB shape — per-round
+  * frontier⋈edges equi-join + keyed re-aggregation, lineage broken per
+  * round — this module demonstrates end to end.
+  */
+object Graph {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** PageRank, 8 damped iterations, in EXACT fixed-point arithmetic.
+    *
+    * Floating-point PageRank cannot be oracle-verified bit-for-bit:
+    * per-node contribution sums run in partition order on Spark and in
+    * whatever order DuckDB's aggregate hash table drains, and ten
+    * iterations compound the ulps. Instead ranks are scaled longs
+    * (SCALE = 10^15): r0 = SCALE div n, each contribution is
+    * `r div deg` (integer floor), damping is `(85 * Σ) div 100` —
+    * every step is order-independent exact integer math, so both
+    * engines (and any partitioning, any run) produce IDENTICAL longs.
+    * The systematic floor bias is < deg·8 units of 10^-15 per node —
+    * far below anything a ranking consumer can observe.
+    *
+    * 100 TB: each iteration is ONE equi-join of the (node, rank) table
+    * against the static out-share edge list + ONE hash re-aggregation
+    * on dst — the exact per-round shape of `llm_dup_clusters`'
+    * connected components. The edge list is materialized once
+    * (localCheckpoint) and reused by all rounds; ranks are
+    * checkpointed per round so the plan stays one-join deep instead of
+    * growing an 8-join lineage (driver OOM + re-execution risk at
+    * scale). Node count n is the single driver-side scalar (one-row
+    * aggregate — same discipline as the JDBC partition bounds). */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000000000L // 10^15
+    val op = t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    // symmetric (both directions present), no self-loops
+    val e = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val n = deg.count() // scalar: number of nodes
+    val base = (Scale * 15L / 100L) / n // (1-d)/n, scaled, exact
+    // static out-share side: every edge with its source's out-degree
+    val ed = e.join(deg, "src").localCheckpoint()
+    var r = deg.select(col("src").as("v"), lit(Scale / n).as("r"))
+    for (_ <- 1 to 8) {
+      r = ed.join(r, ed("src") === r("v"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("v"),
+          (lit(base) + expr("(85 * sc) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ordered(r.select(col("v").as("part"), col("r").as("rank_fp")))
+  }
+
+  private val pageRankSql = {
+    // identical unrolled iterations: BIGINT floor division on both sides
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT e.dst AS v, b.b + (85 * SUM(r.r // deg.d)) // 100 AS r
+         |  FROM e JOIN $prev r ON e.src = r.v
+         |  JOIN deg ON deg.v = e.src
+         |  CROSS JOIN base b
+         |  GROUP BY e.dst, b.b)"""
+    val steps = (1 to 8)
+      .map(i => iter(if (i == 1) "r0" else s"i${i - 1}", s"i$i"))
+      .mkString(",\n")
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_orderkey % 16 = 0),
+       |e AS (
+       |  SELECT DISTINCT x.p AS src, y.p AS dst
+       |  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+       |deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+       |n AS (SELECT COUNT(*) AS nn FROM deg),
+       |base AS (SELECT (1000000000000000 * 15 // 100) // nn AS b FROM n),
+       |r0 AS (SELECT v, (SELECT 1000000000000000 // nn FROM n) AS r FROM deg),
+       |$steps
+       |SELECT v AS part, r AS rank_fp FROM i8
+       |${O.OrderAll}"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> Q(pageRank _, pageRankSql)
+  )
+}

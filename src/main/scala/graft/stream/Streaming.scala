@@ -546,8 +546,59 @@ object Streaming {
        | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
        |${O.OrderAll}"""
 
+  /** LEFT OUTER stream-stream join — the semantics corner inner joins
+    * dodge: an unmatched left row can only emit its null-padded result
+    * once the watermark proves no matching right row can still arrive
+    * (v_ts ≤ p_ts ⇒ closable when watermark passes p_ts). So the
+    * output is watermark-DEPENDENT: purchases newer than
+    * `min(max p_ts, max v_ts) − 1 h` stay open in the state store and
+    * emit nothing — the oracle replays exactly that gate (matched rows
+    * always; null rows only where `p_ts <` the final watermark). The
+    * final no-data micro-batch (Trigger.AvailableNow) is what flushes
+    * the closable state; a `processAllAvailable`-only run would leave
+    * the nulls unemitted.
+    *
+    * 100 TB: identical state shape to the inner join — both sides
+    * keyed by user_id in the state store, retention bounded by the
+    * range condition + watermark; outer adds no extra state, only the
+    * eviction-time null emission. */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("user_id") === col("v_uid") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("user_id"), col("p_id"), col("v_id"),
+        epochUs(col("p_ts")).as("p_us"), epochUs(col("v_ts")).as("v_us"))
+    ordered(runToTable(spark, joined, "append"))
+  }
+
+  private val streamJoinOuterSql =
+    s"""WITH wm AS (
+       |  SELECT least(
+       |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+       |    (SELECT max(ts) FROM events WHERE event_type = 'view'))
+       |    - INTERVAL 1 HOUR AS w)
+       |SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id,
+       |  epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+       |  ON v.user_id = p.user_id
+       | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+       |WHERE v.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "stream_join" -> Q(streamJoin _, streamJoinSql),
+    "stream_join_outer" -> Q(streamJoinOuter _, streamJoinOuterSql),
     "stream_tws" -> Q(tws _, twsSql),
     "stream_tumbling" -> Q(tumbling _, tumblingSql),
     "stream_tumbling_append" -> Q(tumblingAppend _, tumblingAppendSql),
