@@ -318,4 +318,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Boolean]("overcount_ok")
       && r.getAs[Boolean]("within_bound")))
   }
+
+  test("pagerank: probability mass conserved within floor loss; floor of (1-d)/n") {
+    val Scale = 1000000000000000L
+    val rows = ops.Graph.pageRank(spark, Sf).collect()
+    val n = rows.length.toLong
+    val base = (Scale * 15L / 100L) / n
+    val total = rows.map(_.getAs[Long]("rank_fp")).sum
+    // every rank ≥ the damped floor, no rank above total mass
+    assert(rows.forall(_.getAs[Long]("rank_fp") >= base))
+    // fixed-point floors only ever LOSE mass: Σ ≤ SCALE, and after 8
+    // iterations the loss is < (E + 2N) units per round — far under 1%
+    assert(total <= Scale && total > (Scale * 99L) / 100L,
+      s"mass drifted: $total of $Scale over $n nodes")
+  }
+
+  test("ts_gapfill: per-user days are contiguous and fill is never null") {
+    val rows = ops.Windows.tsGapfill(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(2)))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val days = rs.map(_.getString(1)).sorted
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head),
+        java.time.LocalDate.parse(days.last)) + 1
+      assert(days.length.toLong == span, "calendar spine must have no holes")
+      // at least one gap row per multi-day user would be data-dependent;
+      // instead pin the fill law: a gap row's value equals the latest
+      // non-gap value at or before it
+      val byDay = rs.sortBy(_.getString(1))
+      var lastReal = Option.empty[Double]
+      byDay.foreach { r =>
+        if (!r.getAs[Boolean]("is_gap")) lastReal = Some(r.getDouble(2))
+        else assert(lastReal.contains(r.getDouble(2)), "forward fill broke")
+      }
+    }
+  }
+
+  test("win_anomaly: warm-up rows unscored; flag agrees with rounded z") {
+    val rows = ops.Windows.winAnomaly(spark, Sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r.getString(2), r.getLong(1)))
+      ordered.take(9).foreach(r => assert(r.isNullAt(4), "z before 10 samples"))
+    }
+    rows.foreach { r =>
+      val flagged = r.getAs[Boolean]("is_anomaly")
+      val z = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      assert(flagged == z.exists(v => math.abs(v) > 2.0))
+    }
+  }
+
+  test("sample_stratified: exact-n per stratum and run-to-run identical") {
+    val a = ops.Relational.sampleStratified(spark, Sf).collect()
+    val perSeg = a.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perSeg.values.forall(_ == 10), s"strata sizes: ${perSeg.toMap}")
+    val b = ops.Relational.sampleStratified(spark, Sf).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
+      "content-keyed sampling must be reproducible")
+  }
+
+  test("llm_bpe_pairs: 2-char pairs, non-increasing counts, exactly top-50") {
+    val rows = llm.Text.bpePairs(spark, Sf).collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getString(0).length == 2))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("etl_dq_profile: one row per column, sane bounds on a null-free table") {
+    val rows = etl.Etl.dqProfile(spark, Sf).collect()
+    assert(rows.length == 5)
+    val total = graft.core.Tables.load(spark, Sf, "orders").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nulls") == 0L)
+      val d = r.getAs[Long]("n_distinct")
+      assert(d > 0 && d <= total)
+      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val"))
+    }
+  }
 }

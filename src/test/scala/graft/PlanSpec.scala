@@ -183,6 +183,27 @@ class PlanSpec extends AnyFunSuite {
       s"per-key limit should run map-side before the exchange:\n$p")
   }
 
+  test("sql_tpch_q21: double correlation decorrelates to one semi + one anti join") {
+    val p = plan("sql_tpch_q21")
+    // EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both hash equi-joins on
+    // l_orderkey with the suppkey-inequality as residual condition; a
+    // re-execute-per-row subquery or nested loop would be the
+    // scale-killer on a 100 TB lineitem
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("sample_stratified compiles to a map-side WindowGroupLimit (top-n heap, no full sort)") {
+    val p = plan("sample_stratified")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("llm_bpe_pairs: global top-50 is TakeOrdered, never a global sort") {
+    val p = plan("llm_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
   test("llm_cosine_dedup_lsh verifies candidates via equi-joins, never a nested loop") {
     // the whole point of the LSH path: the exact-cosine verify joins a
     // bounded candidate list by id — a BroadcastNestedLoopJoin here

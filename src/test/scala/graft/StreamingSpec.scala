@@ -137,4 +137,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(dup === 0)
     assert(out.count() > 0)
   }
+
+  test("outer stream join ⊇ inner join; null-padded rows only below the watermark") {
+    val inner = stream.Streaming.streamJoin(spark, TestSpark.Sf)
+    val outer = stream.Streaming.streamJoinOuter(spark, TestSpark.Sf)
+    // every inner match survives in the outer result
+    assert(inner.exceptAll(outer).count() === 0,
+      "outer join lost matched rows")
+    // null-padded rows exist (bounded fixture has unmatched purchases)
+    // and each sits strictly below the final watermark — rows at or
+    // above it must still be open in the state store, not emitted
+    val ev = graft.core.Tables.load(spark, TestSpark.Sf, "events")
+    val wmUs = ev.filter(col("event_type") === "purchase")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) min
+      ev.filter(col("event_type") === "view")
+        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val nulls = outer.filter(col("v_id").isNull)
+    assert(nulls.count() > 0, "fixture should contain unmatched purchases")
+    assert(nulls.filter(col("p_us") >= wmUs - 3600L * 1000000L).count() === 0,
+      "a null row emitted at/above the watermark")
+  }
 }
