@@ -260,7 +260,10 @@ object Text {
     * pipelines use to flag low-likelihood (garbled/boilerplate) text.
     * 100 TB: the LM tables are two groupBys; scoring is a broadcast
     * join of the (small) LM against the token stream. */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared per-doc bigram-LM scores (doc_id, avg_nll round6,
+    * n_bigrams) — the keyed `llm_lm_score` output and the input to
+    * [[pplBuckets]]' CCNet-style split. */
+  private def lmScores(spark: SparkSession, dir: String): DataFrame = {
     val fn = graft.functions.WordShingles.register(spark, 2)
     // LM score is undefined for <2-token docs; exclude them so the
     // generator's whole-text fallback can't diverge from the oracle's
@@ -272,16 +275,18 @@ object Text {
     val c12 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
     val c1 = toks(spark, dir).groupBy(col("token").as("w1"))
       .agg(count(lit(1)).as("c1"))
-    ordered(
-      bigrams
-        .join(broadcast(c12), Seq("bg"))
-        .join(broadcast(c1), Seq("w1"))
-        .withColumn("nll",
-          -log(col("c12").cast("double") / col("c1").cast("double")))
-        .groupBy(col("doc_id"))
-        .agg(round6(avg(col("nll"))).as("avg_nll"),
-          count(lit(1)).as("n_bigrams")))
+    bigrams
+      .join(broadcast(c12), Seq("bg"))
+      .join(broadcast(c1), Seq("w1"))
+      .withColumn("nll",
+        -log(col("c12").cast("double") / col("c1").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(round6(avg(col("nll"))).as("avg_nll"),
+        count(lit(1)).as("n_bigrams"))
   }
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    ordered(lmScores(spark, dir))
 
   private val lmScoreSql =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -453,7 +458,58 @@ object Text {
        |SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
        |ORDER BY cnt DESC, pair ASC LIMIT 50"""
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 1911.00359): per
+    * language, rank docs by LM score and cut into head / middle / tail
+    * terciles — the curation split that decides what joins the training
+    * mix (head), gets a second look (middle), or is dropped (tail).
+    * `ntile(3)` over (avg_nll, doc_id) — the round6-ed score plus the
+    * id tiebreak total the order, so both engines assign identical
+    * tiles. 100 TB: one window per lang partition over the (doc, score)
+    * table — rows are doc-level (3 columns), never text; at a skewed
+    * lang distribution the per-lang sort is the bottleneck — range
+    * repartition within lang or approx-quantile cutpoints (the
+    * `agg_approx_percentile` sketch) replace exact ntile when a single
+    * language holds trillions of docs. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_nll"), col("doc_id"))
+    ordered(
+      lmScores(spark, dir)
+        .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("tile", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("avg_nll"),
+          when(col("tile") === 1, "head")
+            .when(col("tile") === 2, "middle")
+            .otherwise("tail").as("bucket")))
+  }
+
+  private val pplBucketsSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |bg AS (
+       |  SELECT a.doc_id, a.tok AS w1, a.tok || ' ' || b.tok AS bigram
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY 1),
+       |c1 AS (SELECT tok AS w1, COUNT(*) AS c1 FROM toks GROUP BY 1),
+       |scores AS (
+       |  SELECT doc_id,
+       |    round(avg(-ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6) AS avg_nll
+       |  FROM bg JOIN c12 USING (bigram) JOIN c1 USING (w1)
+       |  GROUP BY doc_id),
+       |tiled AS (
+       |  SELECT s.doc_id, d.lang, s.avg_nll,
+       |    ntile(3) OVER (PARTITION BY d.lang
+       |      ORDER BY s.avg_nll, s.doc_id) AS tile
+       |  FROM scores s JOIN documents d USING (doc_id))
+       |SELECT doc_id, lang, avg_nll,
+       |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |    ELSE 'tail' END AS bucket
+       |FROM tiled
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_ppl_buckets" -> Q(pplBuckets _, pplBucketsSql),
     "llm_bpe_pairs" -> Q(bpePairs _, bpePairsSql),
     "llm_dsir" -> Q(dsir _, dsirSql),
     "llm_inverted_index" -> Q(invertedIndex _, invertedIndexSql),

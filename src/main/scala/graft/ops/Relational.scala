@@ -545,6 +545,47 @@ object Relational {
        |SELECT c_custkey AS o_custkey FROM customer
        |${O.OrderAll}"""
 
+  /** As-of join with a TOLERANCE bound (pandas `merge_asof(tolerance=)`):
+    * the latest view at most 30 minutes before each purchase — matches
+    * older than the bound are discarded, the left row survives with
+    * NULL. Same single-shuffle union-window shape as `join_asof` (the
+    * running max rides one user_id partition sort; the probe side never
+    * joins row-by-row); the tolerance is applied as a row-local filter
+    * on the matched timestamp, so it costs nothing at any scale. The
+    * un-bounded `join_asof` match is emitted alongside for contrast.
+    * Completes the as-of family: backward / forward / nearest / SCD2 /
+    * tolerance. */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val TolUs = 30L * 60L * 1000000L
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("type_rank", when(col("event_type") === "view", 0).otherwise(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("type_rank"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered(
+      ev.withColumn("last_view_us",
+          max(when(col("event_type") === "view", epochUs(col("ts")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("ts_us", epochUs(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("last_view_us"),
+          when(col("ts_us") - col("last_view_us") <= TolUs,
+            col("last_view_us")).as("within_tol_us")))
+  }
+
+  private val joinAsofToleranceSql =
+    s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       |  epoch_us(max(v.ts)) AS last_view_us,
+       |  CASE WHEN epoch_us(p.ts) - epoch_us(max(v.ts)) <= ${30 * 60 * 1000000L}
+       |    THEN epoch_us(max(v.ts)) END AS within_tol_us
+       |FROM events p LEFT JOIN events v
+       |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+       |WHERE p.event_type = 'purchase'
+       |GROUP BY p.event_id, p.user_id, p.ts
+       |${O.OrderAll}"""
+
   // ---- sampling ------------------------------------------------------
 
   /** Exact, deterministic stratified sampling: the first 10 customers
@@ -597,6 +638,7 @@ object Relational {
     "join_range" -> Q(joinRange _, joinRangeSql),
     "join_asof" -> Q(joinAsof _, joinAsofSql),
     "join_asof_nearest" -> Q(joinAsofNearest _, joinAsofNearestSql),
+    "join_asof_tolerance" -> Q(joinAsofTolerance _, joinAsofToleranceSql),
     "join_asof_forward" -> Q(joinAsofForward _, joinAsofForwardSql),
     "join_interval_bin" -> Q(joinIntervalBin _, joinIntervalBinSql),
     "join_cross" -> Q(joinCross _, joinCrossSql),

@@ -385,6 +385,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
   }
 
+  test("asof tolerance: match kept iff gap within bound, left rows always survive") {
+    val base = ops.Relational.joinAsof(spark, Sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val tol = ops.Relational.joinAsofTolerance(spark, Sf).collect()
+    assert(tol.length == base.size, "tolerance variant must not drop left rows")
+    tol.foreach { r =>
+      val asof = base(r.getLong(0))
+      // same backward match as join_asof...
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == asof)
+      // ...and the tolerant column nulls exactly the out-of-bound gaps
+      val within = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val expected = asof.filter(v => r.getLong(2) - v <= 30L * 60 * 1000000)
+      assert(within == expected)
+    }
+  }
+
+  test("ppl buckets: tercile sizes balanced, head scores ≤ middle ≤ tail per lang") {
+    val rows = llm.Text.pplBuckets(spark, Sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getString(3)).view.mapValues(_.length)
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang tiles unbalanced: ${sizes.toMap}")
+      def stats(b: String) = rs.filter(_.getString(3) == b).map(_.getDouble(2))
+      // ties on the rounded score may straddle a boundary, so ≤ not <
+      assert(stats("head").max <= stats("middle").min)
+      assert(stats("middle").max <= stats("tail").min)
+    }
+  }
+
   test("etl_dq_profile: one row per column, sane bounds on a null-free table") {
     val rows = etl.Etl.dqProfile(spark, Sf).collect()
     assert(rows.length == 5)
