@@ -762,7 +762,15 @@ object Etl {
     * the difference between one pass and a week. Numeric min/max
     * surface through DECIMAL(18,2) so the string form never goes
     * scientific (both engines print decimals plainly; doubles diverge
-    * to 1.0E7-style above 10^7). */
+    * to 1.0E7-style above 10^7).
+    *
+    * Cost note: k EXACT count_distincts in one aggregate make Catalyst
+    * rewrite via Expand — the scan stays single but the aggregate input
+    * multiplies ×(k+1), keyed by the distinct values themselves. That
+    * is the audit-grade spelling; the 100 TB profiling default swaps
+    * each count_distinct for approx_count_distinct (mergeable HLL,
+    * no Expand, no value-keyed shuffle — `agg_approx_distinct`'s
+    * machinery) and keeps this exact form for reconciliation runs. */
   def dqProfile(spark: SparkSession, dir: String): DataFrame = {
     def sCol(c: String) = col(c).cast("string")
     def nCol(c: String) =

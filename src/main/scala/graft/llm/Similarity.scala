@@ -779,7 +779,87 @@ object Similarity {
        |FROM s
        |${O.OrderAll}"""
 
+  /** SemDeDup (Abbas et al. 2303.09540): semantic dedup by
+    * cluster-then-dedup-within-cluster — the pairwise work collapses
+    * from O(n²) to O(Σ c_k²), the paper's whole point. The PARTITIONER
+    * is pluggable: production uses the trained IVF centroids already in
+    * this module ([[ensureIvfIndex]]); the keyed query uses a
+    * deterministic stand-in — the sign bits of the first four embedding
+    * coordinates (axis-aligned hyperplanes, a legitimate LSH-family
+    * space partition) — because a k-means assignment cannot be replayed
+    * relationally by the DuckDB oracle, while `element_at(v,i) > 0`
+    * can, bit-for-bit. Dedup rule within a cluster: keep a vector iff
+    * no LOWER-id member has round6-cosine ≥ 0.9 (lowest-id
+    * representative — the same total-order discipline as
+    * `llm_dedup_apply`). Runs over [[plantedEmbeddings]] so the
+    * production threshold is non-vacuous — and both plant derivations
+    * PRESERVE COORDINATE SIGNS (×2 trivially; x+0.05·|x| keeps sign
+    * for every x, including 0), so a planted near-dup provably lands
+    * in its original's cluster: the clustering shortcut loses none of
+    * the planted mass, which the drop count proves at the gate.
+    *
+    * 100 TB: the pair join is an EQUI-join on cid (vec_id < residual)
+    * — never a cross product; within-cluster quadratic cost is the
+    * knob k controls (more centroids → smaller cells), and a skewed
+    * cell splits by sub-partitioning the partitioner (exactly how the
+    * MinHash band join bounds its buckets). */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark)
+    val cidExpr = (1 to 4).map(i =>
+      when(element_at(col("embedding"), i) > 0f, lit(1 << (4 - i)))
+        .otherwise(lit(0))).reduce(_ + _)
+    val e = plantedEmbeddings(emb(spark, dir))
+      .withColumn("cid", cidExpr)
+      .withColumn("nrm", norm("embedding"))
+    val a = e.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round6(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))))
+      .filter(col("cos") >= 0.9)
+      .select(col("id_b").as("vec_id")).distinct()
+    ordered(
+      e.join(dropped.withColumn("is_kept", lit(false)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(col("is_kept"), lit(true)).as("is_kept")))
+  }
+
+  private val semDedupSql = {
+    val cid = (1 to 4).map(i =>
+      s"CASE WHEN embedding[$i] > 0 THEN ${1 << (4 - i)} ELSE 0 END")
+      .mkString(" + ")
+    val cos =
+      "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+    s"""WITH planted AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000,
+       |    list_transform(embedding,
+       |      x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT))
+       |  FROM embeddings WHERE vec_id < 25
+       |  UNION ALL
+       |  SELECT vec_id + 20000000,
+       |    list_transform(embedding,
+       |      x -> CAST(CAST(x AS DOUBLE) + 0.05 * abs(CAST(x AS DOUBLE)) AS FLOAT))
+       |  FROM embeddings WHERE vec_id < 25),
+       |e AS (
+       |  SELECT vec_id, embedding, $cid AS cid FROM planted),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round($cos, 6) >= 0.9)
+       |SELECT e.vec_id, e.cid, d.vec_id IS NULL AS is_kept
+       |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+       |${O.OrderAll}"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_semdedup" -> Q(semDedup _, semDedupSql),
     "llm_quantize_int8" -> Q(quantizeInt8 _, quantizeInt8Sql),
     "llm_simsearch" -> Q(simsearch _, simsearchSql),
     "llm_simsearch_lsh" -> Q(simsearchLsh _, simsearchLshSql),

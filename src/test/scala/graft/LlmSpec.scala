@@ -313,6 +313,40 @@ class LlmSpec extends AnyFunSuite {
       s"dsir weight carries no target signal: target=$tgtMean raw=$rawMean")
   }
 
+  test("semdedup: drop rule replays exactly against brute within-cluster cosine") {
+    val out = llm.Similarity.semDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // both planted families preserve coordinate signs, so all 50
+    // derived near-dups share their original's cluster and must drop
+    assert(out.count(!_._3) == 50, s"expected the 50 planted drops, got ${out.count(!_._3)}")
+    // brute reference: same partitioner, same threshold, no clustering
+    // shortcut — a vec is dropped iff SOME lower-id same-cluster vec is
+    // ≥ 0.9 round6-cosine
+    DotProduct.register(spark)
+    val e = llm.Similarity.plantedEmbeddings(
+        graft.core.Tables.load(spark, Sf, "embeddings"))
+      .selectExpr("vec_id", "embedding",
+        (1 to 4).map(i =>
+          s"CASE WHEN element_at(embedding, $i) > 0F THEN ${1 << (4 - i)} ELSE 0 END")
+          .mkString("", " + ", " AS cid"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("b.vec_id AS v",
+        "round(dot_product(a.embedding, b.embedding) / " +
+          "(sqrt(dot_product(a.embedding, a.embedding)) * " +
+          "sqrt(dot_product(b.embedding, b.embedding))), 6) AS cos")
+      .filter(col("cos") >= 0.9)
+      .select(col("v")).distinct().collect().map(_.getLong(0)).toSet
+    out.foreach { case (id, _, kept) =>
+      assert(kept == !pairs.contains(id), s"vec $id kept=$kept mismatch")
+    }
+    // and the pair join must stay an equi join on cid
+    val p = llm.Similarity.semDedup(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semdedup pair join must be cid-keyed:\n$p")
+  }
+
   test("span_dedup: spans are exactly 8 tokens, ≥2 docs each, capped at 100") {
     val out = llm.Dedup.spanDedup(spark, Sf).collect()
     assert(out.nonEmpty && out.length <= 100)
