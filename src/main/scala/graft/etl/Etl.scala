@@ -810,7 +810,67 @@ object Etl {
        |${O.OrderAll}"""
   }
 
+  /** SCD Type 4 — history TABLE (vs SCD2's history rows): the current
+    * dimension stays SCD1-thin (one row per key, always the latest —
+    * every point lookup is a plain equi-join, no `is_current`
+    * filtering), and each overwrite appends the PRE-image to a separate
+    * history table stamped with its supersession time. Completes the
+    * SCD family: 1 (overwrite), 2 (versioned rows), 3 (previous-value
+    * column), 4 (history table). Both tables come out of ONE
+    * `scd1Apply` pass — the `changed` flag the merge already computes
+    * selects the history appends, so the source is read once.
+    * Output = current ∪ history with a `table_role` discriminator
+    * (one DataFrame so the oracle can check both tables at once; a real
+    * deployment writes them to two sinks from the same lineage).
+    *
+    * 100 TB: history is append-only and never joined for current
+    * queries — the whole point of Type 4: the hot path stays
+    * history-free while SCD2 drags every superseded version through
+    * each scan until partition-pruned. */
+  def scd4(spark: SparkSession, dir: String): DataFrame = {
+    val batchTs = "2021-06-01 00:00:00"
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val staged = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit("VIP").as("c_mktsegment"))
+    val applied = Scd.scd1Apply(dim, staged, Seq("c_custkey"),
+      Seq("c_name", "c_mktsegment"))
+    val current = applied.select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      lit("current").as("table_role"),
+      lit(null).cast("string").as("superseded_at"))
+    val history = dim
+      .join(applied.filter(col("changed")).select(col("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit("history").as("table_role"),
+        lit(batchTs).as("superseded_at"))
+    ordered(current.unionByName(history))
+  }
+
+  private val scd4Sql =
+    s"""WITH u AS (
+       |  SELECT DISTINCT c_custkey FROM customer
+       |  WHERE EXISTS (SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT'))
+       |SELECT c.c_custkey, c.c_name,
+       |  CASE WHEN u.c_custkey IS NOT NULL THEN 'VIP' ELSE c.c_mktsegment END
+       |    AS c_mktsegment,
+       |  'current' AS table_role, CAST(NULL AS VARCHAR) AS superseded_at
+       |FROM customer c LEFT JOIN u ON c.c_custkey = u.c_custkey
+       |UNION ALL
+       |SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       |  'history', '2021-06-01 00:00:00'
+       |FROM customer c JOIN u ON c.c_custkey = u.c_custkey
+       |WHERE c.c_mktsegment <> 'VIP'
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_scd4" -> Q(scd4 _, scd4Sql),
     "etl_dq_profile" -> Q(dqProfile _, dqProfileSql),
     "etl_partition_evolution" -> Q(partitionEvolution _, partitionEvolutionSql),
     "etl_snapshot_diff" -> Q(snapshotDiff _, snapshotDiffSql),

@@ -336,7 +336,59 @@ object Scans {
        |FROM documents GROUP BY lang
        |${O.OrderAll}"""
 
+  /** PERMISSIVE corrupt-record quarantine — the ingest negative path
+    * (README.md:12 "error handling … throughout the ETL process"):
+    * a raw extract where a deterministic subset of lines is mangled
+    * (`c_custkey % 37 = 0` → non-numeric key field, full arity), read
+    * under `mode=PERMISSIVE` with `columnNameOfCorruptRecord` — bad
+    * lines surface as rows with the raw text in `_corrupt_record`
+    * instead of killing the job (FAILFAST) or vanishing silently
+    * (DROPMALFORMED). One aggregate counts good/corrupt and sums a
+    * money column over the parseable rows only; the oracle replays the
+    * corruption rule on the clean source.
+    *
+    * 100 TB: quarantine-by-column is a single pass — no second read to
+    * find the bad lines, and the corrupt rows keep their raw text for
+    * the repair queue (`etl_quarantine`'s shape at the parser level).
+    * Caveat worth knowing: a query referencing ONLY the corrupt column
+    * is rejected by Spark (lazy parsing would skip the data columns);
+    * aggregating it alongside real columns, as here, is the supported
+    * spelling. */
+  def scanCsvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "scan_csv_malformed")
+    val c = Tables.load(spark, dir, "customer")
+    c.select(
+        when(col("c_custkey") % 37 === 0,
+          concat(lit("corrupt"), col("c_custkey"), lit(",###,bad,row,###")))
+          .otherwise(concat_ws(",", col("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+          .as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = org.apache.spark.sql.types.StructType(
+      Tables.customer.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+    ordered(parsed.agg(
+      count(when(col("_corrupt_record").isNull, lit(1))).as("n_good"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      dsum(when(col("_corrupt_record").isNull, col("c_acctbal")))
+        .as("good_acctbal")))
+  }
+
+  private val scanCsvMalformedSql =
+    s"""SELECT
+       |  COUNT(*) FILTER (c_custkey % 37 <> 0) AS n_good,
+       |  COUNT(*) FILTER (c_custkey % 37 = 0) AS n_corrupt,
+       |  CAST(SUM(CASE WHEN c_custkey % 37 <> 0
+       |    THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS good_acctbal
+       |FROM customer
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "scan_csv_malformed" -> Q(scanCsvMalformed _, scanCsvMalformedSql),
     "scan_binaryfile" -> Q(scanBinaryFile _, scanBinaryFileSql),
     "scan_text" -> Q(scanText _, scanTextSql),
     "sink_zorder" -> Q(sinkZorder _, sinkZorderSql),

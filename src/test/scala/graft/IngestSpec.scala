@@ -198,4 +198,17 @@ class IngestSpec extends AnyFunSuite {
     val total = rows.map(_.getAs[Long]("count_order")).sum
     assert(total === 5209) // lineitems shipped <= 2000-12-01 at sf0.001
   }
+
+  test("malformed CSV: corrupt rows quarantined by column, good rows fully parsed") {
+    val r = ops.Scans.scanCsvMalformed(spark, Sf).collect()(0)
+    val customers = graft.core.Tables.load(spark, Sf, "customer")
+    val nCorrupt = customers.filter(col("c_custkey") % 37 === 0).count()
+    assert(r.getAs[Long]("n_corrupt") === nCorrupt && nCorrupt > 0)
+    assert(r.getAs[Long]("n_good") === customers.count() - nCorrupt)
+    // the money sum over parsed rows proves values survived the text
+    // round-trip bit-for-bit (not just row counts)
+    val expect = customers.filter(col("c_custkey") % 37 =!= 0)
+      .agg(graft.core.Determinism.dsum(col("c_acctbal"))).collect()(0).getDouble(0)
+    assert(r.getAs[Double]("good_acctbal") === expect)
+  }
 }

@@ -219,4 +219,24 @@ class ScdSpec extends AnyFunSuite {
     assert(d1.count() === 1)
     checkInvariants(d1)
   }
+
+  test("scd4: current stays one-row-per-key; history holds exactly the pre-images") {
+    import TestSpark.Sf
+    val out = graft.etl.Etl.scd4(TestSpark.spark, Sf).collect()
+    val (cur, hist) = out.partition(_.getAs[String]("table_role") == "current")
+    // Type 4's defining property: the hot table never grows versions
+    assert(cur.map(_.getLong(0)).distinct.length == cur.length)
+    assert(cur.length ==
+      graft.core.Tables.load(TestSpark.spark, Sf, "customer").count())
+    // every history row is a superseded pre-image: same key exists in
+    // current with a DIFFERENT attribute value, stamped with the batch
+    val curSeg = cur.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(hist.nonEmpty, "fixture should supersede someone")
+    hist.foreach { h =>
+      assert(curSeg(h.getLong(0)) == "VIP" && h.getString(2) != "VIP")
+      assert(h.getAs[String]("superseded_at") == "2021-06-01 00:00:00")
+    }
+    // and current rows never carry a supersession stamp
+    assert(cur.forall(_.isNullAt(4)))
+  }
 }
