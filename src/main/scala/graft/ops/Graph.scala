@@ -40,8 +40,31 @@ object Graph {
     * growing an 8-join lineage (driver OOM + re-execution risk at
     * scale). Node count n is the single driver-side scalar (one-row
     * aggregate — same discipline as the JDBC partition bounds). */
+  private[graft] val Scale = 1000000000000000L // 10^15
+
+  /** The iteration core over any symmetric (src, dst) edge list — also
+    * exercised by PropertySpec on generated graphs. Returns (v, r)
+    * scaled-long ranks after `iters` damped rounds. */
+  private[graft] def pageRankIterations(e: DataFrame, iters: Int): DataFrame = {
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val n = deg.count() // scalar: number of nodes
+    val base = (Scale * 15L / 100L) / n // (1-d)/n, scaled, exact
+    // static out-share side: every edge with its source's out-degree
+    val ed = e.join(deg, "src").localCheckpoint()
+    var r = deg.select(col("src").as("v"), lit(Scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      r = ed.join(r, ed("src") === r("v"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("v"),
+          (lit(base) + expr("(85 * sc) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    r
+  }
+
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val Scale = 1000000000000000L // 10^15
     val op = t(spark, dir, "lineitem")
       .filter(col("l_orderkey") % 16 === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -52,22 +75,8 @@ object Graph {
       .select(col("x.p").as("src"), col("y.p").as("dst"))
       .distinct()
       .localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val n = deg.count() // scalar: number of nodes
-    val base = (Scale * 15L / 100L) / n // (1-d)/n, scaled, exact
-    // static out-share side: every edge with its source's out-degree
-    val ed = e.join(deg, "src").localCheckpoint()
-    var r = deg.select(col("src").as("v"), lit(Scale / n).as("r"))
-    for (_ <- 1 to 8) {
-      r = ed.join(r, ed("src") === r("v"))
-        .select(col("dst"), expr("r div d").as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("sc"))
-        .select(col("dst").as("v"),
-          (lit(base) + expr("(85 * sc) div 100")).as("r"))
-        .localCheckpoint()
-    }
-    ordered(r.select(col("v").as("part"), col("r").as("rank_fp")))
+    ordered(pageRankIterations(e, 8)
+      .select(col("v").as("part"), col("r").as("rank_fp")))
   }
 
   private val pageRankSql = {

@@ -389,25 +389,30 @@ object Windows {
     * partitioning as the join output, so AQE coalesces without a second
     * exchange. Never gap-fill on a global calendar join (cross join
     * with a date dim explodes before filtering). */
-  def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
-    val daily = t(spark, dir, "events")
-      .filter(col("user_id") % 25 === 0)
-      .withColumn("day", to_date(col("ts")))
-      .groupBy(col("user_id"), col("day"))
-      .agg(dsum(col("value")).as("day_value"))
+  /** The spine+fill core over any (user_id, day, day_value) frame —
+    * also exercised by PropertySpec on generated series. */
+  private[graft] def gapfillDaily(daily: DataFrame): DataFrame = {
     val spine = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("user_id"),
         explode(sequence(col("d0"), col("d1"))).as("day"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered(
-      spine.join(daily, Seq("user_id", "day"), "left")
-        .select(
-          col("user_id"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          last(col("day_value"), ignoreNulls = true).over(w).as("filled"),
-          col("day_value").isNull.as("is_gap")))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled"),
+        col("day_value").isNull.as("is_gap"))
+  }
+
+  def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .filter(col("user_id") % 25 === 0)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(dsum(col("value")).as("day_value"))
+    ordered(gapfillDaily(daily))
   }
 
   private val tsGapfillSql =

@@ -317,4 +317,58 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("property: pagerank conserves scaled mass on arbitrary undirected graphs") {
+    // adversarial shapes: multiple components, stars (max skew),
+    // near-cliques, chains — anything symmetric and self-loop-free
+    val genEdges: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+        .map(_.filter(e => e._1 != e._2).take(25))
+        .suchThat(_.nonEmpty)
+    check("pagerank-mass", Prop.forAllNoShrink(genEdges) { edges =>
+      val sym = edges.flatMap(e => Seq(e, e.swap)).distinct
+      val e = sym.toDF("src", "dst")
+      val ranks = ops.Graph.pageRankIterations(e, 8).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = sym.map(_._1).distinct.size
+      val base = (ops.Graph.Scale * 15L / 100L) / n
+      val total = ranks.values.sum
+      // node set preserved, every rank ≥ damped floor, floors only lose
+      ranks.size == n && ranks.values.forall(_ >= base) &&
+        total <= ops.Graph.Scale && total > (ops.Graph.Scale * 98L) / 100L
+    })
+  }
+
+  test("property: gap-fill spine is exactly the span; fill replays last observation") {
+    // per-user sparse day sets with duplicates-free days and arbitrary
+    // holes (incl. single-day users and month-spanning gaps)
+    val genSeries: Gen[List[(Int, List[Int])]] =
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 2),
+        Gen.nonEmptyListOf(Gen.choose(0, 60)).map(_.distinct.take(8))))
+        .map(_.take(3))
+    check("gapfill-law", Prop.forAllNoShrink(genSeries) { series =>
+      val rows = series.zipWithIndex.flatMap { case ((_, days), u) =>
+        days.map(d => (u.toLong, java.sql.Date.valueOf(
+          java.time.LocalDate.of(2020, 1, 1).plusDays(d)), (d * 10 + u).toDouble))
+      }
+      val out = ops.Windows.gapfillDaily(rows.toDF("user_id", "day", "day_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      val byUser = rows.groupBy(_._1)
+      out.groupBy(_._1).forall { case (u, outRows) =>
+        val have = byUser(u).map(r => r._2.toString -> r._3).toMap
+        val days = byUser(u).map(_._2.toString)
+        val span = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(days.min),
+          java.time.LocalDate.parse(days.max)) + 1
+        val sorted = outRows.sortBy(_._2).toList
+        // spine = exact calendar span; observed rows keep their value;
+        // gap rows replay the latest earlier observation
+        sorted.size.toLong == span && sorted.forall { case (_, d, v, gap) =>
+          if (!gap) have(d) == v
+          else have.filter(_._1 < d).maxBy(_._1)._2 == v
+        }
+      }
+    })
+  }
 }
