@@ -396,8 +396,111 @@ object SqlApi {
        |GROUP BY s_name
        |${O.OrderAll}"""
 
+  /** TPC-H Q4 (order priority checking), adapted: count orders per
+    * priority where SOME line shipped more than 30 days after the
+    * order date. The correlated EXISTS carries the outer's o_orderdate
+    * INTO the subquery predicate — Catalyst decorrelates to a LeftSemi
+    * join on l_orderkey with the date comparison as a residual join
+    * condition (one hash join; the date residual evaluates per matched
+    * pair, no re-execution). */
+  def sqlTpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS order_count
+         |FROM graft_orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND EXISTS (
+         |    SELECT 1 FROM graft_lineitem
+         |    WHERE l_orderkey = o_orderkey
+         |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+         |GROUP BY o_orderpriority""".stripMargin))
+  }
+
+  private val sqlTpchQ4Sql =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem
+       |    WHERE l_orderkey = o_orderkey
+       |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+       |GROUP BY o_orderpriority
+       |${O.OrderAll}"""
+
+  /** TPC-H Q12 (shipping modes / priority classes), adapted to the
+    * synthetic schema (returnflag plays shipmode): per flag, how many
+    * lines belong to critical- vs normal-priority orders — the
+    * canonical conditional-aggregation-over-a-join shape (both counts
+    * in ONE pass; the naive two-query spelling scans the join twice). */
+  def sqlTpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT l_returnflag,
+         |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS high_line_count,
+         |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS low_line_count
+         |FROM graft_orders JOIN graft_lineitem ON o_orderkey = l_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_returnflag""".stripMargin))
+  }
+
+  private val sqlTpchQ12Sql =
+    s"""SELECT l_returnflag,
+       |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 ELSE 0 END) AS high_line_count,
+       |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 ELSE 0 END) AS low_line_count
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY l_returnflag
+       |${O.OrderAll}"""
+
+  /** TPC-H Q14 (promotion effect), adapted (p_type prefix 'STANDARD'
+    * plays PROMO%): promo revenue share as a percentage — a ratio of
+    * two conditional sums computed in the SAME aggregate (exact decimal
+    * sums per Determinism; ONE double division at the end, identical
+    * on both engines). Single broadcast join, single pass. */
+  def sqlTpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'STANDARD%'
+         |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+         |      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+         |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+         |    AS DOUBLE) AS promo_revenue_pct,
+         |  COUNT(*) AS n_lines
+         |FROM graft_lineitem JOIN graft_part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-09-01 00:00:00'""".stripMargin))
+  }
+
+  private val sqlTpchQ14Sql =
+    s"""SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'STANDARD%'
+       |    THEN ${O.revenue}
+       |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       |  / CAST(SUM(${O.revenue}) AS DOUBLE) AS promo_revenue_pct,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-09-01 00:00:00'
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sql_recursive" -> Q(sqlRecursive _, sqlRecursiveSql),
+    "sql_tpch_q4" -> Q(sqlTpchQ4 _, sqlTpchQ4Sql),
+    "sql_tpch_q12" -> Q(sqlTpchQ12 _, sqlTpchQ12Sql),
+    "sql_tpch_q14" -> Q(sqlTpchQ14 _, sqlTpchQ14Sql),
     "sql_tpch_q21" -> Q(sqlTpchQ21 _, sqlTpchQ21Sql),
     "sql_tpch_q3" -> Q(sqlTpchQ3 _, sqlTpchQ3Sql),
     "sql_tpch_q5" -> Q(sqlTpchQ5 _, sqlTpchQ5Sql),

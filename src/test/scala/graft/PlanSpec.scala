@@ -194,6 +194,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("sql_tpch_q4: date-correlated EXISTS decorrelates to one semi join, no nested loop") {
+    val p = plan("sql_tpch_q4")
+    // the o_orderdate comparison rides the semi join as a residual
+    // condition; a nested loop or per-row re-execution would be the
+    // 100 TB failure mode
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("sample_stratified compiles to a map-side WindowGroupLimit (top-n heap, no full sort)") {
     val p = plan("sample_stratified")
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
