@@ -869,7 +869,58 @@ object Etl {
        |WHERE c.c_mktsegment <> 'VIP'
        |${O.OrderAll}"""
 
+  /** Late-arriving dimension (Kimball's classic): fact rows land BEFORE
+    * their dimension row exists. Batch 1 ships only part of the
+    * customer dim (`c_custkey % 7 <> 0`); every order still loads —
+    * matched rows enrich immediately, orphans get an INFERRED member
+    * (placeholder attributes, flagged) instead of being dropped or
+    * blocking the load. Batch 2 delivers the late dim rows and the
+    * placeholder facts resolve scd1-style. Output = final enriched
+    * facts with their resolution lineage ('immediate' /
+    * 'resolved_batch2' / 'unresolved'), so the oracle can check both
+    * the end state AND that no fact was ever lost (row count = orders).
+    *
+    * 100 TB: both passes are broadcast-dim joins (the fact table never
+    * shuffles); the pending set is the natural delta — batch 2 joins
+    * ONLY the placeholder keys against the dim delta, not the whole
+    * fact history. The anti-pattern this replaces: failing the load on
+    * referential integrity, which turns one late dim row into a stalled
+    * pipeline. */
+  def lateArrivingDim(spark: SparkSession, dir: String): DataFrame = {
+    val dimB1 = t(spark, dir, "customer").filter(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dimB2 = t(spark, dir, "customer").filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val facts = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    // batch 1: enrich what we can, infer the rest
+    val b1 = facts.join(broadcast(dimB1),
+      col("o_custkey") === col("c_custkey"), "left")
+    val immediate = b1.filter(col("c_custkey").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_mktsegment"), lit("immediate").as("resolution"))
+    val pending = b1.filter(col("c_custkey").isNull)
+      .select(col("o_orderkey"), col("o_custkey"))
+    // batch 2: the late dim rows arrive; placeholders resolve in place
+    val resolved = pending.join(broadcast(dimB2),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_mktsegment"),
+        when(col("c_custkey").isNotNull, "resolved_batch2")
+          .otherwise("unresolved").as("resolution"))
+    ordered(immediate.unionByName(resolved))
+  }
+
+  private val lateArrivingDimSql =
+    s"""SELECT o_orderkey, o_custkey, c_mktsegment,
+       |  CASE WHEN c_custkey IS NULL THEN 'unresolved'
+       |    WHEN c_custkey % 7 = 0 THEN 'resolved_batch2'
+       |    ELSE 'immediate' END AS resolution
+       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_late_dim" -> Q(lateArrivingDim _, lateArrivingDimSql),
     "etl_scd4" -> Q(scd4 _, scd4Sql),
     "etl_dq_profile" -> Q(dqProfile _, dqProfileSql),
     "etl_partition_evolution" -> Q(partitionEvolution _, partitionEvolutionSql),

@@ -414,6 +414,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("late-arriving dim: no fact lost, placeholders resolve against the delta") {
+    val out = etl.Etl.lateArrivingDim(spark, Sf).collect()
+    val nOrders = graft.core.Tables.load(spark, Sf, "orders").count()
+    assert(out.length.toLong == nOrders, "a late dim row must never drop a fact")
+    val byRes = out.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(byRes.getOrElse("immediate", 0) > 0 &&
+      byRes.getOrElse("resolved_batch2", 0) > 0,
+      s"fixture must exercise both paths: $byRes")
+    out.foreach { r =>
+      val late = r.getLong(1) % 7 == 0
+      r.getString(3) match {
+        case "immediate" => assert(!late && !r.isNullAt(2))
+        case "resolved_batch2" => assert(late && !r.isNullAt(2))
+        case "unresolved" => assert(r.isNullAt(2))
+      }
+    }
+  }
+
   test("etl_dq_profile: one row per column, sane bounds on a null-free table") {
     val rows = etl.Etl.dqProfile(spark, Sf).collect()
     assert(rows.length == 5)
