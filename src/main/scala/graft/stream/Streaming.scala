@@ -122,6 +122,37 @@ object Streaming {
       .parquet(path)
   }
 
+  /** Three-phase OUT-OF-ORDER source for the late-data key: file 0 the
+    * bulk (`event_id % 5 ∉ {0,2}`, full time span — its max drives the
+    * watermark), file 1 a buffer batch (`% 5 = 2`), file 2 the late
+    * arrivals (`% 5 = 0`). The buffer batch exists because the
+    * late-row DATA FILTER runs one batch behind the displayed
+    * watermark (see [[streamLateDrop]]) — with only two batches the
+    * filter never engages at all. maxFilesPerTrigger=1 + pinned mtimes
+    * make the three batches and their order deterministic. */
+  private[graft] def eventsStreamThreePhase(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = "events_stream_src_late"
+    val path = graft.core.Fixtures.path(dir, fixture)
+    if (!graft.core.Fixtures.exists(dir, fixture)) {
+      val ev = Tables.load(spark, dir, "events")
+      val dirFile = new java.io.File(path)
+      var known = Set.empty[String]
+      Seq(col("event_id") % 5 =!= 0 && col("event_id") % 5 =!= 2,
+        col("event_id") % 5 === 2,
+        col("event_id") % 5 === 0)
+        .zipWithIndex.foreach { case (pred, i) =>
+          ev.filter(pred).coalesce(1).write.mode("append").parquet(path)
+          val fresh = dirFile.listFiles().filter(f =>
+            f.getName.startsWith("part-") && !known.contains(f.getName))
+          fresh.foreach(_.setLastModified(1600000000000L + i * 60000L))
+          known ++= fresh.map(_.getName)
+        }
+    }
+    spark.readStream.schema(Tables.events)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(path)
+  }
+
   /** Run a bounded streaming DataFrame to completion into a uniquely
     * named memory sink; return the sink table. */
   private def runToTable(spark: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
@@ -546,6 +577,46 @@ object Streaming {
        | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
        |${O.OrderAll}"""
 
+  /** Late-data DROP, driver-gate-proven, on the stateful operator that
+    * actually drops: streaming dedup. (Windowed AGGREGATION never drops
+    * late rows — it re-opens evicted state; measured here before this
+    * key settled on dedup.) The three-phase source delivers 1/5 of the
+    * events two batches after the bulk; those rows sit below the
+    * watermark and the dedup operator discards them on input
+    * (`numRowsDroppedByWatermark`).
+    *
+    * Timing subtlety the oracle must replay (pinned empirically on
+    * this engine build): the late-row data filter in batch N uses the
+    * watermark DISPLAYED during batch N−1 — i.e. the value computed at
+    * the end of batch N−2 — one batch behind the eviction watermark. A
+    * 12:15 row arriving under a displayed 12:30 watermark survives if
+    * the previous batch displayed 11:30. Hence: batch 2's filter =
+    * `max(file-0 ts) − 30 min` exactly — file 1's contribution is not
+    * yet in effect — which is what the oracle computes. The dropped
+    * rows are data loss you OPTED INTO by bounding state; this key
+    * prices it at the correctness gate instead of leaving it folklore.
+    *
+    * 100 TB: the drop gate is what caps dedup state at
+    * (watermark delay × key arrival rate) instead of stream length. */
+  def streamLateDrop(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = eventsStreamThreePhase(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("event_id", "ts")
+      .select(col("event_id"), epochUs(col("ts")).as("ts_us"),
+        col("event_type"))
+    ordered(runToTable(spark, dedup, "append"))
+  }
+
+  private val streamLateDropSql =
+    s"""WITH wm AS (
+       |  SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+       |  WHERE event_id % 5 <> 0 AND event_id % 5 <> 2)
+       |SELECT event_id, epoch_us(ts) AS ts_us, event_type
+       |FROM events
+       |WHERE event_id % 5 <> 0
+       |   OR ts >= (SELECT w FROM wm)
+       |${O.OrderAll}"""
+
   /** LEFT OUTER stream-stream join — the semantics corner inner joins
     * dodge: an unmatched left row can only emit its null-padded result
     * once the watermark proves no matching right row can still arrive
@@ -599,6 +670,7 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "stream_join" -> Q(streamJoin _, streamJoinSql),
     "stream_join_outer" -> Q(streamJoinOuter _, streamJoinOuterSql),
+    "stream_late_drop" -> Q(streamLateDrop _, streamLateDropSql),
     "stream_tws" -> Q(tws _, twsSql),
     "stream_tumbling" -> Q(tumbling _, tumblingSql),
     "stream_tumbling_append" -> Q(tumblingAppend _, tumblingAppendSql),

@@ -138,6 +138,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("late drop: exactly the below-watermark arrivals vanish, everything else survives") {
+    val out = stream.Streaming.streamLateDrop(spark, TestSpark.Sf).collect()
+      .map(_.getLong(0)).toSet
+    val ev = graft.core.Tables.load(spark, TestSpark.Sf, "events")
+    val wmUs = ev.filter(col("event_id") % 5 =!= 0 && col("event_id") % 5 =!= 2)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) - 30L * 60 * 1000000
+    val all = ev.select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val dropped = all.filterNot { case (id, _) => out.contains(id) }
+    assert(dropped.nonEmpty, "fixture must exercise the drop path")
+    // every dropped row is a phase-3 arrival below the batch-1 watermark;
+    // every survivor is either on time or arrived before the gate engaged
+    dropped.foreach { case (id, us) =>
+      assert(id % 5 == 0 && us < wmUs, s"on-time row $id dropped")
+    }
+    all.filter { case (id, us) => id % 5 == 0 && us >= wmUs }.foreach { case (id, _) =>
+      assert(out.contains(id), s"above-watermark row $id missing")
+    }
+  }
+
   test("outer stream join ⊇ inner join; null-padded rows only below the watermark") {
     val inner = stream.Streaming.streamJoin(spark, TestSpark.Sf)
     val outer = stream.Streaming.streamJoinOuter(spark, TestSpark.Sf)
