@@ -919,7 +919,49 @@ object Etl {
        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
        |${O.OrderAll}"""
 
+  /** Referential-integrity audit (README.md:12 "data integrity and
+    * consistency"): orphan counts for every FK edge of the star schema
+    * in one report — fact keys with no matching dimension row. Each
+    * edge is a LEFT ANTI join (the dimension side broadcasts; the fact
+    * side never shuffles), counted; the report is a 4-row union. A red
+    * row here is what `etl_late_dim` then handles gracefully.
+    *
+    * 100 TB: anti-join-then-count is one pass per edge; for many edges
+    * over one fact table, fuse them into a single pass of left joins +
+    * conditional counts — spelled here as separate edges because each
+    * probes a different fact table. */
+  def fkCheck(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+        edge: String): DataFrame =
+      fact.join(broadcast(dim), fact(fk) === dim(pk), "left_anti")
+        .agg(lit(edge).as("fk_edge"), count(lit(1)).as("n_orphans"))
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    ordered(
+      orphans(orders, "o_custkey", t(spark, dir, "customer"), "c_custkey",
+        "orders.o_custkey -> customer")
+        .unionByName(orphans(lineitem, "l_orderkey", orders, "o_orderkey",
+          "lineitem.l_orderkey -> orders"))
+        .unionByName(orphans(lineitem, "l_partkey", t(spark, dir, "part"),
+          "p_partkey", "lineitem.l_partkey -> part"))
+        .unionByName(orphans(lineitem, "l_suppkey", t(spark, dir, "supplier"),
+          "s_suppkey", "lineitem.l_suppkey -> supplier")))
+  }
+
+  private val fkCheckSql = {
+    def edge(fact: String, fk: String, dim: String, pk: String) =
+      s"""SELECT '$fact.$fk -> $dim' AS fk_edge, COUNT(*) AS n_orphans
+         |FROM $fact WHERE NOT EXISTS (
+         |  SELECT 1 FROM $dim WHERE $pk = $fk)"""
+    s"""${edge("orders", "o_custkey", "customer", "c_custkey")}
+       |UNION ALL ${edge("lineitem", "l_orderkey", "orders", "o_orderkey")}
+       |UNION ALL ${edge("lineitem", "l_partkey", "part", "p_partkey")}
+       |UNION ALL ${edge("lineitem", "l_suppkey", "supplier", "s_suppkey")}
+       |${O.OrderAll}"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_fk_check" -> Q(fkCheck _, fkCheckSql),
     "etl_late_dim" -> Q(lateArrivingDim _, lateArrivingDimSql),
     "etl_scd4" -> Q(scd4 _, scd4Sql),
     "etl_dq_profile" -> Q(dqProfile _, dqProfileSql),

@@ -485,7 +485,60 @@ object Windows {
        |FROM scored
        |${O.OrderAll}"""
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands pattern: `day − row_number()` is constant within
+    * a consecutive run (both engines do date−int day arithmetic), so
+    * one window + one groupBy finds every island without self-joins or
+    * iteration; the per-user argmax then rides a second window over the
+    * tiny (user, island) table. Tie-break: longest, then earliest
+    * start — total order, both engines agree.
+    *
+    * 100 TB: two shuffles on user_id (the distinct and the window
+    * share partitioning; AQE reuses it) over day-grain rows — the
+    * island trick is O(n), where the naive LEAD-chain or self-join
+    * spelling goes quadratic in streak length. */
+  def winStreak(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val wRn = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("grp", date_sub(col("day"), row_number().over(wRn)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak_len"),
+        date_format(min(col("day")), "yyyy-MM-dd").as("streak_start"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("streak_end"))
+    val wBest = Window.partitionBy(col("user_id"))
+      .orderBy(col("streak_len").desc, col("streak_start").asc)
+    ordered(
+      islands.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("streak_len"),
+          col("streak_start"), col("streak_end")))
+  }
+
+  private val winStreakSql =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |islands AS (
+       |  SELECT user_id,
+       |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+       |      AS INTEGER) AS grp,
+       |    day
+       |  FROM days),
+       |streaks AS (
+       |  SELECT user_id, COUNT(*) AS streak_len,
+       |    strftime(min(day), '%Y-%m-%d') AS streak_start,
+       |    strftime(max(day), '%Y-%m-%d') AS streak_end
+       |  FROM islands GROUP BY user_id, grp)
+       |SELECT user_id, streak_len, streak_start, streak_end FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY streak_len DESC, streak_start ASC) AS rn
+       |  FROM streaks)
+       |WHERE rn = 1
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "win_streak" -> Q(winStreak _, winStreakSql),
     "ts_gapfill" -> Q(tsGapfill _, tsGapfillSql),
     "win_anomaly" -> Q(winAnomaly _, winAnomalySql),
     "win_funnel" -> Q(winFunnel _, winFunnelSql),

@@ -432,6 +432,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("fk_check: four edges, zero orphans on the consistent fixture") {
+    val rows = etl.Etl.fkCheck(spark, Sf).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Long]("n_orphans") == 0L),
+      s"fixture FKs should hold: ${rows.mkString(", ")}")
+  }
+
+  test("win_streak: streaks are maximal consecutive runs (brute re-derivation)") {
+    val out = ops.Windows.winStreak(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    val days = graft.core.Tables.load(spark, Sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("d"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).sorted.toList)
+    days.foreach { case (u, ds) =>
+      // brute: walk the sorted days, track the best (len, start) run
+      val dates = ds.map(java.time.LocalDate.parse)
+      var best = (1L, dates.head); var cur = (1L, dates.head)
+      dates.sliding(2).foreach {
+        case List(a, b) =>
+          cur = if (b == a.plusDays(1)) (cur._1 + 1, cur._2) else (1L, b)
+          if (cur._1 > best._1) best = cur
+        case _ =>
+      }
+      val (len, start, end) = out(u)
+      assert(len == best._1 && start == best._2.toString &&
+        end == best._2.plusDays(best._1 - 1).toString,
+        s"user $u: got ($len,$start,$end) want $best")
+    }
+  }
+
   test("etl_dq_profile: one row per column, sane bounds on a null-free table") {
     val rows = etl.Etl.dqProfile(spark, Sf).collect()
     assert(rows.length == 5)
