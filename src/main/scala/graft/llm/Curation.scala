@@ -596,7 +596,53 @@ object Curation {
        |FROM documents
        |${O.OrderAll}"""
 
+  /** Reproducible global training-order shuffle: position =
+    * rank under `md5(seed ∥ doc_id)` — a pseudo-random permutation any
+    * engine, partitioning, or rerun reproduces bit-for-bit, keyed by an
+    * explicit seed (change the seed string → an independent epoch
+    * permutation). The RNG-state alternative (`orderBy(rand(42))`)
+    * is partitioning-dependent in general and irreproducible outside
+    * Spark; content-keyed hashing is the 100 TB answer — and because
+    * it's a SORT by a uniform key, it range-partitions evenly by
+    * construction (no shuffle skew), which is exactly what the
+    * training loader needs for balanced shards.
+    *
+    * 100 TB: one range-partitioned sort; at petabyte scale you keep
+    * only (hash, doc_id) in the sort and join the payload back by id —
+    * the shuffle never carries document text. */
+  def shuffle(spark: SparkSession, dir: String): DataFrame = {
+    // distributed global rank — llm_packing's prefix-sum shape, never an
+    // empty-partitionBy window: range-partition by the hash key, count
+    // exclusive predecessors locally, add broadcast per-partition bases
+    val keyed = docs(spark, dir)
+      .withColumn("_k",
+        md5(concat(lit("epoch0:"), col("doc_id").cast("string"))))
+      .repartitionByRange(16, col("_k"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids across the two branches
+    val localW = Window.partitionBy(col("_pid"))
+      .orderBy(col("_k"), col("doc_id"))
+    val bases = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("_ptot"))
+      .withColumn("_base",
+        coalesce(sum(col("_ptot")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_base"))
+    ordered(
+      keyed.withColumn("_local", row_number().over(localW))
+        .join(broadcast(bases), Seq("_pid"))
+        .select((col("_base") + col("_local")).as("pos"),
+          col("doc_id"), col("lang")))
+  }
+
+  private val shuffleSql =
+    s"""SELECT row_number() OVER (
+       |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+       |  doc_id, lang
+       |FROM documents
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_shuffle" -> Q(shuffle _, shuffleSql),
     "llm_bloom_filter" -> Q(bloomFilter _, bloomFilterSql),
     "llm_chunking" -> Q(chunking _, chunkingSql),
     "llm_dedup_url" -> Q(urlDedup _, urlDedupSql),

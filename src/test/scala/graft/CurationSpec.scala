@@ -188,4 +188,17 @@ class CurationSpec extends AnyFunSuite {
     val expected = out.map(_.getAs[Long]("doc_id")).filter(_ % 50 == 0).toSet
     assert(members === expected)
   }
+
+  test("shuffle: dense 1..n permutation, reproducible, actually permutes") {
+    val a = llm.Curation.shuffle(spark, TestSpark.Sf).collect()
+    val pos = a.map(_.getLong(0)).sorted
+    assert(pos.sameElements(1L to a.length.toLong), "pos must be a dense rank")
+    // reproducible across runs (content-keyed, not RNG-state)
+    val b = llm.Curation.shuffle(spark, TestSpark.Sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .sameElements(b.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)))
+    // and it is not the identity order (the hash really shuffles)
+    val byPos = a.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(byPos.zip(byPos.tail).exists { case (x, y) => x > y })
+  }
 }
