@@ -131,7 +131,9 @@ object Streaming {
     * filter never engages at all. maxFilesPerTrigger=1 + pinned mtimes
     * make the three batches and their order deterministic. */
   private[graft] def eventsStreamThreePhase(spark: SparkSession, dir: String): DataFrame = {
-    val fixture = "events_stream_src_late"
+    // phase structure encoded in the name: a layout change must miss
+    // the old fixture and rebuild (the ivf-index staleness lesson)
+    val fixture = "events_stream_src_late_p3"
     val path = graft.core.Fixtures.path(dir, fixture)
     if (!graft.core.Fixtures.exists(dir, fixture)) {
       val ev = Tables.load(spark, dir, "events")
