@@ -960,7 +960,83 @@ object Etl {
        |${O.OrderAll}"""
   }
 
+  /** Bitemporal dimension — TWO time axes where SCD2 has one:
+    * VALID time (when the fact was true in the world) × TRANSACTION
+    * time (when the warehouse believed it). The case SCD2 cannot
+    * answer: a RETROACTIVE correction — at tx T2 we learn the segment
+    * already changed at valid-time V1 < T2. SCD2 either rewrites
+    * history (audit broken) or dates the change at T2 (world wrong);
+    * bitemporal closes the old belief on the tx axis and inserts the
+    * corrected validity, so "what did we believe at tx X about valid
+    * time V?" has one answer for every (X, V).
+    *
+    * Fixture: load at tx T1 (segments valid from 2020-01-01,
+    * believed-forever); at tx T2 = 2021-06-01 learn urgent-order
+    * customers became VIP at valid-time 2021-01-01. Output = both
+    * beliefs about valid-time 2021-03-01 — probed BEFORE and AFTER the
+    * correction — per customer; the oracle replays both point-in-time
+    * reads. The two probes are FILTERS on the same table (each a
+    * half-open rectangle test on the two axes), joined by key.
+    *
+    * 100 TB: a bitemporal read is two range predicates → with the
+    * table partitioned on tx_from and Z-ordered/min-maxed on
+    * (valid_from, valid_to), both prune to a file subset
+    * (`sink_zorder`'s machinery); the correction batch touches only
+    * affected keys — never a table rewrite. */
+  def bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    val Hi = "9999-12-31 00:00:00"
+    val (t1, t2) = ("2020-01-01 00:00:00", "2021-06-01 00:00:00")
+    val v1 = "2021-01-01 00:00:00"
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val vip = base.join(t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"))
+    // tx T1 belief: segment valid [2020-01-01, ∞), believed [T1, ∞)...
+    val load = base.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+      lit(t1).as("valid_from"), lit(Hi).as("valid_to"),
+      lit(t1).as("tx_from"), lit(Hi).as("tx_to"))
+    // ...until the tx-T2 retroactive correction for VIP keys: the old
+    // belief row CLOSES on the tx axis (tx_to = T2, history intact) and
+    // two corrected-validity rows open (pre-V1 unchanged, post-V1 VIP)
+    val closed = load.join(vip, Seq("c_custkey"), "left_semi")
+      .withColumn("tx_to", lit(t2))
+    val keptOpen = load.join(vip, Seq("c_custkey"), "left_anti")
+    val corrected = closed.select(col("c_custkey"), col("seg"))
+      .select(col("c_custkey"), col("seg"),
+        lit(t1).as("valid_from"), lit(v1).as("valid_to"),
+        lit(t2).as("tx_from"), lit(Hi).as("tx_to"))
+      .unionByName(closed.select(col("c_custkey"),
+        lit("VIP").as("seg"), lit(v1).as("valid_from"), lit(Hi).as("valid_to"),
+        lit(t2).as("tx_from"), lit(Hi).as("tx_to")))
+    val table = keptOpen.unionByName(closed).unionByName(corrected)
+    // point-in-time probe: belief AT tx X about valid time V
+    def believedAt(tx: String, v: String, as: String) =
+      table.filter(col("tx_from") <= tx && col("tx_to") > tx &&
+          col("valid_from") <= v && col("valid_to") > v)
+        .select(col("c_custkey"), col("seg").as(as))
+    ordered(
+      believedAt("2021-03-01 00:00:00", "2021-03-01 00:00:00", "belief_before")
+        .join(believedAt("2022-01-01 00:00:00", "2021-03-01 00:00:00",
+          "belief_after"), Seq("c_custkey")))
+  }
+
+  private val bitemporalSql =
+    s"""SELECT c.c_custkey,
+       |  c.c_mktsegment AS belief_before,
+       |  CASE WHEN u.c_custkey IS NOT NULL THEN 'VIP'
+       |    ELSE c.c_mktsegment END AS belief_after
+       |FROM customer c
+       |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+       |  WHERE EXISTS (SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')) u
+       |  ON c.c_custkey = u.c_custkey
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_bitemporal" -> Q(bitemporal _, bitemporalSql),
     "etl_fk_check" -> Q(fkCheck _, fkCheckSql),
     "etl_late_dim" -> Q(lateArrivingDim _, lateArrivingDimSql),
     "etl_scd4" -> Q(scd4 _, scd4Sql),

@@ -220,6 +220,22 @@ class ScdSpec extends AnyFunSuite {
     checkInvariants(d1)
   }
 
+  test("bitemporal: one belief per (tx, valid) probe; only corrected keys change") {
+    import TestSpark.Sf
+    val out = graft.etl.Etl.bitemporal(TestSpark.spark, Sf).collect()
+    // the join produced exactly one row per key ⇒ each point-in-time
+    // probe returned exactly one belief (no overlap on either axis)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    assert(out.length.toLong ==
+      graft.core.Tables.load(TestSpark.spark, Sf, "customer").count())
+    val changed = out.filter(r => r.getString(1) != r.getString(2))
+    // a retroactive correction changes the belief only via VIP
+    assert(changed.nonEmpty && changed.forall(_.getString(2) == "VIP"))
+    // and uncorrected keys believe the same thing at both tx probes
+    out.filterNot(r => r.getString(2) == "VIP" && r.getString(1) != "VIP")
+      .foreach(r => assert(r.getString(1) == r.getString(2)))
+  }
+
   test("scd4: current stays one-row-per-key; history holds exactly the pre-images") {
     import TestSpark.Sf
     val out = graft.etl.Etl.scd4(TestSpark.spark, Sf).collect()
