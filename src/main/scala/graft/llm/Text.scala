@@ -508,7 +508,83 @@ object Text {
        |FROM tiled
        |${O.OrderAll}"""
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones, k1=1.2 b=0.75) —
+    * the scoring half of a search engine over the corpus, completing
+    * the text family (inverted index = the index half, TF-IDF = the
+    * weighting ancestor). The "query" is derived deterministically
+    * from the corpus itself — the tokens at df-ranks 10-12 (past the
+    * stopword-ish head, total order by (df desc, token)) — so both
+    * engines score the identical query with no literal vocabulary
+    * baked in. Top-20 by (round6 score desc, doc_id): ln() and the
+    * 3-term double sum are the usual engine-order divergences round6
+    * absorbs (the `llm_lm_score` precedent).
+    *
+    * 100 TB: the postings side is (term, doc, tf) — the inverted-index
+    * shape; the 3-row query broadcasts; doc lengths are one
+    * map-side-combined agg; the final top-k is TakeOrderedAndProject.
+    * Nothing touches raw text after the one tokenize pass. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val tf = toks(spark, dir).groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val query = df
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("token").asc)))
+      .filter(col("rk").between(10, 12))
+      .select(col("token"), col("df"))
+    val dl = toks(spark, dir).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+    val stats = docs(spark, dir).agg(
+      count(lit(1)).as("n_docs")).crossJoin(
+      dl.agg(sum(col("dl")).as("n_toks")))
+      .select(col("n_docs"),
+        (col("n_toks").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val idf = // ln((N - df + .5)/(df + .5) + 1), exact-long ratio args
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0))
+    val termScore = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(query), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round6(sum(termScore)).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val bm25Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |query AS (
+       |  SELECT token, df FROM (
+       |    SELECT token, df, row_number() OVER (ORDER BY df DESC, token ASC) AS rk
+       |    FROM df)
+       |  WHERE rk BETWEEN 10 AND 12),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+       |stats AS (
+       |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       |    CAST((SELECT COUNT(*) FROM t) AS DOUBLE)
+       |      / (SELECT COUNT(*) FROM documents) AS avgdl)
+       |SELECT doc_id,
+       |  round(SUM(
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |    * (tf * 2.2)
+       |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score,
+       |  COUNT(*) AS n_terms_hit
+       |FROM tf JOIN query USING (token) JOIN dl USING (doc_id)
+       |CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
+    "llm_bm25" -> Q(bm25 _, bm25Sql),
     "llm_ppl_buckets" -> Q(pplBuckets _, pplBucketsSql),
     "llm_bpe_pairs" -> Q(bpePairs _, bpePairsSql),
     "llm_dsir" -> Q(dsir _, dsirSql),

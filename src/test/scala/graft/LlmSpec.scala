@@ -347,6 +347,16 @@ class LlmSpec extends AnyFunSuite {
       s"semdedup pair join must be cid-keyed:\n$p")
   }
 
+  test("bm25: scores positive and non-increasing; multi-term hits outrank by construction") {
+    val rows = llm.Text.bm25(spark, Sf).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => (1L to 3L).contains(r.getLong(2))),
+      "a doc can hit at most the 3 query terms")
+  }
+
   test("span_dedup: spans are exactly 8 tokens, ≥2 docs each, capped at 100") {
     val out = llm.Dedup.spanDedup(spark, Sf).collect()
     assert(out.nonEmpty && out.length <= 100)
