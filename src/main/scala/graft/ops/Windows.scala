@@ -537,7 +537,70 @@ object Windows {
        |WHERE rn = 1
        |${O.OrderAll}"""
 
+  /** Pareto / ABC analysis — within each market segment, rank customers
+    * by lifetime revenue and classify by cumulative share (A ≤ 80 %,
+    * B ≤ 95 %, C rest). The determinism trap this spelling dodges: a
+    * cumulative sum of DOUBLES is accumulation-order-dependent (and
+    * DuckDB's segment tree reorders it), so both the running and the
+    * total revenue stay EXACT DECIMAL through the windows, each cast to
+    * double once, divided once — the share is bit-identical on both
+    * engines and the 0.80/0.95 class boundaries can never flip.
+    *
+    * 100 TB: one shuffle on segment, per-segment sorted pass. Five
+    * segments means giant partitions at scale — the fix is the same
+    * distributed prefix sum as `llm_shuffle`/`llm_packing` (range
+    * partition within segment → local cumsum → broadcast bases),
+    * documented here, demo'd there. */
+  def winPareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("o_totalprice"))).as("rev_dec"))
+    val seg = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val wCum = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("rev_dec").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("c_mktsegment"))
+    val share = sum(col("rev_dec")).over(wCum).cast("double") /
+      sum(col("rev_dec")).over(wAll).cast("double")
+    ordered(
+      rev.join(seg, col("o_custkey") === col("c_custkey"))
+        .withColumn("cum_share", share)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("cum_share"),
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B")
+            .otherwise("C").as("abc_class")))
+  }
+
+  private val winParetoSql =
+    s"""WITH rev AS (
+       |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT c_mktsegment, c_custkey,
+       |  CAST(rev_dec AS DOUBLE) AS revenue,
+       |  CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment
+       |      ORDER BY rev_dec DESC, c_custkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+       |    AS cum_share,
+       |  CASE WHEN CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment
+       |      ORDER BY rev_dec DESC, c_custkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+       |    <= 0.80 THEN 'A'
+       |  WHEN CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment
+       |      ORDER BY rev_dec DESC, c_custkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+       |    <= 0.95 THEN 'B'
+       |  ELSE 'C' END AS abc_class
+       |FROM rev JOIN customer ON o_custkey = c_custkey
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "win_pareto" -> Q(winPareto _, winParetoSql),
     "win_streak" -> Q(winStreak _, winStreakSql),
     "ts_gapfill" -> Q(tsGapfill _, tsGapfillSql),
     "win_anomaly" -> Q(winAnomaly _, winAnomalySql),

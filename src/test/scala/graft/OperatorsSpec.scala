@@ -432,6 +432,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("win_pareto: shares monotone to exactly 1.0, classes follow the thresholds") {
+    val rows = ops.Windows.winPareto(spark, Sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getDouble(3))
+      // cumulative share is strictly increasing and ends at exactly 1.0
+      // (exact-decimal running sum ÷ exact-decimal total)
+      assert(math.abs(ordered.last.getDouble(3) - 1.0) == 0.0)
+      ordered.foreach { r =>
+        val (s, c) = (r.getDouble(3), r.getString(4))
+        assert(c == (if (s <= 0.80) "A" else if (s <= 0.95) "B" else "C"))
+      }
+      assert(ordered.map(_.getString(4)).distinct.length >= 2,
+        "fixture should populate more than one class")
+    }
+  }
+
   test("fk_check: four edges, zero orphans on the consistent fixture") {
     val rows = etl.Etl.fkCheck(spark, Sf).collect()
     assert(rows.length == 4)
