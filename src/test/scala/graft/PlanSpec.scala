@@ -213,6 +213,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
   }
 
+  test("etl_late_dim: both passes broadcast the dim — the fact side never shuffle-joins") {
+    val p = plan("etl_late_dim")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for a dim lookup:\n$p")
+  }
+
+  test("win_pareto: both windows ride one segment exchange (shared partitioning)") {
+    val df = SparkEntry.queries("win_pareto")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the running-share and total windows partition identically; a
+    // second hashpartitioning(c_mktsegment) exchange would mean the
+    // planner failed to reuse the sort order
+    val segExchanges = "hashpartitioning\\(c_mktsegment".r
+      .findAllIn(p).length
+    assert(segExchanges <= 1, s"windows should share one segment exchange:\n$p")
+  }
+
+  test("ts_gapfill: spine join stays keyed — no cartesian calendar blowup") {
+    val p = plan("ts_gapfill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gap-fill must never cross-join a calendar:\n$p")
+    assert(p.contains("Generate explode"), s"spine should be generated:\n$p")
+  }
+
   test("llm_cosine_dedup_lsh verifies candidates via equi-joins, never a nested loop") {
     // the whole point of the LSH path: the exact-cosine verify joins a
     // bounded candidate list by id — a BroadcastNestedLoopJoin here
