@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc single-query timer for iterating on one operator without
-  * paying the full 95-query bench: `runMain graft.QBench q1 q2 ...`
+  * paying the full all-keys bench: `runMain graft.QBench q1 q2 ...`
   * (same env knobs as [[Bench]]). Prints per-pass wall times. */
 object QBench {
   def main(args: Array[String]): Unit = {
