@@ -212,21 +212,25 @@ object Relational {
     * way — one shuffle on user_id, a single ordered window pass with a
     * running max — instead of a per-row range join. Views sort before
     * purchases at equal ts so ties are included (v.ts <= p.ts). */
-  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+  /** Backward as-of core over any (user_id, ts, event_type, event_id)
+    * frame — also exercised by PropertySpec on generated streams. */
+  private[graft] def asofBackwardFrom(ev0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = t(spark, dir, "events")
+    val ev = ev0
       .filter(col("event_type").isin("view", "purchase"))
       .withColumn("type_rank", when(col("event_type") === "view", 0).otherwise(1))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("type_rank"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered(
-      ev.withColumn("last_view_us",
-          max(when(col("event_type") === "view", epochUs(col("ts")))).over(w))
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          epochUs(col("ts")).as("ts_us"), col("last_view_us")))
+    ev.withColumn("last_view_us",
+        max(when(col("event_type") === "view", epochUs(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        epochUs(col("ts")).as("ts_us"), col("last_view_us"))
   }
+
+  def joinAsof(spark: SparkSession, dir: String): DataFrame =
+    ordered(asofBackwardFrom(t(spark, dir, "events")))
 
   private val joinAsofSql =
     s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
@@ -246,21 +250,23 @@ object Relational {
     * following frame and counts as "next" — exactly the oracle's
     * `v.ts >= p.ts`. One shuffle on user_id, sorted once — never the
     * per-row range join a naive spelling produces. */
-  def joinAsofForward(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def asofForwardFrom(ev0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = t(spark, dir, "events")
+    val ev = ev0
       .filter(col("event_type").isin("view", "purchase"))
       .withColumn("type_rank", when(col("event_type") === "view", 1).otherwise(0))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("type_rank"), col("event_id"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    ordered(
-      ev.withColumn("next_view_us",
-          min(when(col("event_type") === "view", epochUs(col("ts")))).over(w))
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          epochUs(col("ts")).as("ts_us"), col("next_view_us")))
+    ev.withColumn("next_view_us",
+        min(when(col("event_type") === "view", epochUs(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        epochUs(col("ts")).as("ts_us"), col("next_view_us"))
   }
+
+  def joinAsofForward(spark: SparkSession, dir: String): DataFrame =
+    ordered(asofForwardFrom(t(spark, dir, "events")))
 
   private val joinAsofForwardSql =
     s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
@@ -280,9 +286,9 @@ object Relational {
     * per-partition sort but never a second exchange; the nearest pick
     * is then a pure row-local CASE. A naive spelling (theta join on
     * |Δt| argmin) is a per-row range scan — this is one shuffle. */
-  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def asofNearestFrom(ev0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = t(spark, dir, "events")
+    val ev = ev0
       .filter(col("event_type").isin("view", "purchase"))
       // backward pass ranks same-ts views BEFORE purchases (v.ts <= p.ts),
       // forward pass ranks them AFTER (v.ts >= p.ts) — mirroring the
@@ -296,17 +302,19 @@ object Relational {
       .orderBy(col("ts"), col("rank_f"), col("event_id"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val viewUs = when(col("event_type") === "view", epochUs(col("ts")))
-    ordered(
-      ev.withColumn("_lv", max(viewUs).over(wB))
-        .withColumn("_nv", min(viewUs).over(wF))
-        .filter(col("event_type") === "purchase")
-        .withColumn("_us", epochUs(col("ts")))
-        .select(col("event_id"), col("user_id"), col("_us").as("ts_us"),
-          when(col("_lv").isNull, col("_nv"))
-            .when(col("_nv").isNull, col("_lv"))
-            .when(col("_us") - col("_lv") <= col("_nv") - col("_us"), col("_lv"))
-            .otherwise(col("_nv")).as("nearest_view_us")))
+    ev.withColumn("_lv", max(viewUs).over(wB))
+      .withColumn("_nv", min(viewUs).over(wF))
+      .filter(col("event_type") === "purchase")
+      .withColumn("_us", epochUs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("_us").as("ts_us"),
+        when(col("_lv").isNull, col("_nv"))
+          .when(col("_nv").isNull, col("_lv"))
+          .when(col("_us") - col("_lv") <= col("_nv") - col("_us"), col("_lv"))
+          .otherwise(col("_nv")).as("nearest_view_us"))
   }
+
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame =
+    ordered(asofNearestFrom(t(spark, dir, "events")))
 
   private val joinAsofNearestSql =
     s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
@@ -555,25 +563,17 @@ object Relational {
     * un-bounded `join_asof` match is emitted alongside for contrast.
     * Completes the as-of family: backward / forward / nearest / SCD2 /
     * tolerance. */
-  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val TolUs = 30L * 60L * 1000000L
-    val ev = t(spark, dir, "events")
-      .filter(col("event_type").isin("view", "purchase"))
-      .withColumn("type_rank", when(col("event_type") === "view", 0).otherwise(1))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("type_rank"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered(
-      ev.withColumn("last_view_us",
-          max(when(col("event_type") === "view", epochUs(col("ts")))).over(w))
-        .filter(col("event_type") === "purchase")
-        .withColumn("ts_us", epochUs(col("ts")))
-        .select(col("event_id"), col("user_id"), col("ts_us"),
-          col("last_view_us"),
-          when(col("ts_us") - col("last_view_us") <= TolUs,
-            col("last_view_us")).as("within_tol_us")))
-  }
+  private[graft] val AsofTolUs = 30L * 60L * 1000000L
+
+  private[graft] def asofToleranceFrom(ev0: DataFrame): DataFrame =
+    asofBackwardFrom(ev0)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_view_us"),
+        when(col("ts_us") - col("last_view_us") <= AsofTolUs,
+          col("last_view_us")).as("within_tol_us"))
+
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame =
+    ordered(asofToleranceFrom(t(spark, dir, "events")))
 
   private val joinAsofToleranceSql =
     s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,

@@ -318,6 +318,59 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: as-of family matches a sequential reference on generated streams") {
+    // adversarial shapes: equal timestamps (view == purchase instant),
+    // purchases before any view, exactly-tolerance gaps, view-less and
+    // purchase-less users
+    val evGen: Gen[List[(Int, Long, String)]] =
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0, 2),
+        Gen.oneOf(Gen.choose(0L, 7200L), Gen.const(1800L), Gen.const(0L)),
+        Gen.oneOf("view", "purchase"))).map(_.take(30))
+    check("asof-family", Prop.forAllNoShrink(evGen) { raw =>
+      val base = Timestamp.valueOf(ts(0)).getTime
+      // cumulative offsets per user so streams are ordered but gappy
+      val rows = raw.groupBy(_._1).toList.flatMap { case (u, evs) =>
+        evs.map(_._2).scanLeft(0L)(_ + _).zip(evs).zipWithIndex.map {
+          case ((off, (_, _, typ)), i) =>
+            (u.toLong, (u * 1000 + i).toLong,
+              new Timestamp(base + off * 1000), typ, 0.0)
+        }
+      }
+      val df = rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+      def usOf(t: Timestamp) = t.getTime * 1000L
+      val views = rows.filter(_._4 == "view").groupBy(_._1)
+        .view.mapValues(_.map(r => usOf(r._3)).sorted).toMap
+      def ref(u: Long, p: Long) = {
+        val vs = views.getOrElse(u, Nil)
+        val b = vs.filter(_ <= p).lastOption
+        val f = vs.find(_ >= p)
+        val n = (b, f) match {
+          case (Some(x), Some(y)) => Some(if (p - x <= y - p) x else y)
+          case (x, y) => x.orElse(y)
+        }
+        val tol = b.filter(p - _ <= ops.Relational.AsofTolUs)
+        (b, f, n, tol)
+      }
+      def got(dfOut: org.apache.spark.sql.DataFrame, valueCol: Int) =
+        dfOut.collect().map { r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(valueCol)) None else Some(r.getLong(valueCol)))
+        }
+      val b = got(ops.Relational.asofBackwardFrom(df), 3)
+      val f = got(ops.Relational.asofForwardFrom(df), 3)
+      val n = got(ops.Relational.asofNearestFrom(df), 3)
+      val tl = ops.Relational.asofToleranceFrom(df).collect().map { r =>
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }
+      b.forall { case (_, u, p, v) => v == ref(u, p)._1 } &&
+        f.forall { case (_, u, p, v) => v == ref(u, p)._2 } &&
+        n.forall { case (_, u, p, v) => v == ref(u, p)._3 } &&
+        tl.forall { case (u, p, v) => v == ref(u, p)._4 }
+    })
+  }
+
   test("property: pagerank conserves scaled mass on arbitrary undirected graphs") {
     // adversarial shapes: multiple components, stars (max skew),
     // near-cliques, chains — anything symmetric and self-loop-free
