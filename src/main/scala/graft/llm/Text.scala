@@ -583,7 +583,93 @@ object Text {
        |GROUP BY doc_id
        |ORDER BY score DESC, doc_id ASC LIMIT 20"""
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS algorithm): from each window of w=5 consecutive k-gram (k=4)
+    * hashes, select the window's minimum — the fingerprint set with
+    * the GUARANTEE the rolling-hash `llm_fingerprint` lacks: any match
+    * of ≥ w+k−1 tokens between two documents shares a fingerprint
+    * (every window contributes its min, so no length-8 overlap can
+    * slip between selections). Relational trick: the selection IS
+    * `DISTINCT(min over the w-frame)` — the tie-break (rightmost min)
+    * is embedded in the ordering key (`hash ∥ reversed-position`), so
+    * no argmin machinery is needed and both engines replay the EXACT
+    * fingerprint set (hashes are md5 prefixes — engine-portable,
+    * unlike xxhash). Density is emitted as an exact rational
+    * (n_fp / n_windows — never rounded; theory says E ≈ 2/(w+1)).
+    *
+    * 100 TB: tokenize once, one HOF gram pass, one w-row frame window
+    * per doc partition, one distinct — O(tokens) with doc_id-keyed
+    * shuffles only; the fingerprint table (doc, 16-hex) is what joins
+    * against an index for plagiarism/overlap detection at corpus
+    * scale. Position reversal assumes < 10^7 grams per doc (lpad
+    * width) — generous even for book-length documents. */
+  private[graft] val WinnowW = 5
+
+  /** Per-window selections over any (doc_id, text) frame: one row per
+    * complete window (pos ≥ w), `fmin` = the window's selected
+    * fingerprint key (hash ∥ reversed-pos) — the DISTINCT fmins per doc
+    * are the winnowing fingerprint set. Also drives the guarantee law
+    * in LlmSpec on synthetic overlapping docs. */
+  private[graft] def winnowSelections(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = d
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 4)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(tk) - 3), i -> concat_ws(' ', slice(tk, i, 4)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        substring(md5(col("col")), 1, 16).as("h"))
+    val ok = concat(col("h"),
+      lpad((lit(10000000) - col("pos")).cast("string"), 8, "0"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowW - 1), Window.currentRow)
+    grams
+      .withColumn("fmin", min(ok).over(frame))
+      .withColumn("n_grams", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") >= WinnowW)
+  }
+
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val sel = winnowSelections(docs(spark, dir))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count_distinct(col("fmin")).as("n_fp"),
+        min(substring(col("fmin"), 1, 16)).as("min_fp"))
+    ordered(
+      sel.select(col("doc_id"), col("n_grams"), col("n_fp"), col("min_fp"),
+        (col("n_fp").cast("double") /
+          (col("n_grams") - (WinnowW - 1)).cast("double")).as("density")))
+  }
+
+  private val winnowSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 4),
+       |pos AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(l) - 3)) AS pos, l
+       |  FROM tk),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |    substr(md5(array_to_string(l[pos:pos+3], ' ')), 1, 16) AS h
+       |  FROM pos),
+       |framed AS (
+       |  SELECT doc_id, pos,
+       |    MIN(h || lpad(CAST(10000000 - pos AS VARCHAR), 8, '0')) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fmin,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+       |  FROM grams)
+       |SELECT doc_id, n_grams,
+       |  COUNT(DISTINCT fmin) AS n_fp,
+       |  MIN(substr(fmin, 1, 16)) AS min_fp,
+       |  CAST(COUNT(DISTINCT fmin) AS DOUBLE)
+       |    / CAST(n_grams - 4 AS DOUBLE) AS density
+       |FROM framed WHERE pos >= 5
+       |GROUP BY doc_id, n_grams
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_winnow" -> Q(winnow _, winnowSql),
     "llm_bm25" -> Q(bm25 _, bm25Sql),
     "llm_ppl_buckets" -> Q(pplBuckets _, pplBucketsSql),
     "llm_bpe_pairs" -> Q(bpePairs _, bpePairsSql),

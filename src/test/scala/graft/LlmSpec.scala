@@ -357,6 +357,32 @@ class LlmSpec extends AnyFunSuite {
       "a doc can hit at most the 3 query terms")
   }
 
+  test("winnowing: density bounds hold; a shared w+k-1 token run shares a fingerprint") {
+    import spark.implicits._
+    // keyed-output laws: each selection covers at most w windows
+    val out = llm.Text.winnow(spark, Sf).collect()
+    out.foreach { r =>
+      val (nGrams, nFp) = (r.getLong(1), r.getLong(2))
+      val nWin = nGrams - (llm.Text.WinnowW - 1)
+      assert(nFp <= nWin && nFp.toDouble >= nWin.toDouble / llm.Text.WinnowW,
+        s"density out of bounds: $nFp of $nWin windows")
+    }
+    // THE winnowing guarantee: two docs sharing a run of w+k-1 = 8
+    // tokens (embedded at different offsets, different surroundings)
+    // must share at least one fingerprint
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"zz yy xx ww $shared vv uu"),
+      (2L, s"one two $shared three four five six seven")).toDF("doc_id", "text")
+    val sel = llm.Text.winnowSelections(docs)
+      .select(col("doc_id"), substring(col("fmin"), 1, 16).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fp1 = sel.filter(_._1 == 1L).map(_._2).toSet
+    val fp2 = sel.filter(_._1 == 2L).map(_._2).toSet
+    assert((fp1 & fp2).nonEmpty,
+      "an 8-token shared run must produce a shared fingerprint")
+  }
+
   test("span_dedup: spans are exactly 8 tokens, ≥2 docs each, capped at 100") {
     val out = llm.Dedup.spanDedup(spark, Sf).collect()
     assert(out.nonEmpty && out.length <= 100)
