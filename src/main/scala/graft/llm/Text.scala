@@ -528,7 +528,12 @@ object Text {
     val tf = toks(spark, dir).groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // top-12 by TakeOrderedAndProject (per-partition heaps, 12-row
+    // driver merge), THEN rank within the 12 survivors — never a
+    // global row_number over the full vocabulary (a single-task sort
+    // at web-corpus vocab sizes)
     val query = df
+      .orderBy(col("df").desc, col("token").asc).limit(12)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("df").desc, col("token").asc)))
@@ -562,10 +567,12 @@ object Text {
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
        |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |top12 AS (
+       |  SELECT token, df FROM df ORDER BY df DESC, token ASC LIMIT 12),
        |query AS (
        |  SELECT token, df FROM (
        |    SELECT token, df, row_number() OVER (ORDER BY df DESC, token ASC) AS rk
-       |    FROM df)
+       |    FROM top12)
        |  WHERE rk BETWEEN 10 AND 12),
        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
        |stats AS (
