@@ -57,6 +57,25 @@ def main():
             if len(exp) != len(got):
                 print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
                 n_fail += 1; continue
+            # Dtype parity: the driver hashes values dtype-sensitively,
+            # so a DuckDB HUGEINT (surfacing as float64/object) against
+            # Spark int64 must FAIL here even when values compare equal
+            # (the graph_pagerank / sql_tpch_q12 / r3 inverted-index
+            # failure class). Integer WIDTHS are normalized: the driver
+            # greens int32-vs-int64 (23 such keys pass its hash); only
+            # kind mismatches (int vs float vs object/bool/datetime)
+            # are the red-row class.
+            def kind(s):
+                d = str(s.dtype)
+                return "int64" if d.lstrip("u").startswith("int") else d
+            dt_bad = [(c, kind(exp[c]), kind(got[c]))
+                      for c in exp.columns
+                      if kind(exp[c]) != kind(got[c])]
+            if dt_bad:
+                c, ed, gd = dt_bad[0]
+                print(f"FAIL {name}: dtype col {c}: oracle={ed} "
+                      f"spark={gd} ({len(dt_bad)} cols differ)")
+                n_fail += 1; continue
             bad = None
             for c in exp.columns:
                 e, g = exp[c], got[c]

@@ -13,4 +13,29 @@ object Fixtures {
   /** True if the fixture was already written by a successful job. */
   def exists(sfDir: String, name: String): Boolean =
     new java.io.File(path(sfDir, name), "_SUCCESS").exists()
+
+  /** Build a MULTI-JOB fixture atomically. `_SUCCESS` is written by
+    * the FIRST append job, so a crash between phases of a multi-phase
+    * build would leave a partial directory that [[exists]] calls
+    * complete — silently corrupting every later run (e.g. a 2-of-3
+    * phase late-data source changes watermark semantics). The body
+    * writes into a `<name>.build` sibling; only after it returns is
+    * the directory renamed into place (same filesystem → atomic).
+    * Stale partials from a previous crash are deleted first. No-op if
+    * the fixture is already complete. */
+  def buildAtomic(sfDir: String, name: String)(body: String => Unit): Unit = {
+    if (exists(sfDir, name)) return
+    val fin = new java.io.File(path(sfDir, name))
+    val tmp = new java.io.File(fin.getParentFile, fin.getName + ".build")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(tmp)
+    rm(fin) // a final dir without _SUCCESS is itself a crashed partial
+    tmp.getParentFile.mkdirs()
+    body(tmp.getPath)
+    if (!tmp.renameTo(fin))
+      throw new IllegalStateException(s"fixture rename failed: $tmp -> $fin")
+  }
 }

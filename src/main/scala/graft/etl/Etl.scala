@@ -760,9 +760,11 @@ object Etl {
     * naive spelling — one `SELECT count(distinct c) FROM t` job per
     * column — reads the table k times; at 100 TB × k columns that is
     * the difference between one pass and a week. Numeric min/max
-    * surface through DECIMAL(18,2) so the string form never goes
-    * scientific (both engines print decimals plainly; doubles diverge
-    * to 1.0E7-style above 10^7).
+    * aggregate on the NUMERIC value (comparison must not be
+    * lexicographic — '999.00' > '6000.00' as strings) and only the
+    * RESULT is rendered via DECIMAL(18,2) so the string form never
+    * goes scientific (both engines print decimals plainly; doubles
+    * diverge to 1.0E7-style above 10^7).
     *
     * Cost note: k EXACT count_distincts in one aggregate make Catalyst
     * rewrite via Expand — the scan stays single but the aggregate input
@@ -772,18 +774,18 @@ object Etl {
     * no Expand, no value-keyed shuffle — `agg_approx_distinct`'s
     * machinery) and keeps this exact form for reconciliation runs. */
   def dqProfile(spark: SparkSession, dir: String): DataFrame = {
-    def sCol(c: String) = col(c).cast("string")
-    def nCol(c: String) =
-      col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")
-    val cols = Seq[(String, String => org.apache.spark.sql.Column)](
-      ("o_orderkey", nCol), ("o_custkey", nCol), ("o_orderstatus", sCol),
-      ("o_totalprice", nCol), ("o_orderpriority", sCol))
-    val aggs = cols.flatMap { case (c, f) =>
+    val cols = Seq[(String, Boolean)](
+      ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+      ("o_totalprice", true), ("o_orderpriority", false))
+    val aggs = cols.flatMap { case (c, numeric) =>
+      val v = if (numeric)
+        col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      else col(c).cast("string")
       Seq(
         (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
         count_distinct(col(c)).as(s"${c}__distinct"),
-        min(f(c)).as(s"${c}__min"),
-        max(f(c)).as(s"${c}__max"))
+        min(v).cast("string").as(s"${c}__min"),
+        max(v).cast("string").as(s"${c}__max"))
     }
     val one = t(spark, dir, "orders").agg(aggs.head, aggs.tail: _*)
     val stackExpr = cols.map { case (c, _) =>
@@ -796,11 +798,12 @@ object Etl {
 
   private val dqProfileSql = {
     def row(c: String, numeric: Boolean) = {
-      val v = if (numeric) s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
-              else s"CAST($c AS VARCHAR)"
+      def mm(f: String) =
+        if (numeric) s"CAST($f(CAST($c AS DECIMAL(18,2))) AS VARCHAR)"
+        else s"$f(CAST($c AS VARCHAR))"
       s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
          |  COUNT(DISTINCT $c) AS n_distinct,
-         |  MIN($v) AS min_val, MAX($v) AS max_val FROM orders"""
+         |  ${mm("MIN")} AS min_val, ${mm("MAX")} AS max_val FROM orders"""
     }
     s"""${row("o_orderkey", true)}
        |UNION ALL ${row("o_custkey", true)}

@@ -102,7 +102,7 @@ object Graph {
        |base AS (SELECT (1000000000000000 * 15 // 100) // nn AS b FROM n),
        |r0 AS (SELECT v, (SELECT 1000000000000000 // nn FROM n) AS r FROM deg),
        |$steps
-       |SELECT v AS part, r AS rank_fp FROM i8
+       |SELECT v AS part, CAST(r AS BIGINT) AS rank_fp FROM i8
        |${O.OrderAll}"""
   }
 

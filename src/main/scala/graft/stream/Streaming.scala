@@ -97,18 +97,21 @@ object Streaming {
   private[graft] def eventsStreamMultiBatch(spark: SparkSession, dir: String): DataFrame = {
     val fixture = "events_stream_src_mb"
     val path = graft.core.Fixtures.path(dir, fixture)
-    if (!graft.core.Fixtures.exists(dir, fixture)) {
+    // multi-job build → buildAtomic: _SUCCESS lands with the FIRST
+    // append, so only the rename-into-place makes "exists" mean "all
+    // slices present"
+    graft.core.Fixtures.buildAtomic(dir, fixture) { tmpPath =>
       import org.apache.spark.sql.expressions.Window
       val sliced = Tables.load(spark, dir, "events")
         // deterministic slice assignment; single-partition sort is fine
         // for a one-time test-scale fixture build (never a query path)
         .withColumn("_slice",
           ntile(MbSlices).over(Window.orderBy(col("ts"), col("event_id"))))
-      val dirFile = new java.io.File(path)
+      val dirFile = new java.io.File(tmpPath)
       var known = Set.empty[String]
       for (i <- 1 to MbSlices) {
         sliced.filter(col("_slice") === i).drop("_slice")
-          .coalesce(1).write.mode("append").parquet(path)
+          .coalesce(1).write.mode("append").parquet(tmpPath)
         // pin strictly increasing mtimes so the source's oldest-first
         // file order IS the time order, independent of write speed
         val fresh = dirFile.listFiles().filter(f =>
@@ -135,15 +138,17 @@ object Streaming {
     // the old fixture and rebuild (the ivf-index staleness lesson)
     val fixture = "events_stream_src_late_p3"
     val path = graft.core.Fixtures.path(dir, fixture)
-    if (!graft.core.Fixtures.exists(dir, fixture)) {
+    // three append jobs → buildAtomic (a 1- or 2-phase partial would
+    // silently change the late-drop watermark semantics)
+    graft.core.Fixtures.buildAtomic(dir, fixture) { tmpPath =>
       val ev = Tables.load(spark, dir, "events")
-      val dirFile = new java.io.File(path)
+      val dirFile = new java.io.File(tmpPath)
       var known = Set.empty[String]
       Seq(col("event_id") % 5 =!= 0 && col("event_id") % 5 =!= 2,
         col("event_id") % 5 === 2,
         col("event_id") % 5 === 0)
         .zipWithIndex.foreach { case (pred, i) =>
-          ev.filter(pred).coalesce(1).write.mode("append").parquet(path)
+          ev.filter(pred).coalesce(1).write.mode("append").parquet(tmpPath)
           val fresh = dirFile.listFiles().filter(f =>
             f.getName.startsWith("part-") && !known.contains(f.getName))
           fresh.foreach(_.setLastModified(1600000000000L + i * 60000L))
