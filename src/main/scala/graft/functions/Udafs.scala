@@ -96,6 +96,57 @@ object Udafs {
       ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Misra–Gries heavy-hitters summary (Misra & Gries 1982; merge rule
+    * from Agarwal et al. 2013 "Mergeable Summaries") — the approximate
+    * TOP-K sketch completing the family (HLL = cardinality, KLL =
+    * quantiles, count-min = per-key frequency; this = which keys are
+    * frequent). Buffer = at most k (key, count) pairs.
+    *
+    * reduce: seen key → increment; room → insert at 1; full → decrement
+    * ALL counters by 1 and drop zeros (the charged row and ≥1 tracked
+    * keys pay together, so total decrement mass ≤ N/(k+1)).
+    * merge: add counts keyed-wise; if > k entries survive, subtract the
+    * (k+1)-th largest count from all and keep the strictly positive —
+    * the mergeable-summaries rule that preserves the error bound under
+    * ANY merge tree, which is what makes the guarantees deterministic
+    * on Spark (merge order varies with scheduling).
+    *
+    * Deterministic guarantees (any data, any merge order):
+    * est ≤ true (counters only lose mass), true − est ≤ N/(k+1), and
+    * every key with true > N/(k+1) is present in the summary. These are
+    * the booleans `agg_heavy_hitters` oracle-pins.
+    *
+    * 100 TB: fixed ≤ k-entry buffer per partial, one small map per
+    * mapper over the exchange — never raw keys. The 2013 merge theorem
+    * is the load-bearing part: partials combine associatively at any
+    * fan-in. */
+  class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], key: String): Map[String, Long] =
+      b.get(key) match {
+        case Some(c) => b.updated(key, c + 1L)
+        case None if b.size < k => b.updated(key, 1L)
+        case None =>
+          b.flatMap { case (x, c) => if (c > 1L) Some(x -> (c - 1L)) else None }
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = (a.keySet ++ b.keySet).iterator
+        .map(x => x -> (a.getOrElse(x, 0L) + b.getOrElse(x, 0L))).toMap
+      if (sum.size <= k) sum
+      else {
+        // (k+1)-th largest count; subtracting it from everyone keeps ≤ k
+        val t = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.flatMap { case (x, c) => if (c > t) Some(x -> (c - t)) else None }
+      }
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** Element-wise mean of fixed-dim float vectors. Buffer = one
     * Array[Double] of sums + count: O(dim) memory per group regardless
     * of input size. Output is rounded downstream (float-sum order is

@@ -56,8 +56,9 @@ object Dedup {
   private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(spark, docs(spark, dir))
 
-  private[graft] def shinglesOf(spark: SparkSession, d: DataFrame): DataFrame = {
-    val fn = WordShingles.register(spark, 3)
+  private[graft] def shinglesOf(spark: SparkSession, d: DataFrame,
+      k: Int = 3): DataFrame = {
+    val fn = WordShingles.register(spark, k)
     d.selectExpr("doc_id", s"$fn(text) AS shingle").distinct()
   }
 
@@ -406,7 +407,6 @@ object Dedup {
        |FROM expected
        |${O.OrderAll}"""
 
-  private val ContainmentThreshold = 0.9
   private val ContainedOffset = 400000000L // planted prefix-half sub-docs
 
   /** Directed n-gram CONTAINMENT dedup — the doc-in-doc case Jaccard
@@ -456,18 +456,22 @@ object Dedup {
         array_join(slice(toks, lit(1), ((size(toks) + 1) / 2).cast("int")), " ")
           .as("text"))
     ordered(containmentPairs(spark, d.unionByName(planted),
-      prefixFilter = true, ContainmentThreshold))
+      prefixFilter = true))
   }
 
   /** Containment pairs over an arbitrary (doc_id, text) frame.
     * `prefixFilter = false` disables the prefix filter (full candidate
     * self-join) — the brute twin LlmSpec proves the filtered path
-    * equal against. */
+    * equal against. The threshold is a RATIONAL `thrNum/thrDen` so the
+    * prefix length n − ⌈t·n⌉ + 1 stays integer-exact at ANY setting
+    * (⌈p·n/q⌉ = (p·n + q − 1) div q) — the recall theorem is not tied
+    * to the production t=0.9 constant, which PropertySpec proves by
+    * running the same law at (k=5, t=3/5). */
   private[graft] def containmentPairs(
       spark: SparkSession, d: DataFrame, prefixFilter: Boolean,
-      thr: Double): DataFrame = {
-    require(thr == 0.9, "prefix-length integer arithmetic is specialized to t=0.9")
-    val sh = shinglesOf(spark, d).localCheckpoint()
+      thrNum: Int = 9, thrDen: Int = 10, shingleK: Int = 3): DataFrame = {
+    val thr = thrNum.toDouble / thrDen
+    val sh = shinglesOf(spark, d, shingleK).localCheckpoint()
     val cand = (if (prefixFilter) {
       val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
       val byRarity = Window.partitionBy(col("doc_id"))
@@ -478,7 +482,8 @@ object Dedup {
         .withColumn("_n", count(lit(1)).over(perDoc))
         // prefix length n − ceil(0.9·n) + 1, integer-exact on both engines
         // (`div`, not `/` — Spark's Column `/` is double division)
-        .filter(col("_rk") <= col("_n") - expr("(_n * 9 + 9) div 10") + 1)
+        .filter(col("_rk") <=
+          col("_n") - expr(s"(_n * $thrNum + ${thrDen - 1}) div $thrDen") + 1)
         .select(col("doc_id").as("_pd"), col("shingle"))
       pfx.join(sh.select(col("doc_id").as("_fd"), col("shingle")), Seq("shingle"))
         .filter(col("_pd") =!= col("_fd"))

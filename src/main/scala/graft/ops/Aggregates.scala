@@ -516,6 +516,74 @@ object Aggregates {
        |FROM probes p LEFT JOIN exact e ON e.probe_key = p.probe_key
        |${O.OrderAll}"""
 
+  /** Heavy hitters via Misra–Gries ([[Udafs.MisraGries]], k=64) — the
+    * approximate top-k sketch completing the family (HLL, KLL,
+    * count-min; this = which keys dominate). Input key is DELIBERATELY
+    * skewed so the guarantee is non-vacuous at every SF: every 4th
+    * event contributes its event_type (5 keys carrying ~25% of mass,
+    * each far above N/(k+1)), the rest contribute a unique per-event
+    * tail key — thousands of distinct keys churning the 64 counters
+    * with constant decrements.
+    *
+    * Ten fixed probes (the 5 heavy types, 4 existing tail keys, 1
+    * absent key) against the exact in-query twin; oracle pins the
+    * three DETERMINISTIC MG invariants (they hold under any merge
+    * order — the mergeable-summaries theorem, see [[Udafs.MisraGries]]):
+    * `underestimate_ok` (est ≤ true), `lower_bound_ok`
+    * (est ≥ true − N/(k+1)), `covered_ok` (true > N/(k+1) ⇒ key is in
+    * the summary). Estimates themselves stay out of the compared
+    * columns — WHICH tail keys survive IS merge-order dependent; the
+    * invariants are the contract (the `agg_count_min` pattern).
+    *
+    * 100 TB: ≤64-entry map per partial merging at the exchange; the
+    * exact twin groups only the 10 probe keys after a pushed-down
+    * filter. The driver-side `.head()` pulls one bounded summary. */
+  def aggHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val e = t(spark, dir, "events")
+    val keyCol = when(col("event_id") % 4 === 0, col("event_type"))
+      .otherwise(concat(lit("t"), col("event_id").cast("string")))
+    val keyed = e.select(keyCol.as("key"))
+    val summary = keyed.as[String]
+      .select(new Udafs.MisraGries(k).toColumn.name("s")).head()
+    val n = e.count()
+    val bound = n / (k + 1) // decrements d satisfy d·(k+1) ≤ N ⇒ d ≤ ⌊N/(k+1)⌋
+    val probes = Seq("signup", "error", "click", "view", "purchase",
+      "t1", "t2", "t5", "t9", "t4")
+    val est = probes.map(p => (p, summary.getOrElse(p, 0L), summary.contains(p)))
+      .toDF("probe_key", "_est", "_in")
+    val exact = keyed.filter(col("key").isin(probes: _*))
+      .groupBy(col("key").as("probe_key"))
+      .agg(count(lit(1)).as("true_n"))
+    ordered(est.join(exact, Seq("probe_key"), "left_outer")
+      .select(col("probe_key"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"),
+        (col("_est") <= coalesce(col("true_n"), lit(0L)))
+          .as("underestimate_ok"),
+        (col("_est") >= coalesce(col("true_n"), lit(0L)) - lit(bound))
+          .as("lower_bound_ok"),
+        (coalesce(col("true_n"), lit(0L)) <= lit(bound) || col("_in"))
+          .as("covered_ok")))
+  }
+
+  private val aggHeavyHittersSql =
+    s"""WITH keyed AS (
+       |  SELECT CASE WHEN event_id % 4 = 0 THEN event_type
+       |    ELSE 't' || CAST(event_id AS VARCHAR) END AS key FROM events),
+       |probes AS (SELECT unnest(['signup','error','click','view',
+       |  'purchase','t1','t2','t5','t9','t4']) AS probe_key),
+       |exact AS (
+       |  SELECT key AS probe_key, COUNT(*) AS true_n FROM keyed
+       |  WHERE key IN ('signup','error','click','view','purchase',
+       |    't1','t2','t5','t9','t4')
+       |  GROUP BY 1)
+       |SELECT p.probe_key, COALESCE(e.true_n, 0) AS true_n,
+       |  TRUE AS underestimate_ok, TRUE AS lower_bound_ok,
+       |  TRUE AS covered_ok
+       |FROM probes p LEFT JOIN exact e ON e.probe_key = p.probe_key
+       |${O.OrderAll}"""
+
   /** Cohort RETENTION matrix — the standard product-analytics
     * aggregation: users cohorted by first-signup day; for each
     * (cohort, days-since-cohort) cell, how many distinct cohort
@@ -554,6 +622,7 @@ object Aggregates {
   val queries: Map[String, Q] = Map(
     "agg_retention" -> Q(aggRetention _, aggRetentionSql),
     "agg_count_min" -> Q(aggCountMin _, aggCountMinSql),
+    "agg_heavy_hitters" -> Q(aggHeavyHitters _, aggHeavyHittersSql),
     "agg_min_by" -> Q(aggMinBy _, aggMinBySql),
     "agg_stats" -> Q(aggStats _, aggStatsSql),
     "agg_approx_percentile" -> Q(aggApproxPercentile _, aggApproxPercentileSql),

@@ -496,8 +496,66 @@ object SqlApi {
        |  AND l_shipdate < TIMESTAMP '1997-09-01 00:00:00'
        |${O.OrderAll}"""
 
+  /** TPC-H Q2 shape (minimum-cost supplier), adapted: no partsupp
+    * table in the corpus, so lineitem rows play the part↔supplier
+    * offer list with l_extendedprice as the supply cost. The point is
+    * the one decorrelation family member the inventory lacked: a
+    * correlated SCALAR subquery whose body is an AGGREGATE OVER A
+    * MULTI-TABLE JOIN (`min(cost)` over offer⋈supplier⋈nation⋈region,
+    * correlated on the outer part). Catalyst decorrelates it into one
+    * grouped aggregate joined back on the correlation key — the inner
+    * join pipeline runs ONCE, not once per outer row (PlanSpec pins a
+    * single aggregate + join, no per-row re-execution). At 100 TB the
+    * decorrelated form is a plain shuffle-join plan; the naive
+    * interpretation would be O(outer × inner) scans.
+    * Costs compare as DECIMAL(12,2) — exact equality, no float ties. */
+  def sqlTpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier", "nation", "region").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+         |  s_name, n_name, p_partkey, p_brand,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+         |    AS supply_cost
+         |FROM graft_part
+         |JOIN graft_lineitem ON p_partkey = l_partkey
+         |JOIN graft_supplier ON l_suppkey = s_suppkey
+         |JOIN graft_nation ON s_nationkey = n_nationkey
+         |JOIN graft_region ON n_regionkey = r_regionkey
+         |WHERE p_size = 15 AND r_name = 'EUROPE'
+         |  AND CAST(l_extendedprice AS DECIMAL(12,2)) = (
+         |    SELECT MIN(CAST(i.l_extendedprice AS DECIMAL(12,2)))
+         |    FROM graft_lineitem i
+         |    JOIN graft_supplier s2 ON i.l_suppkey = s2.s_suppkey
+         |    JOIN graft_nation n2 ON s2.s_nationkey = n2.n_nationkey
+         |    JOIN graft_region r2 ON n2.n_regionkey = r2.r_regionkey
+         |    WHERE i.l_partkey = p_partkey AND r2.r_name = 'EUROPE')""".stripMargin))
+  }
+
+  private val sqlTpchQ2Sql =
+    s"""SELECT CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+       |  s_name, n_name, p_partkey, p_brand,
+       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+       |    AS supply_cost
+       |FROM part
+       |JOIN lineitem ON p_partkey = l_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_size = 15 AND r_name = 'EUROPE'
+       |  AND CAST(l_extendedprice AS DECIMAL(12,2)) = (
+       |    SELECT MIN(CAST(i.l_extendedprice AS DECIMAL(12,2)))
+       |    FROM lineitem i
+       |    JOIN supplier s2 ON i.l_suppkey = s2.s_suppkey
+       |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE i.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sql_recursive" -> Q(sqlRecursive _, sqlRecursiveSql),
+    "sql_tpch_q2" -> Q(sqlTpchQ2 _, sqlTpchQ2Sql),
     "sql_tpch_q4" -> Q(sqlTpchQ4 _, sqlTpchQ4Sql),
     "sql_tpch_q12" -> Q(sqlTpchQ12 _, sqlTpchQ12Sql),
     "sql_tpch_q14" -> Q(sqlTpchQ14 _, sqlTpchQ14Sql),

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Catalyst extension surface (SURVEY §7.4 decision record): every
@@ -62,8 +62,52 @@ object ScanGuardRule extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions` entry point registering [[ScanGuardRule]]. */
+/** The second plan lint: a window function with an EMPTY partitionBy
+  * funnels the ENTIRE input through one task — Spark plans it as a
+  * single-partition sort (`Exchange SinglePartition` under the
+  * `Window`), so at 100 TB one executor sorts 100 TB while 999 idle.
+  * The repo's own operators were designed around this shape
+  * (`llm_packing` / `llm_shuffle` use a distributed prefix-sum instead
+  * of `row_number() OVER ()`); the lint makes the discipline
+  * mechanical.
+  *
+  * Fails at plan time when a [[Window]] node has no partition
+  * expressions and its child's estimated size exceeds
+  * `graft.scanGuard.maxGlobalWindowBytes` (default 1 GiB). Small
+  * inputs pass — a global window over a bounded aggregate or a
+  * test-scale fixture build is legitimate (ntile over 60k rows), and
+  * exactly that size test keeps the whole 180-key inventory
+  * lint-clean. Like [[ScanGuardRule]], it only ever throws — never
+  * rewrites. */
+object GlobalWindowGuardRule extends Rule[LogicalPlan] {
+
+  val ConfKey = "graft.scanGuard.maxGlobalWindowBytes"
+  val DefaultMaxBytes: Long = 1L << 30 // 1 GiB
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val maxBytes = conf.getConfString(ConfKey, DefaultMaxBytes.toString).toLong
+    plan.foreach {
+      case w @ Window(_, partitionSpec, _, child, _) if partitionSpec.isEmpty =>
+        val sz = child.stats.sizeInBytes
+        if (sz > maxBytes) {
+          throw new IllegalStateException(
+            s"ScanGuard: window with empty partitionBy over ~$sz bytes " +
+              "would sort the whole input in ONE task (Exchange " +
+              "SinglePartition) — partition the window, pre-aggregate, " +
+              "or use a distributed prefix-sum (see llm_packing); " +
+              s"raise $ConfKey only for genuinely bounded inputs")
+        }
+      case _ => ()
+    }
+    plan
+  }
+}
+
+/** `spark.sql.extensions` entry point registering [[ScanGuardRule]]
+  * and [[GlobalWindowGuardRule]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ScanGuardRule)
+    ext.injectOptimizerRule(_ => GlobalWindowGuardRule)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.plans.{GraftExtensions, ScanGuardRule}
+import graft.plans.{GlobalWindowGuardRule, GraftExtensions, ScanGuardRule}
 
 /** The Catalyst extension surface: ScanGuard must flag scale-killer
   * join shapes (non-equi over two big sides) and pass everything the
@@ -13,8 +13,10 @@ import graft.plans.{GraftExtensions, ScanGuardRule}
 class ExtensionSpec extends AnyFunSuite {
   import TestSpark.{spark, Sf}
 
-  private def guard(plan: org.apache.spark.sql.DataFrame): Unit =
+  private def guard(plan: org.apache.spark.sql.DataFrame): Unit = {
     ScanGuardRule(plan.queryExecution.optimizedPlan)
+    GlobalWindowGuardRule(plan.queryExecution.optimizedPlan)
+  }
 
   test("scan guard passes every keyed query at the default budget") {
     // the whole inventory's logical plans are lint-clean: anything
@@ -45,6 +47,31 @@ class ExtensionSpec extends AnyFunSuite {
     } finally spark.conf.unset(ScanGuardRule.ConfKey)
     // at the default budget the same cross join passes (test tables are small)
     guard(cross)
+  }
+
+  test("window guard trips on a naive global row_number and stays silent when partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    val li = core.Tables.load(spark, Sf, "lineitem")
+    // under a tiny budget the empty-partitionBy window must throw...
+    spark.conf.set(GlobalWindowGuardRule.ConfKey, "1024")
+    try {
+      val e = intercept[IllegalStateException](guard(
+        li.withColumn("rn",
+          row_number().over(Window.orderBy(col("l_orderkey"))))))
+      assert(e.getMessage.contains("empty partitionBy"))
+      // ...the same window PARTITIONED must not (per-key sorts scale out)
+      guard(li.withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey")))))
+      // ...and a global window over a BOUNDED input must not: the
+      // 5-row aggregate sits under any sane budget (the legitimate
+      // global-rank-of-small-aggregate pattern)
+      guard(li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n")).limit(5)
+        .withColumn("rk", row_number().over(Window.orderBy(col("n")))))
+    } finally spark.conf.unset(GlobalWindowGuardRule.ConfKey)
+    // at the default budget the test-scale input passes (small tables)
+    guard(li.withColumn("rn",
+      row_number().over(Window.orderBy(col("l_orderkey")))))
   }
 
   test("GraftExtensions registers the rule without touching results") {

@@ -287,7 +287,7 @@ class LlmSpec extends AnyFunSuite {
     val d = core.Tables.load(spark, Sf, "documents")
       .select(col("doc_id"), col("text"))
     def pairs(prefix: Boolean) =
-      llm.Dedup.containmentPairs(spark, d, prefix, 0.9).collect()
+      llm.Dedup.containmentPairs(spark, d, prefix).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
         .toSet
     val filtered = pairs(true)

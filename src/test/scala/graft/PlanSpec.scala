@@ -203,6 +203,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("sql_tpch_q2: correlated scalar aggregate-over-join decorrelates to one aggregate + join") {
+    val p = plan("sql_tpch_q2")
+    // the min(cost)-per-part subquery must run ONCE as a grouped
+    // aggregate joined back on the correlation key, not once per outer
+    // row; count the HashAggregate pairs — the whole plan carries the
+    // outer agg-free join chain plus exactly one partial+final pair
+    // for the decorrelated MIN (plus nothing per-row), and no nested
+    // loop anywhere
+    assert(p.contains("HashAggregate"), s"expected a decorrelated aggregate:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested loop in:\n$p")
+  }
+
   test("sample_stratified compiles to a map-side WindowGroupLimit (top-n heap, no full sort)") {
     val p = plan("sample_stratified")
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")

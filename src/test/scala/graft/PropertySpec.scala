@@ -209,7 +209,7 @@ class PropertySpec extends AnyFunSuite {
     }
     check("containment-prefix-vs-full", Prop.forAllNoShrink(genDocs) { rows =>
       val d = rows.toDF("doc_id", "text")
-      def pairs(p: Boolean) = llm.Dedup.containmentPairs(spark, d, p, 0.9)
+      def pairs(p: Boolean) = llm.Dedup.containmentPairs(spark, d, p)
         .collect().map(r => (r.getLong(0), r.getLong(1),
           r.getDouble(2), r.getDouble(3))).toSet
       val filtered = pairs(true)
@@ -217,6 +217,67 @@ class PropertySpec extends AnyFunSuite {
       filtered == pairs(false) &&
         filtered.exists(p => p._1 == 0L && p._2 == 200L && p._4 == 1.0)
     }, cases = 8)
+  }
+
+  test("property: containment prefix filter is exact at a second n/t setting (k=5, t=3/5)") {
+    // same law, different constants: 5-gram shingles and threshold 3/5
+    // — proves the prefix-length arithmetic n − ⌈t·n⌉ + 1 and the
+    // recall theorem generalize beyond the tuned production t=0.9.
+    // Docs are longer (≥ 5 tokens to shingle) but vocabulary stays
+    // tiny for degenerate df ties.
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val genDocs = Gen.nonEmptyListOf(
+      Gen.listOfN(24, Gen.oneOf(vocab))).map { ls =>
+      val base = ls.take(8).zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.mkString(" "))
+      }
+      // a 60%-prefix derivative of doc 0: containment in source = 1.0
+      val srcToks = ls.head
+      val part = (300L, srcToks.take(15).mkString(" "))
+      base :+ part
+    }
+    check("containment-prefix-vs-full-k5-t35", Prop.forAllNoShrink(genDocs) { rows =>
+      val d = rows.toDF("doc_id", "text")
+      def pairs(p: Boolean) =
+        llm.Dedup.containmentPairs(spark, d, p, thrNum = 3, thrDen = 5,
+          shingleK = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getDouble(3))).toSet
+      pairs(true) == pairs(false)
+    }, cases = 6)
+  }
+
+  // ------------------------------------------- misra-gries laws
+
+  test("property: misra-gries bounds and heavy-key coverage hold under any split") {
+    import graft.functions.Udafs
+    val mg = new Udafs.MisraGries(8) // small k → constant churn
+    // heavy keys (small alphabet) mixed with a long unique tail, split
+    // at an arbitrary cut and merged — the law must hold for ANY merge
+    // tree (Spark's merge order is scheduling-dependent)
+    val genStream = for {
+      keys <- Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.oneOf("h1", "h2", "h3"),
+        Gen.choose(0, 1000000).map("u" + _))).map(_.take(300))
+      cut <- Gen.choose(0, 300)
+    } yield (keys, cut)
+    check("misra-gries-laws", Prop.forAllNoShrink(genStream) { case (keys, cut0) =>
+      val cut = math.min(cut0, keys.size)
+      val (k1, k2) = keys.splitAt(cut)
+      val merged = mg.merge(
+        k1.foldLeft(mg.zero)(mg.reduce),
+        k2.foldLeft(mg.zero)(mg.reduce))
+      val n = keys.size.toLong
+      val bound = n / 9 // ⌊N/(k+1)⌋
+      val trueN = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      merged.size <= 8 &&
+        merged.forall { case (key, est) =>
+          est <= trueN(key) && est >= trueN(key) - bound
+        } &&
+        trueN.forall { case (key, tn) =>
+          tn <= bound || merged.contains(key)
+        }
+    }, cases = 20)
   }
 
   // -------------------------------------------------- count-min laws
