@@ -19,6 +19,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // Clean-load convention, enforced in-process (r5 verdict task #3:
+    // BENCH_r05 captured a load-3.79 contended run when a clean one
+    // existed): if the 1-min load is above threshold at launch, wait
+    // it out in bounded 10 s steps before ANY timed work. Bounded so a
+    // busy-forever box still produces an artifact (self-identified by
+    // its load stamp) rather than hanging the driver.
+    val settleThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_SETTLE", "2.5").toDouble
+    var settledSec = 0
+    def loadAvg0: Double = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    while (loadAvg0 > settleThreshold && settledSec < 180) {
+      System.err.println(
+        s"[bench] load ${loadAvg0} > $settleThreshold — settling (${settledSec}s)")
+      Thread.sleep(10000)
+      settledSec += 10
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -131,7 +152,7 @@ object Bench {
       "\"" + esc(k) + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
     val total = best.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"cpu_mhz":$cpuMhz}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec}"""
     println(line)
     // Self-contained artifact: the driver captures a stdout TAIL, and
     // BENCH_r01–r03 all truncated mid-map, losing per-query timings and
