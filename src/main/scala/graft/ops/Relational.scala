@@ -624,8 +624,57 @@ object Relational {
        |WHERE rk <= 10
        |${O.OrderAll}"""
 
+  /** Bottom-k (min-wise) UNIFORM sample — the mergeable sampling
+    * sketch next to [[sampleStratified]]'s per-stratum quota: the k
+    * rows whose seeded hash `md5('g6' ∥ key)` ranks smallest. Three
+    * properties fall out of the hash ranking:
+    * (1) uniform-without-replacement and REPRODUCIBLE — any engine,
+    * any partitioning, any rerun draws the same sample (`rand()`
+    * sampling is none of those; DuckDB replays this exactly);
+    * (2) MERGEABLE — bottom-k of a union is bottom-k of the merged
+    * per-part bottom-ks, which is precisely what Spark plans:
+    * `TakeOrderedAndProject` keeps a k-row heap per partition and
+    * merges heaps at the driver — no global sort, no shuffle of the
+    * input (the same shape as `topk_global`); at 100 TB each of 10k
+    * tasks ships 100 rows, nothing else moves;
+    * (3) the sample IS a KMV cardinality sketch (Bar-Yossef et al.
+    * 2002): normalizing the k-th smallest hash to u ∈ (0,1),
+    * n̂ = (k−1)/u estimates |distinct keys| with σ ≈ n/√(k−2) —
+    * pinned via `kmv_ok` (n̂ within 25% ≈ 2.5σ of the true count;
+    * hash family fixed ⇒ deterministic on fixed corpora, verified at
+    * all three SFs — the LSH-recall pinning pattern).
+    * The one driver-side head() pulls a single k-th-hash row. */
+  /** The ranked bottom-k subplan, pre-checkpoint — exposed so PlanSpec
+    * can pin the TakeOrderedAndProject shape. */
+  private[graft] def bottomKRanked(o: DataFrame, k: Int): DataFrame =
+    o.select(col("o_orderkey"),
+        md5(concat(lit("g6"), col("o_orderkey").cast("string"))).as("h"))
+      .orderBy(col("h"), col("o_orderkey")).limit(k)
+
+  def sampleBottomK(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val o = t(spark, dir, "orders")
+    val ranked = bottomKRanked(o, k)
+      .localCheckpoint() // one job: reused for the k-th hash and the output
+    val kth = ranked.agg(max(col("h"))).head().getString(0)
+    val u = java.lang.Long.parseLong(kth.substring(0, 15), 16).toDouble /
+      math.pow(16, 15)
+    val est = (k - 1).toDouble / u
+    val trueN = o.count()
+    val kmvOk = math.abs(est - trueN) <= 0.25 * trueN
+    ordered(ranked.select(col("o_orderkey"), col("h"), lit(kmvOk).as("kmv_ok")))
+  }
+
+  private val sampleBottomKSql =
+    s"""SELECT o_orderkey, h, TRUE AS kmv_ok FROM (
+       |  SELECT o_orderkey,
+       |    md5('g6' || CAST(o_orderkey AS VARCHAR)) AS h
+       |  FROM orders ORDER BY 2, 1 LIMIT 100)
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sample_stratified" -> Q(sampleStratified _, sampleStratifiedSql),
+    "sample_bottomk" -> Q(sampleBottomK _, sampleBottomKSql),
     "set_except_all" -> Q(setExceptAll _, setExceptAllSql),
     "project_derive" -> Q(projectDerive _, projectDeriveSql),
     "filter_pred" -> Q(filterPred _, filterPredSql),

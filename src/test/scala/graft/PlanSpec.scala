@@ -216,6 +216,17 @@ class PlanSpec extends AnyFunSuite {
       s"nested loop in:\n$p")
   }
 
+  test("sample_bottomk ranks via TakeOrderedAndProject (per-partition heap, no global sort)") {
+    // the mergeable-sample property in plan form: k-row heap per
+    // partition, heaps merged at the driver — a global Sort or an
+    // Exchange of the full input would be the 100 TB failure mode
+    val o = core.Tables.load(spark, Sf, "orders")
+    val p = ops.Relational.bottomKRanked(o, 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
+
   test("sample_stratified compiles to a map-side WindowGroupLimit (top-n heap, no full sort)") {
     val p = plan("sample_stratified")
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
