@@ -674,7 +674,102 @@ object Streaming {
        |WHERE v.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
        |${O.OrderAll}"""
 
+  /** Misra–Gries heavy hitters AS STREAMING STATE — the top-k-over-an-
+    * unbounded-stream primitive (the sketch is one-pass by nature, so
+    * it IS the streaming algorithm; the batch twin is
+    * `agg_heavy_hitters`). Keys are hash-SHARDED across 8 state-store
+    * groups, each `flatMapGroupsWithState` group folding its batch
+    * iterator into a ≤32-entry [[graft.functions.Udafs.MisraGries]]
+    * summary — state stays fixed-size per shard forever, the property
+    * that makes a sketch viable as STREAMING state (an exact counter
+    * map would grow with the key universe; at 100 TB/day of tail keys
+    * that is the state-store OOM).
+    *
+    * Correctness under sharding AND iterator order: every occurrence
+    * of a key lands in ONE shard (hash sharding), so per-key truth is
+    * in-shard truth, the per-shard error mass N_shard/(k+1) ≤ N/(k+1),
+    * and all three MG invariants hold A FORTIORI at the global bound —
+    * regardless of intra-batch iterator order (the guarantee is
+    * fold-order-independent, the reason the booleans are pinnable).
+    *
+    * Update-mode emissions: state carries a strictly-increasing
+    * rows-processed counter; the final per-shard summary is selected
+    * max-by-counter (the [[statefulFrom]] multi-batch convention).
+    * Final summaries are EXPLODED and probe-joined relationally — no
+    * driver collect anywhere. Probes + invariants mirror the batch
+    * twin; same oracle shape. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = 32
+    val Shards = 8
+    val mg = new graft.functions.Udafs.MisraGries(K)
+    val keyed = eventsStreamMultiBatch(spark, dir)
+      .select(when(col("event_id") % 4 === 0, col("event_type"))
+        .otherwise(concat(lit("t"), col("event_id").cast("string"))).as("key"))
+      .select(pmod(xxhash64(col("key")), lit(Shards)).as("shard"), col("key"))
+      .as[(Long, String)]
+    val fn = (shard: Long, rows: Iterator[(Long, String)],
+        state: GroupState[(Long, Map[String, Long])]) => {
+      var (nRows, s) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+      rows.foreach { case (_, k) => s = mg.reduce(s, k); nRows += 1 }
+      state.update((nRows, s))
+      Iterator.single((shard, nRows, s))
+    }
+    val out = keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("shard", "n_rows", "summary")
+    val sink = runToTable(spark, out, "update")
+    // final emission per shard; shards' key sets are disjoint, so the
+    // union of their summaries needs no cross-shard merge
+    val est = sink
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("n_rows").desc)))
+      .filter(col("_rn") === 1)
+      .select(explode(col("summary")).as(Seq("key", "_est")))
+    val events = Tables.load(spark, dir, "events")
+    val n = events.count()
+    val bound = n / (K + 1)
+    val probes = Seq("signup", "error", "click", "view", "purchase",
+      "t1", "t2", "t5", "t9", "t4")
+    val exact = events
+      .select(when(col("event_id") % 4 === 0, col("event_type"))
+        .otherwise(concat(lit("t"), col("event_id").cast("string"))).as("key"))
+      .filter(col("key").isin(probes: _*))
+      .groupBy(col("key")).agg(count(lit(1)).as("true_n"))
+    val probeDf = probes.toDF("probe_key")
+    ordered(probeDf
+      .join(exact, probeDf("probe_key") === exact("key"), "left_outer")
+      .join(est, probeDf("probe_key") === est("key"), "left_outer")
+      .select(col("probe_key"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"),
+        (coalesce(col("_est"), lit(0L)) <= coalesce(col("true_n"), lit(0L)))
+          .as("underestimate_ok"),
+        (coalesce(col("_est"), lit(0L)) >=
+          coalesce(col("true_n"), lit(0L)) - lit(bound)).as("lower_bound_ok"),
+        (coalesce(col("true_n"), lit(0L)) <= lit(bound) || col("_est").isNotNull)
+          .as("covered_ok")))
+  }
+
+  private val streamHeavyHittersSql =
+    s"""WITH keyed AS (
+       |  SELECT CASE WHEN event_id % 4 = 0 THEN event_type
+       |    ELSE 't' || CAST(event_id AS VARCHAR) END AS key FROM events),
+       |probes AS (SELECT unnest(['signup','error','click','view',
+       |  'purchase','t1','t2','t5','t9','t4']) AS probe_key),
+       |exact AS (
+       |  SELECT key AS probe_key, COUNT(*) AS true_n FROM keyed
+       |  WHERE key IN ('signup','error','click','view','purchase',
+       |    't1','t2','t5','t9','t4')
+       |  GROUP BY 1)
+       |SELECT p.probe_key, COALESCE(e.true_n, 0) AS true_n,
+       |  TRUE AS underestimate_ok, TRUE AS lower_bound_ok,
+       |  TRUE AS covered_ok
+       |FROM probes p LEFT JOIN exact e ON e.probe_key = p.probe_key
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "stream_heavy_hitters" -> Q(streamHeavyHitters _, streamHeavyHittersSql),
     "stream_join" -> Q(streamJoin _, streamJoinSql),
     "stream_join_outer" -> Q(streamJoinOuter _, streamJoinOuterSql),
     "stream_late_drop" -> Q(streamLateDrop _, streamLateDropSql),

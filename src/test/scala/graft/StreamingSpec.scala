@@ -98,6 +98,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.collect().toSet === core.Determinism.ordered(batch).collect().toSet)
   }
 
+  test("streaming misra-gries state stays bounded at k entries across batches") {
+    // the headline claim of stream_heavy_hitters: the per-shard state a
+    // stateful processor carries forever is the SKETCH, never the key
+    // universe — feed 3 micro-batches of (mostly) fresh unique keys
+    // through the same fold and assert every emitted summary holds ≤ k
+    // entries while the processed-row counter keeps the full count
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupState
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val mg = new graft.functions.Udafs.MisraGries(k)
+    val in = MemoryStream[String]
+    val fn = (shard: Long, rows: Iterator[(Long, String)],
+        state: GroupState[(Long, Map[String, Long])]) => {
+      var (n, s) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+      rows.foreach { case (_, key) => s = mg.reduce(s, key); n += 1 }
+      state.update((n, s))
+      Iterator.single((shard, n, s))
+    }
+    val out = in.toDF().select(lit(0L).as("shard"), col("value"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("shard", "n_rows", "summary")
+    val name = s"mg_state_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      for (b <- 0 until 3) {
+        in.addData((0 until 100).map(i => s"u${b * 100 + i}") ++ Seq("hot", "hot", "hot"))
+        q.processAllAvailable()
+      }
+      val rows = spark.table(name)
+        .select(col("n_rows"), size(col("summary")).as("sz"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.nonEmpty)
+      assert(rows.forall(_._2 <= k), s"summary exceeded k: ${rows.mkString(",")}")
+      assert(rows.map(_._1).max == 309L) // all 3×103 rows counted
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
+  }
+
   test("foreachBatch sink appends once per micro-batch and reruns are idempotent") {
     val first = stream.Streaming.foreachBatchSink(spark, TestSpark.Sf).collect().toSeq
     assert(stream.Streaming.lastBatchId >= stream.Streaming.MbSlices - 1,
