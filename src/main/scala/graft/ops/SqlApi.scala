@@ -553,9 +553,51 @@ object SqlApi {
        |    WHERE i.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
        |${O.OrderAll}"""
 
+  /** TPC-H Q19 shape (discounted revenue over DISJUNCTIVE join
+    * predicates) — the optimizer behavior no other key exercises:
+    * the join condition is an OR of three conjunct bundles, each
+    * repeating `p_partkey = l_partkey` plus different brand/size/
+    * quantity bands. A naive planner sees a non-equi condition and
+    * falls back to a nested loop — the 100 TB outage shape
+    * `ScanGuardRule` exists to catch. Catalyst instead PULLS OUT the
+    * common equi conjunct (CNF conversion), plans one hash equi-join
+    * on partkey, and keeps the disjunction as a post-join residual
+    * filter; PlanSpec pins hash-join-with-no-nested-loop. Revenue
+    * stays exact decimal, ONE double cast at the end. */
+  def sqlTpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+         |    AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM graft_lineitem JOIN graft_part ON
+         |  (p_partkey = l_partkey AND p_brand = 'Brand#12'
+         |    AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+         |    AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
+         |    AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+  }
+
+  private val sqlTpchQ19Sql =
+    s"""SELECT CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON
+       |  (p_partkey = l_partkey AND p_brand = 'Brand#12'
+       |    AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       |  OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+       |    AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       |  OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
+       |    AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sql_recursive" -> Q(sqlRecursive _, sqlRecursiveSql),
     "sql_tpch_q2" -> Q(sqlTpchQ2 _, sqlTpchQ2Sql),
+    "sql_tpch_q19" -> Q(sqlTpchQ19 _, sqlTpchQ19Sql),
     "sql_tpch_q4" -> Q(sqlTpchQ4 _, sqlTpchQ4Sql),
     "sql_tpch_q12" -> Q(sqlTpchQ12 _, sqlTpchQ12Sql),
     "sql_tpch_q14" -> Q(sqlTpchQ14 _, sqlTpchQ14Sql),

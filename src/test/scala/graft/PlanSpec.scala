@@ -216,6 +216,17 @@ class PlanSpec extends AnyFunSuite {
       s"nested loop in:\n$p")
   }
 
+  test("sql_tpch_q19: common equi key pulled out of the disjunctive join predicate") {
+    val p = plan("sql_tpch_q19")
+    // the OR-of-conjuncts condition repeats p_partkey = l_partkey in
+    // every disjunct; Catalyst must extract it as the hash join key and
+    // keep the disjunction as a residual — a nested loop here is the
+    // 100 TB outage shape
+    assert(p.contains("HashJoin"), s"expected a hash equi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested loop in:\n$p")
+  }
+
   test("sample_bottomk ranks via TakeOrderedAndProject (per-partition heap, no global sort)") {
     // the mergeable-sample property in plan form: k-row heap per
     // partition, heaps merged at the driver — a global Sort or an
