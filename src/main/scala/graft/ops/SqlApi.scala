@@ -594,8 +594,49 @@ object SqlApi {
        |    AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
        |${O.OrderAll}"""
 
+  /** TPC-H Q13 shape (customer distribution) — two semantics no other
+    * key combines:
+    *
+    * 1. A residual predicate inside a LEFT OUTER join's ON clause
+    *    (`o_orderstatus <> 'F'`). Moving it to WHERE would silently
+    *    drop the null-extended customers — the classic outer-join
+    *    trap. Because it references only the preserved-null side,
+    *    Catalyst may legally push it below the join into the orders
+    *    scan (PlanSpec pins the join stays LeftOuter and the filter
+    *    does NOT sit above it, where it would break the semantics).
+    * 2. Aggregate-of-aggregate: COUNT(o_orderkey) per customer (nulls
+    *    from the outer join count as zero), then the DISTRIBUTION of
+    *    those counts. At 100 TB the second Exchange's input is the
+    *    first aggregate's output — one row per customer, then one row
+    *    per distinct count — so the cascade gets cheaper per stage,
+    *    the shape a histogram-of-activity query should have. */
+  def sqlTpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    ordered(spark.sql(
+      s"""SELECT c_count, COUNT(*) AS custdist
+         |FROM (
+         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         |  FROM graft_customer LEFT OUTER JOIN graft_orders
+         |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+         |  GROUP BY c_custkey) c_orders
+         |GROUP BY c_count""".stripMargin))
+  }
+
+  private val sqlTpchQ13Sql =
+    s"""SELECT c_count, COUNT(*) AS custdist
+       |FROM (
+       |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+       |  FROM customer LEFT OUTER JOIN orders
+       |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+       |  GROUP BY c_custkey) c_orders
+       |GROUP BY c_count
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sql_recursive" -> Q(sqlRecursive _, sqlRecursiveSql),
+    "sql_tpch_q13" -> Q(sqlTpchQ13 _, sqlTpchQ13Sql),
     "sql_tpch_q2" -> Q(sqlTpchQ2 _, sqlTpchQ2Sql),
     "sql_tpch_q19" -> Q(sqlTpchQ19 _, sqlTpchQ19Sql),
     "sql_tpch_q4" -> Q(sqlTpchQ4 _, sqlTpchQ4Sql),

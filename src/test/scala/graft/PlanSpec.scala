@@ -227,6 +227,20 @@ class PlanSpec extends AnyFunSuite {
       s"nested loop in:\n$p")
   }
 
+  test("sql_tpch_q13: ON-residual pushed through the outer join, which stays LeftOuter") {
+    val p = plan("sql_tpch_q13")
+    // the <> predicate lives in the LEFT OUTER join's ON clause; it
+    // references only the null-producing side, so Catalyst pushes it
+    // below the join into the orders scan — while the join itself must
+    // stay LeftOuter (a WHERE spelling would have turned it inner and
+    // dropped the zero-order customers)
+    assert(p.contains("LeftOuter"), s"outer join lost:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\].*"),
+      s"ON-residual not pushed into the orders scan:\n$p")
+    // aggregate-of-aggregate: two partial/final pairs
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"agg cascade missing:\n$p")
+  }
+
   test("sample_bottomk ranks via TakeOrderedAndProject (per-partition heap, no global sort)") {
     // the mergeable-sample property in plan form: k-row heap per
     // partition, heaps merged at the driver — a global Sort or an
