@@ -308,6 +308,35 @@ class PropertySpec extends AnyFunSuite {
 
   // ----------------------------------------------------- funnel laws
 
+  // ------------------------------------------------------ bottom-k sample
+
+  /** The mergeability claim behind `sample_bottomk` (SURVEY §2.6):
+    * bottom-k of a union equals bottom-k of the merged per-partition
+    * bottom-ks, under the same seeded md5 rank the operator uses. This
+    * is what makes the sample computable with a k-row heap per
+    * partition and a k-row merge — no global sort — and it must hold
+    * for EVERY partitioning, so the law quantifies over the split. */
+  test("property: bottom-k of union == bottom-k of merged partition bottom-ks") {
+    def rank(key: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"g6$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def bottomK(keys: Seq[Long], k: Int): Seq[(String, Long)] =
+      keys.map(x => (rank(x), x)).sorted.take(k)
+    val genKeys = for {
+      n    <- Gen.choose(1, 200)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 100000L)).map(_.distinct)
+      cut  <- Gen.choose(0, keys.size)
+    } yield (keys, cut)
+    check("bottomk-merge", Prop.forAllNoShrink(genKeys) { case (keys, cut) =>
+      val k = 10
+      val (a, b) = keys.splitAt(cut)
+      val direct = bottomK(keys, k)
+      val merged = bottomK((bottomK(a, k) ++ bottomK(b, k)).map(_._2), k)
+      direct == merged
+    }, cases = 30)
+  }
+
   test("property: funnel stages match the sequential reference on generated histories") {
     val DaySec = 86400L
     // per-user event streams mixing types, boundary-exact gaps (the
