@@ -180,6 +180,41 @@ object Relational {
        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
        |${O.OrderAll}"""
 
+  /** Null-safe equi-join (`<=>` / SQL `IS NOT DISTINCT FROM`): NULL
+    * keys compare EQUAL — the one equi-key semantic plain `=` cannot
+    * express. A `=` join silently drops every null-key row (NULL = NULL
+    * is unknown); the common workaround, coalescing to a sentinel,
+    * corrupts any real occurrence of the sentinel value. Here the
+    * nullable key is derived (`nullif(nationkey % 5, 0)`) so the NULL
+    * bucket provably participates: the output's NULL row counts the
+    * null-key customers × null-key suppliers.
+    *
+    * Scale note: Catalyst treats `<=>` as a HASHABLE join key (NULL
+    * hashes like any other value), so this plans as a broadcast hash
+    * join — NOT the BroadcastNestedLoopJoin a residual-only predicate
+    * would force (pinned in PlanSpec). At 100 TB the caveat is skew:
+    * a mostly-NULL key column makes NULL the hottest bucket of a
+    * shuffled `<=>` join; broadcast the dim side (as here) or split
+    * the NULL stripe out and union. */
+  def joinNullsafe(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(expr("nullif(c_nationkey % 5, 0)").as("ck"))
+    val supp = t(spark, dir, "supplier")
+      .select(expr("nullif(s_nationkey % 5, 0)").as("sk"))
+    ordered(
+      cust.join(broadcast(supp), col("ck") <=> col("sk"))
+        .groupBy(col("ck"))
+        .agg(count(lit(1)).as("n_pairs")))
+  }
+
+  private val joinNullsafeSql =
+    s"""SELECT a.ck, COUNT(*) AS n_pairs
+       |FROM (SELECT NULLIF(c_nationkey % 5, 0) AS ck FROM customer) a
+       |JOIN (SELECT NULLIF(s_nationkey % 5, 0) AS sk FROM supplier) b
+       |  ON a.ck IS NOT DISTINCT FROM b.sk
+       |GROUP BY a.ck
+       |${O.OrderAll}"""
+
   /** Band/interval join: event pairs of the same user within 10 minutes.
     * The equi component (user_id) keeps this a hash/sort-merge join with
     * a residual range predicate — never a nested-loop cross product.
@@ -684,6 +719,7 @@ object Relational {
     "join_full_outer" -> Q(joinFullOuter _, joinFullOuterSql),
     "join_semi" -> Q(joinSemi _, joinSemiSql),
     "join_anti" -> Q(joinAnti _, joinAntiSql),
+    "join_nullsafe" -> Q(joinNullsafe _, joinNullsafeSql),
     "join_range" -> Q(joinRange _, joinRangeSql),
     "join_asof" -> Q(joinAsof _, joinAsofSql),
     "join_asof_nearest" -> Q(joinAsofNearest _, joinAsofNearestSql),

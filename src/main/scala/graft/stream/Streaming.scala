@@ -674,6 +674,39 @@ object Streaming {
        |WHERE v.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
        |${O.OrderAll}"""
 
+  /** Stream-STATIC enrichment join — the missing third member of the
+    * streaming-join family (inner and outer stream-stream above): the
+    * events stream joined to the static `customer` dimension. Unlike a
+    * stream-stream join this is STATELESS — no watermark, no state
+    * store, nothing to evict: each micro-batch independently joins its
+    * rows against the dim table, so every stream row emits exactly
+    * once and none is held back by a watermark gate (the batch oracle
+    * is the plain join, no watermark clause — compare
+    * [[streamJoinOuter]]'s gated oracle).
+    *
+    * 100 TB: this is the dominant enrich shape — fact stream ⋈ dim.
+    * The dim side is broadcast, so the unbounded side never shuffles;
+    * and because the static side is re-planned per micro-batch, a dim
+    * table updated in place (SCD1 upsert, [[graft.etl.Etl]]) is
+    * picked up on the next batch without restarting the query. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val dim = broadcast(Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+    val joined = ev.join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("c_nationkey"), epochUs(col("ts")).as("ts_us"))
+    ordered(runToTable(spark, joined, "append"))
+  }
+
+  private val streamStaticJoinSql =
+    s"""SELECT e.event_id, e.user_id, c.c_mktsegment, c.c_nationkey,
+       |  epoch_us(e.ts) AS ts_us
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |WHERE e.event_type = 'purchase'
+       |${O.OrderAll}"""
+
   /** Misra–Gries heavy hitters AS STREAMING STATE — the top-k-over-an-
     * unbounded-stream primitive (the sketch is one-pass by nature, so
     * it IS the streaming algorithm; the batch twin is
@@ -772,6 +805,7 @@ object Streaming {
     "stream_heavy_hitters" -> Q(streamHeavyHitters _, streamHeavyHittersSql),
     "stream_join" -> Q(streamJoin _, streamJoinSql),
     "stream_join_outer" -> Q(streamJoinOuter _, streamJoinOuterSql),
+    "stream_static_join" -> Q(streamStaticJoin _, streamStaticJoinSql),
     "stream_late_drop" -> Q(streamLateDrop _, streamLateDropSql),
     "stream_tws" -> Q(tws _, twsSql),
     "stream_tumbling" -> Q(tumbling _, tumblingSql),

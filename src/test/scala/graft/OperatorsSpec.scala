@@ -44,6 +44,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(missing.toSeq === Seq(2L))
   }
 
+  test("null-safe join: NULL keys match each other; plain = drops the whole bucket") {
+    val out = ops.Relational.joinNullsafe(spark, Sf)
+    val cust = graft.core.Tables.load(spark, Sf, "customer")
+      .select(expr("nullif(c_nationkey % 5, 0)").as("ck"))
+    val supp = graft.core.Tables.load(spark, Sf, "supplier")
+      .select(expr("nullif(s_nationkey % 5, 0)").as("sk"))
+    val nullCust = cust.filter(col("ck").isNull).count()
+    val nullSupp = supp.filter(col("sk").isNull).count()
+    assert(nullCust > 0 && nullSupp > 0, "fixture must produce null keys")
+    val nullPairs = out.filter(col("ck").isNull)
+      .select("n_pairs").as[Long].collect().toSeq
+    assert(nullPairs === Seq(nullCust * nullSupp),
+      "NULL <=> NULL must pair every null-key row on both sides")
+    // the `=` spelling of the same join silently loses the NULL bucket
+    val eqJoin = cust.join(supp, col("ck") === col("sk"))
+    assert(eqJoin.filter(col("ck").isNull).count() === 0)
+  }
+
   test("as-of join picks latest at-or-before, including equal timestamps") {
     // purchase at t=10 with views at 5 and 10 → asof = 10 (tie included)
     val out = ops.Relational.joinAsof(spark, Sf)

@@ -62,6 +62,13 @@ class PlanSpec extends AnyFunSuite {
       "aggregation must split partial/final so the shuffle carries one row per group")
   }
 
+  test("join_nullsafe: <=> stays a HASHED equi-join key, not a nested-loop residual") {
+    val p = plan("join_nullsafe")
+    assert(p.contains("BroadcastHashJoin"), s"expected hash join on <=>:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe equality degraded to a non-equi join:\n$p")
+  }
+
   test("join_range keeps the equi component (no nested-loop join)") {
     val p = plan("join_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

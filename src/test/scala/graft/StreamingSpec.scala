@@ -199,6 +199,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static join: every matched row emits exactly once, none watermark-held") {
+    val out = stream.Streaming.streamStaticJoin(spark, TestSpark.Sf)
+    val ev = graft.core.Tables.load(spark, TestSpark.Sf, "events")
+    val batch = ev.filter(col("event_type") === "purchase")
+      .join(graft.core.Tables.load(spark, TestSpark.Sf, "customer"),
+        col("user_id") === col("c_custkey"))
+    // stateless: batch-equivalent cardinality, no duplicate emission
+    assert(out.count() === batch.count())
+    assert(out.distinct().count() === out.count())
+    // and no watermark holdback: even the NEWEST purchase is emitted —
+    // a stream-stream join (streamJoinOuter test above) holds rows
+    // near max(ts) open in the state store
+    val maxUs = ev.filter(col("event_type") === "purchase")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    assert(out.filter(col("ts_us") === maxUs).count() > 0,
+      "newest stream row missing — a watermark gate crept in")
+  }
+
   test("outer stream join ⊇ inner join; null-padded rows only below the watermark") {
     val inner = stream.Streaming.streamJoin(spark, TestSpark.Sf)
     val outer = stream.Streaming.streamJoinOuter(spark, TestSpark.Sf)
