@@ -93,6 +93,79 @@ object Multimodal {
           col("features")(3).cast("int").as("f_max")))
   }
 
+  /** One sampled frame's features. */
+  final case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,
+      mean_raw: Float,
+      f_min: Int,
+      f_max: Int)
+
+  /** Frame sampling — the ONE-TO-MANY multimodal shape
+    * ([[decodeFeatures]] is 1-to-1): a media blob explodes into its
+    * sampled frames, each decoded independently. Frames are the
+    * `frameBytes`-aligned full slices of the payload (trailing partial
+    * frame dropped, as a fixed-size codec would); stride sampling
+    * keeps every `stride`-th frame starting at 0 — the deterministic
+    * skeleton of video keyframe extraction.
+    *
+    * 100 TB notes: the explode happens INSIDE `mapPartitions`, so only
+    * one frame's bytes are materialized at a time per row (an
+    * `explode(split(payload))` spelling would build every frame of a
+    * blob as one giant array row first); no shuffle — output stays
+    * partitioned by the input's file splits, and downstream per-frame
+    * ops (embed, dedup) group on (doc_id, frame_idx) keys that are
+    * already dense. Frame decode reuses the per-partition decoder
+    * init, same as the 1-to-1 path. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int, stride: Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val nFrames = payload.length / frameBytes
+          Iterator.range(0, nFrames, stride).map { i =>
+            val feats = StubDecoder.decode(java.util.Arrays.copyOfRange(
+              payload, i * frameBytes, (i + 1) * frameBytes))
+            FrameFeatures(id, i, feats(1), feats(2).toInt, feats(3).toInt)
+          }
+        }
+      }
+  }
+
+  /** Driver-contract query: 64-byte frames, every 2nd sampled. Docs
+    * shorter than one frame contribute no rows (the flatMap drops
+    * them) — the oracle's `range(0, n_frames, 2)` empties identically.
+    * Mean determinism: frame sums divide by 64 (a power of two —
+    * exact in binary floating point), then one float round, as in
+    * [[multimodalDecode]]. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.load(spark, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    ordered(
+      sampleFrames(spark, media, frameBytes = 64, stride = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          round6(col("mean_raw").cast("double")).as("f_mean"),
+          col("f_min"), col("f_max")))
+  }
+
+  private val frameSampleSql = {
+    val pts = "list_transform(regexp_split_to_array(" +
+      "substring(text, CAST(i AS INT) * 64 + 1, 64), ''), x -> unicode(x))"
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    octet_length(encode(text)) // 64 AS n_frames
+       |  FROM documents)
+       |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       |  round(CAST(CAST(CAST(list_aggregate($pts, 'sum') AS DOUBLE)
+       |    / 64 AS FLOAT) AS DOUBLE), 6) AS f_mean,
+       |  CAST(list_aggregate($pts, 'min') AS INT) AS f_min,
+       |  CAST(list_aggregate($pts, 'max') AS INT) AS f_max
+       |FROM f, UNNEST(range(0, n_frames, 2)) AS t(i)
+       |ORDER BY ALL NULLS FIRST"""
+  }
+
   private val multimodalDecodeSql = {
     val pts = "list_transform(regexp_split_to_array(text, ''), x -> unicode(x))"
     s"""SELECT doc_id, 'text/plain' AS mime,
@@ -107,6 +180,7 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = Map(
-    "llm_multimodal_decode" -> Q(multimodalDecode _, multimodalDecodeSql)
+    "llm_multimodal_decode" -> Q(multimodalDecode _, multimodalDecodeSql),
+    "llm_frame_sample" -> Q(frameSample _, frameSampleSql)
   )
 }

@@ -38,6 +38,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() === docs.count())
   }
 
+  test("frame sampling: stride-2 frame set per doc, short docs drop, stats coherent") {
+    val out = llm.Multimodal.frameSample(spark, Sf)
+    val docs = core.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"),
+        (length(col("text")).cast("long") / 64).cast("long").as("n_frames"))
+    // exact per-doc frame count: ceil(n_frames / 2); sub-frame docs → 0 rows
+    val expected = docs.select(sum(ceil(col("n_frames") / 2.0).cast("long")))
+      .collect()(0).getLong(0)
+    assert(out.count() === expected)
+    // sampled indexes are even and inside the doc's full-frame range
+    assert(out.filter(col("frame_idx") % 2 =!= 0).count() === 0)
+    val oob = out.join(docs, "doc_id")
+      .filter(col("frame_idx") >= col("n_frames")).count()
+    assert(oob === 0)
+    // per-frame stats coherent: min ≤ mean ≤ max
+    assert(out.filter(col("f_mean") < col("f_min") ||
+      col("f_mean") > col("f_max")).count() === 0)
+  }
+
   test("jdbc source: plain and partitioned option plumbing") {
     val src = new JdbcSource("jdbc:sqlserver://host;databaseName=dw", "u", "p",
       fetchSize = 5000)
