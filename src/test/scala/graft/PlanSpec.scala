@@ -69,6 +69,16 @@ class PlanSpec extends AnyFunSuite {
       s"null-safe equality degraded to a non-equi join:\n$p")
   }
 
+  test("llm_frame_sample: the frame explode is shuffle-free (no hash exchange)") {
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning (the `ordered` wrapper); the decode/explode path
+    // itself must inherit the scan's partitioning
+    val p = plan("llm_frame_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"frame sampling shuffled mid-plan:\n$p")
+    assert(p.contains("MapPartitions"), s"expected a mapPartitions pass:\n$p")
+  }
+
   test("join_range keeps the equi component (no nested-loop join)") {
     val p = plan("join_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
