@@ -24,8 +24,16 @@ def main():
         sys.exit(0)
     old, new = entries[-2], entries[-1]
     # canary normalization: a query 2x slower at a 2x-slower canary is
-    # machine drift, not code
-    scale = (old.get("canary_sec") or 1.0) / (new.get("canary_sec") or 1.0)
+    # machine drift, not code. If EITHER side lacks a canary, disable
+    # normalization entirely — substituting 1.0s for a ~0.2s canary
+    # would skew every ratio ~5x in one direction.
+    oc, nc = old.get("canary_sec"), new.get("canary_sec")
+    if oc and nc:
+        scale = oc / nc
+    else:
+        scale = 1.0
+        print("warning: canary_sec missing on one side - "
+              "comparing RAW times (machine drift not corrected)")
     oq, nq = old["queries"], new["queries"]
     print(f"old: total={old['value']:.1f}s load={old.get('load_avg_start')} "
           f"canary={old.get('canary_sec')}")
@@ -42,9 +50,10 @@ def main():
     for k in sorted(set(oq) & set(nq)):
         o, n = oq[k], nq[k] * scale
         if o > 0 and n > o * thresh and n - o > 0.2:  # skip sub-noise keys
-            regressions.append((k, o, nq[k], n / o))
-    for k, o, n, r in sorted(regressions, key=lambda x: -x[3]):
-        print(f"REGRESSION {k}: {o:.2f}s -> {n:.2f}s ({r:.1f}x normalized)")
+            regressions.append((k, o, n, nq[k], n / o))
+    for k, o, n, raw, r in sorted(regressions, key=lambda x: -x[4]):
+        print(f"REGRESSION {k}: {o:.2f}s -> {n:.2f}s normalized "
+              f"(raw {raw:.2f}s, {r:.1f}x)")
     if not regressions:
         print("no regressions above "
               f"{thresh}x (common keys: {len(set(oq) & set(nq))})")

@@ -542,9 +542,7 @@ object Aggregates {
     import spark.implicits._
     val k = 64
     val e = t(spark, dir, "events")
-    val keyCol = when(col("event_id") % 4 === 0, col("event_type"))
-      .otherwise(concat(lit("t"), col("event_id").cast("string")))
-    val keyed = e.select(keyCol.as("key"))
+    val keyed = e.select(Udafs.HeavyKey.column.as("key"))
     val summary = keyed.as[String]
       .select(new Udafs.MisraGries(k).toColumn.name("s")).head()
     val n = e.count()
@@ -569,8 +567,7 @@ object Aggregates {
 
   private val aggHeavyHittersSql =
     s"""WITH keyed AS (
-       |  SELECT CASE WHEN event_id % 4 = 0 THEN event_type
-       |    ELSE 't' || CAST(event_id AS VARCHAR) END AS key FROM events),
+       |  SELECT ${Udafs.HeavyKey.sql} AS key FROM events),
        |probes AS (SELECT unnest(['signup','error','click','view',
        |  'purchase','t1','t2','t5','t9','t4']) AS probe_key),
        |exact AS (

@@ -738,8 +738,7 @@ object Streaming {
     val Shards = 8
     val mg = new graft.functions.Udafs.MisraGries(K)
     val keyed = eventsStreamMultiBatch(spark, dir)
-      .select(when(col("event_id") % 4 === 0, col("event_type"))
-        .otherwise(concat(lit("t"), col("event_id").cast("string"))).as("key"))
+      .select(graft.functions.Udafs.HeavyKey.column.as("key"))
       .select(pmod(xxhash64(col("key")), lit(Shards)).as("shard"), col("key"))
       .as[(Long, String)]
     val fn = (shard: Long, rows: Iterator[(Long, String)],
@@ -766,8 +765,7 @@ object Streaming {
     val probes = Seq("signup", "error", "click", "view", "purchase",
       "t1", "t2", "t5", "t9", "t4")
     val exact = events
-      .select(when(col("event_id") % 4 === 0, col("event_type"))
-        .otherwise(concat(lit("t"), col("event_id").cast("string"))).as("key"))
+      .select(graft.functions.Udafs.HeavyKey.column.as("key"))
       .filter(col("key").isin(probes: _*))
       .groupBy(col("key")).agg(count(lit(1)).as("true_n"))
     val probeDf = probes.toDF("probe_key")
@@ -786,8 +784,7 @@ object Streaming {
 
   private val streamHeavyHittersSql =
     s"""WITH keyed AS (
-       |  SELECT CASE WHEN event_id % 4 = 0 THEN event_type
-       |    ELSE 't' || CAST(event_id AS VARCHAR) END AS key FROM events),
+       |  SELECT ${graft.functions.Udafs.HeavyKey.sql} AS key FROM events),
        |probes AS (SELECT unnest(['signup','error','click','view',
        |  'purchase','t1','t2','t5','t9','t4']) AS probe_key),
        |exact AS (
