@@ -689,16 +689,23 @@ object Streaming {
     * and because the static side is re-planned per micro-batch, a dim
     * table updated in place (SCD1 upsert, [[graft.etl.Etl]]) is
     * picked up on the next batch without restarting the query. */
-  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsStream(spark, dir)
-      .filter(col("event_type") === "purchase")
+  /** The enrich pipeline over any events stream source — split out so
+    * StreamingSpec can drive it with the multi-batch source and prove
+    * the output is micro-batch-split invariant (the statelessness
+    * claim, tested rather than asserted). */
+  private[graft] def staticEnrich(spark: SparkSession, dir: String,
+      ev: DataFrame): DataFrame = {
     val dim = broadcast(Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
-    val joined = ev.join(dim, col("user_id") === col("c_custkey"))
+    val joined = ev.filter(col("event_type") === "purchase")
+      .join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment"),
         col("c_nationkey"), epochUs(col("ts")).as("ts_us"))
     ordered(runToTable(spark, joined, "append"))
   }
+
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    staticEnrich(spark, dir, eventsStream(spark, dir))
 
   private val streamStaticJoinSql =
     s"""SELECT e.event_id, e.user_id, c.c_mktsegment, c.c_nationkey,

@@ -337,6 +337,24 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 30)
   }
 
+  test("property: null-safe join = equi join + NULL×NULL block, on generated sides") {
+    // the semantic decomposition joinNullsafe relies on: <=> matches
+    // exactly what = matches PLUS the all-pairs block of null keys —
+    // nothing more (no null-vs-value match), nothing less
+    val side = Gen.listOf(Gen.frequency(
+      3 -> Gen.choose(0, 4).map(Option(_)),
+      1 -> Gen.const(Option.empty[Int]))).map(_.take(12))
+    check("nullsafe-decomposition", Prop.forAllNoShrink(Gen.zip(side, side)) {
+      case (ls, rs) =>
+        val l = ls.toDF("lk")
+        val r = rs.toDF("rk")
+        val ns = l.join(r, col("lk") <=> col("rk")).count()
+        val eq = l.join(r, col("lk") === col("rk")).count()
+        val nullBlock = ls.count(_.isEmpty).toLong * rs.count(_.isEmpty)
+        ns == eq + nullBlock
+    }, cases = 12)
+  }
+
   test("property: funnel stages match the sequential reference on generated histories") {
     val DaySec = 86400L
     // per-user event streams mixing types, boundary-exact gaps (the

@@ -217,6 +217,16 @@ class StreamingSpec extends AnyFunSuite {
       "newest stream row missing — a watermark gate crept in")
   }
 
+  test("stream-static join is micro-batch-split invariant (6-batch source == 1-batch)") {
+    val one = stream.Streaming.streamStaticJoin(spark, TestSpark.Sf)
+    val six = stream.Streaming.staticEnrich(spark, TestSpark.Sf,
+      stream.Streaming.eventsStreamMultiBatch(spark, TestSpark.Sf))
+    // stateless ⇒ how the stream is sliced into micro-batches (and how
+    // far the watermark advances between commits) cannot change output
+    assert(six.exceptAll(one).count() === 0)
+    assert(one.exceptAll(six).count() === 0)
+  }
+
   test("outer stream join ⊇ inner join; null-padded rows only below the watermark") {
     val inner = stream.Streaming.streamJoin(spark, TestSpark.Sf)
     val outer = stream.Streaming.streamJoinOuter(spark, TestSpark.Sf)
