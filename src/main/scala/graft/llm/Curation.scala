@@ -171,22 +171,28 @@ object Curation {
     * changes split when new docs arrive), which is exactly why
     * production pipelines hash-split rather than sample-split. No
     * sampling state, no shuffle: one map-side expression per row. */
-  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (col("doc_id") * lit(MixK)) % 1000
+  /** The deterministic 80/10/10 assignment — one definition (column +
+    * SQL spelling), shared by `llm_split` and `llm_curation_e2e`. */
+  private[llm] def bucketCol = (col("doc_id") * lit(MixK)) % 1000
+  private[llm] def splitCol =
+    when(bucketCol < 800, "train")
+      .when(bucketCol < 900, "validation")
+      .otherwise("test")
+  private val splitSql =
+    s"""CASE WHEN (doc_id * $MixK) % 1000 < 800 THEN 'train'
+       |       WHEN (doc_id * $MixK) % 1000 < 900 THEN 'validation'
+       |       ELSE 'test' END""".stripMargin
+
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
     ordered(
       docs(spark, dir).select(
         col("doc_id"), col("lang"),
-        bucket.as("bucket"),
-        when(bucket < 800, "train")
-          .when(bucket < 900, "validation")
-          .otherwise("test").as("split")))
-  }
+        bucketCol.as("bucket"),
+        splitCol.as("split")))
 
   private val trainSplitSql =
     s"""SELECT doc_id, lang, (doc_id * $MixK) % 1000 AS bucket,
-       |  CASE WHEN (doc_id * $MixK) % 1000 < 800 THEN 'train'
-       |       WHEN (doc_id * $MixK) % 1000 < 900 THEN 'validation'
-       |       ELSE 'test' END AS split
+       |  $splitSql AS split
        |FROM documents
        |${O.OrderAll}"""
 
@@ -250,7 +256,12 @@ object Curation {
     * gates. All exact rational arithmetic — no rounding (Determinism
     * rules). Embarrassingly parallel: one columnar pass, no shuffle
     * except the presentation sort. */
-  def heuristicFilter(spark: SparkSession, dir: String): DataFrame = {
+  /** The Gopher metric/flag derivation over any documents-shaped input
+    * — the ONE definition of the keep rule, shared by the keyed query
+    * and the end-to-end cascade (`llm_curation_e2e`) so the two can
+    * never apply different quality gates. Appends metric + flag +
+    * `keep` columns, preserving the input's columns. */
+  private[llm] def gopherFlagsOf(d: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val nWords = size(toks)
     val meanLen = (col("n_chars") - (nWords - 1)).cast("double") /
@@ -266,25 +277,32 @@ object Curation {
     val rSym = symRatio <= 0.1
     val rAlpha = alphaFrac >= 0.9
     val rStop = nStop >= 1
-    ordered(
-      docs(spark, dir).select(
-        col("doc_id"),
-        nWords.as("n_words"),
-        meanLen.as("mean_word_len"),
-        symRatio.as("symbol_ratio"),
-        alphaFrac.as("alpha_frac"),
-        nStop.as("n_stopwords"),
-        rWords.as("r_word_count"),
-        rMean.as("r_mean_len"),
-        rSym.as("r_symbol"),
-        rAlpha.as("r_alpha"),
-        rStop.as("r_stopword"),
-        (rWords && rMean && rSym && rAlpha && rStop).as("keep")))
+    d.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symRatio)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("r_word_count", rWords)
+      .withColumn("r_mean_len", rMean)
+      .withColumn("r_symbol", rSym)
+      .withColumn("r_alpha", rAlpha)
+      .withColumn("r_stopword", rStop)
+      .withColumn("keep", rWords && rMean && rSym && rAlpha && rStop)
   }
 
-  private val heuristicFilterSql = {
+  def heuristicFilter(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      gopherFlagsOf(docs(spark, dir)).select(
+        col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("n_stopwords"),
+        col("r_word_count"), col("r_mean_len"), col("r_symbol"),
+        col("r_alpha"), col("r_stopword"), col("keep")))
+
+  /** The t/v metric CTEs of the Gopher derivation — one SQL spelling
+    * shared by `llm_heuristic_filter` and `llm_curation_e2e`. */
+  private val gopherCtesSql = {
     val stopIn = StopList.map(s => s"'$s'").mkString(", ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS l
        |  FROM documents),
        |v AS (
@@ -297,7 +315,18 @@ object Curation {
        |    CAST(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
        |      AS DOUBLE) / CAST(len(l) AS DOUBLE) AS alpha_frac,
        |    len(list_filter(l, x -> x IN ($stopIn))) AS n_stopwords
-       |  FROM t)
+       |  FROM t)"""
+  }
+
+  /** The conjunction `keep` rule, same sharing rationale. */
+  private val gopherKeepSql =
+    """(n_words >= 15 AND n_words <= 90)
+      |    AND (mean_word_len >= 3.0 AND mean_word_len <= 6.0)
+      |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.9
+      |    AND n_stopwords >= 1""".stripMargin
+
+  private val heuristicFilterSql =
+    s"""WITH $gopherCtesSql
        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
        |  n_stopwords,
        |  n_words >= 15 AND n_words <= 90 AS r_word_count,
@@ -305,13 +334,9 @@ object Curation {
        |  symbol_ratio <= 0.1 AS r_symbol,
        |  alpha_frac >= 0.9 AS r_alpha,
        |  n_stopwords >= 1 AS r_stopword,
-       |  (n_words >= 15 AND n_words <= 90)
-       |    AND (mean_word_len >= 3.0 AND mean_word_len <= 6.0)
-       |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.9
-       |    AND n_stopwords >= 1 AS keep
+       |  $gopherKeepSql AS keep
        |FROM v
        |${O.OrderAll}"""
-  }
 
   /** Repetition signals (the other Gopher rule family): per-doc top
     * 2-gram concentration and distinct-2-gram fraction — high top_frac
@@ -641,7 +666,56 @@ object Curation {
        |FROM documents
        |${O.OrderAll}"""
 
+  /** END-TO-END curation cascade — the composition none of the
+    * individual keys exercises: Gopher quality gate → exact content
+    * dedup among the SURVIVORS (keep min doc_id per normalized-text
+    * hash) → deterministic 80/10/10 split → per-(split, lang) corpus
+    * summary. Each stage is the SAME definition its standalone key
+    * runs ([[gopherFlagsOf]], [[Dedup.normText]], [[splitCol]]) — the
+    * key verifies the stages compose: schemas flow through, the dedup
+    * operates on the filtered population (a doc removed by quality
+    * cannot suppress a surviving duplicate), and the split is applied
+    * after dedup so no near-identical pair straddles train/test by
+    * way of a duplicate.
+    *
+    * 100 TB: the cascade ordering is the cheapest-first rule from the
+    * dedup family applied pipeline-wide — the columnar quality gate
+    * (no shuffle) runs before the hash-partitioned dedup, which runs
+    * before anything per-split; each stage strictly shrinks the next
+    * stage's input. One shuffle on content_hash, one on the final
+    * 2-column group — nothing else moves. */
+  def curationE2e(spark: SparkSession, dir: String): DataFrame = {
+    val kept = gopherFlagsOf(docs(spark, dir)).filter(col("keep"))
+    val hashed = kept.withColumn("content_hash", sha2(Dedup.normText, 256))
+    val deduped = hashed
+      .withColumn("keep_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .filter(col("doc_id") === col("keep_doc"))
+    ordered(deduped
+      .select(splitCol.as("split"), col("lang"), col("n_words"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens")))
+  }
+
+  private val curationE2eSql =
+    s"""WITH $gopherCtesSql,
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, d.text, v.n_words
+       |  FROM documents d JOIN v USING (doc_id)
+       |  WHERE $gopherKeepSql),
+       |ded AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY
+       |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep_doc
+       |  FROM kept)
+       |SELECT $splitSql AS split, lang,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens
+       |FROM ded WHERE doc_id = keep_doc
+       |GROUP BY 1, 2
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_curation_e2e" -> Q(curationE2e _, curationE2eSql),
     "llm_shuffle" -> Q(shuffle _, shuffleSql),
     "llm_bloom_filter" -> Q(bloomFilter _, bloomFilterSql),
     "llm_chunking" -> Q(chunking _, chunkingSql),

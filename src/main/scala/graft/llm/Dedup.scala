@@ -31,7 +31,7 @@ object Dedup {
 
   /** Normalized text: collapse whitespace, trim, lowercase — mirrored
     * exactly in the oracle (regexp_replace with 'g'!). */
-  private def normText = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+  private[llm] def normText = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
   /** Exact dedup: normalize → sha256 → keep min(doc_id) per hash. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =

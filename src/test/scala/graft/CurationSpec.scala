@@ -105,6 +105,30 @@ class CurationSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("curation e2e: cascade totals tie to independently-derived stage outputs") {
+    import org.apache.spark.sql.expressions.Window
+    val out = llm.Curation.curationE2e(spark, Sf)
+    // re-derive the survivor population from the STANDALONE keyed
+    // stages: quality keep-set, then min-doc-per-content-hash among it
+    val kept = llm.Curation.heuristicFilter(spark, Sf)
+      .filter(col("keep")).select("doc_id")
+    val survivors = core.Tables.load(spark, Sf, "documents")
+      .join(kept, "doc_id")
+      .withColumn("h",
+        sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))), 256))
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("m"))
+    val total = out.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total === survivors.count(),
+      "e2e doc total must equal quality-then-dedup of the standalone stages")
+    // the quality gate's floor survives composition: every kept doc
+    // has >= 15 words, so each summary row has n_tokens >= 15 * n_docs
+    assert(out.filter(col("n_tokens") < col("n_docs") * 15).count() === 0)
+    val splits = out.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "validation", "test")))
+  }
+
   test("packing: distributed prefix sum is gapless and chunk spans are exact") {
     val out = llm.Curation.packing(spark, Sf).cache()
     try {
