@@ -79,6 +79,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"), s"expected a mapPartitions pass:\n$p")
   }
 
+  test("llm_curation_e2e: gate fuses into the scan filter; exactly two hash exchanges") {
+    // the cascade's scale claim: quality gate is a pushed columnar
+    // filter (no materialization between stages), and only the content
+    // dedup + final 2-column group shuffle
+    val p = plan("llm_curation_e2e")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nHash === 2, s"expected dedup + group shuffles only, got $nHash:\n$p")
+    assert(p.contains("Window [min"), s"content-hash dedup window missing:\n$p")
+  }
+
   test("join_range keeps the equi component (no nested-loop join)") {
     val p = plan("join_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
