@@ -118,7 +118,9 @@ class CurationSpec extends AnyFunSuite {
         sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))), 256))
       .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .filter(col("doc_id") === col("m"))
-    val total = out.agg(sum("n_docs")).collect()(0).getLong(0)
+    val total = out.agg(coalesce(sum("n_docs"), lit(0L)))
+      .collect()(0).getLong(0)
+    assert(total > 0, "cascade produced an empty corpus at test scale")
     assert(total === survivors.count(),
       "e2e doc total must equal quality-then-dedup of the standalone stages")
     // the quality gate's floor survives composition: every kept doc

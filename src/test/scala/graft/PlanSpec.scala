@@ -87,6 +87,10 @@ class PlanSpec extends AnyFunSuite {
     val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(nHash === 2, s"expected dedup + group shuffles only, got $nHash:\n$p")
     assert(p.contains("Window [min"), s"content-hash dedup window missing:\n$p")
+    // and the fusion claim itself: the gate's word-count conjunct sits
+    // in a Filter directly over the parquet scan, not post-shuffle
+    assert(p.matches("(?s).*Filter .*size\\(split\\(text.*FileScan parquet.*"),
+      s"quality gate not fused into the scan stage:\n$p")
   }
 
   test("join_range keeps the equi component (no nested-loop join)") {
