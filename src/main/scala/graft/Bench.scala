@@ -20,39 +20,6 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
-    // Clean-load convention, enforced in-process (r5 verdict task #3:
-    // BENCH_r05 captured a load-3.79 contended run when a clean one
-    // existed): if the 1-min load is above threshold at launch, wait
-    // it out in bounded 10 s steps before ANY timed work. Bounded so a
-    // busy-forever box still produces an artifact (self-identified by
-    // its load stamp) rather than hanging the driver.
-    val settleThreshold =
-      sys.env.getOrElse("SPARK_GRAFT_LOAD_SETTLE", "2.5").toDouble
-    var settledSec = 0
-    def loadAvg0: Double = try {
-      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
-    while (loadAvg0 > settleThreshold && settledSec < 180) {
-      System.err.println(
-        s"[bench] load ${loadAvg0} > $settleThreshold — settling (${settledSec}s)")
-      Thread.sleep(10000)
-      settledSec += 10
-    }
-
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def loadAvg: Double = try {
-      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
-    val loadStart = loadAvg
-
     // Fixed-work CPU canary (r4 verdict ask): sorting the same 2M
     // xorshift-filled longs is pure single-thread CPU with zero Spark
     // involvement, so every bench artifact carries its own normalizer —
@@ -71,8 +38,54 @@ object Bench {
       java.util.Arrays.sort(a)
       (System.nanoTime() - t0) / 1e9
     }
-    canaryRep()
-    val canarySec = (1 to 3).map(_ => canaryRep()).min
+    def canaryMin3(): Double = { canaryRep(); (1 to 3).map(_ => canaryRep()).min }
+
+    // Self-gating contention check (r6 verdict task #1: TWICE the
+    // committed artifact was the day's most contended run, despite a
+    // loadavg-only settle loop — loadavg lags and never measured what
+    // the grade normalizes by). Gate on the canary ITSELF: measure it
+    // FIRST, before any Spark work; if it exceeds the pinned bound
+    // (clean history 0.176–0.186 s; bound 0.19) or the 1-min load
+    // exceeds 2, sleep-and-retry in bounded steps. If the box never
+    // quiets, the artifact ships with "contended": true so no human
+    // judgment is needed downstream (benchdiff refuses to compare it).
+    // Each iteration reads /proc/loadavg ONCE into a val so the value
+    // tested and the value logged are the same sample (r6 advice).
+    val canaryBound =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_BOUND", "0.19").toDouble
+    val settleThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_SETTLE", "2.0").toDouble
+    val settleMaxSec =
+      sys.env.getOrElse("SPARK_GRAFT_SETTLE_MAX", "600").toInt
+    def loadAvgNow(): Double = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    var settledSec = 0
+    var canarySec = canaryMin3()
+    var loadStart = loadAvgNow()
+    while ((canarySec > canaryBound || loadStart > settleThreshold) &&
+           settledSec < settleMaxSec) {
+      System.err.println(
+        f"[bench] contended: canary $canarySec%.3f (bound $canaryBound) " +
+          f"load $loadStart%.2f (bound $settleThreshold) — settling (${settledSec}s)")
+      Thread.sleep(15000)
+      settledSec += 15
+      canarySec = canaryMin3()
+      loadStart = loadAvgNow()
+    }
+    val contended = canarySec > canaryBound || loadStart > settleThreshold
+    if (contended) System.err.println(
+      f"[bench] STILL contended after ${settledSec}s — artifact will carry contended:true")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def loadAvg: Double = loadAvgNow()
     // nominal clock stamp — a thermally-throttled or power-capped box
     // self-identifies
     val cpuMhz = try {
@@ -152,7 +165,7 @@ object Bench {
       "\"" + esc(k) + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
     val total = best.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended}"""
     println(line)
     // Self-contained artifact: the driver captures a stdout TAIL, and
     // BENCH_r01–r03 all truncated mid-map, losing per-query timings and
