@@ -34,8 +34,21 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+        # driver tables are single files; graft.ScaleUp output is a
+        # Spark-style directory of part files — glob in that case, and
+        # MATERIALIZE: DuckDB's optimizer gets no cardinality estimate
+        # from a glob view (EC=1 on every scan), so it freely plans
+        # CROSS_PRODUCTs between "1-row" relations — graph_pagerank's
+        # 1-row `base` CTE crossed a 1.5M-edge table against 168k ranks
+        # at sf1, turning a 4 s oracle into a >35 min one. A real table
+        # has exact stats; sf1 lineitem (6M rows) is ~0.5 GB in memory.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            con.execute(f"CREATE TABLE {t} AS SELECT * FROM "
+                        f"read_parquet('{path}/*.parquet')")
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
@@ -65,9 +78,14 @@ def main():
             # greens int32-vs-int64 (23 such keys pass its hash); only
             # kind mismatches (int vs float vs object/bool/datetime)
             # are the red-row class.
+            # uintX stays its own kind: only signed-int WIDTH folding is
+            # justified by observed driver greens (23 int32/int64 keys);
+            # uint-vs-int parity under the driver's hash is unverified.
             def kind(s):
                 d = str(s.dtype)
-                return "int64" if d.lstrip("u").startswith("int") else d
+                if d.startswith("uint"):
+                    return "uint64"
+                return "int64" if d.startswith("int") else d
             dt_bad = [(c, kind(exp[c]), kind(got[c]))
                       for c in exp.columns
                       if kind(exp[c]) != kind(got[c])]

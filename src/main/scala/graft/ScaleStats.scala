@@ -1,0 +1,68 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Candidate-set cardinalities of the dedup family at a given scale
+  * factor: `runMain graft.ScaleStats <sfDir> [<sfDir> ...]`.
+  *
+  * The dedup operators' 100 TB claim is that candidate GENERATION is
+  * bounded (banded / prefix-filtered / bucket-blocked), so the verify
+  * stage — the only quadratic-looking arithmetic — touches a set that
+  * grows ~linearly with the corpus, not with its square. Timings alone
+  * can't prove that (a small quadratic term hides at one scale factor);
+  * these counts, recorded per SF in BASELINE.md, are the direct
+  * evidence. All counts reuse the exact stage definitions of the keyed
+  * queries ([[llm.Dedup.minhashBands]], [[llm.Dedup.prefixCandidates]],
+  * [[llm.Similarity.cosineBandCandidates]]) — nothing re-derived.
+  *
+  * Prints one JSON line per input dir. */
+object ScaleStats {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleStats <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (dir <- args) {
+      val d = core.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val nDocs = d.count()
+
+      // near-dedup (MinHash-LSH): banded candidates vs all-pairs
+      val sh = llm.Dedup.shinglesOf(spark, d)
+      val nearCand = llm.Dedup.bandPairs(llm.Dedup.minhashBands(sh)).count()
+
+      // containment (PPJoin prefix filter) over the keyed corpus:
+      // distinct prefix candidates vs the df-blocked all-pairs the
+      // filter replaces (pairs sharing ≥1 shingle)
+      val cc = llm.Dedup.containmentCorpus(spark, dir)
+      val csh = llm.Dedup.shinglesOf(spark, cc).localCheckpoint()
+      val contCand = llm.Dedup.prefixCandidates(csh, 9, 10)
+        .distinct().count()
+      val shareBlocked = csh.select(col("doc_id").as("a"), col("shingle"))
+        .join(csh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct().count()
+
+      // embedding dedup (SRP-LSH): banded candidates vs n·(n−1)/2
+      val e = llm.Similarity.plantedEmbeddings(
+        core.Tables.load(spark, dir, "embeddings"))
+      val nVec = e.count()
+      val cosCand = llm.Similarity.cosineBandCandidates(
+        e, llm.Similarity.DedupBandBits, llm.Similarity.DedupBands).count()
+
+      println(
+        s"""{"dir":"$dir","n_docs":$nDocs,""" +
+          s""""neardup_band_candidates":$nearCand,""" +
+          s""""containment_prefix_candidates":$contCand,""" +
+          s""""containment_sharing_pairs":$shareBlocked,""" +
+          s""""n_vectors":$nVec,"all_pairs":${nVec * (nVec - 1) / 2},""" +
+          s""""cosine_band_candidates":$cosCand}""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-factor amplifier: `runMain graft.ScaleUp
+  * <srcDir> <dstDir> [factor=10]` reads the driver-generated tables at
+  * one scale factor and writes a `factor`× corpus that is
+  * *statistically faithful* — per-capita join fan-outs, duplicate
+  * rates, gate selectivities, and similarity structure all match the
+  * source, so per-query runtime growth measures the ENGINE's scaling,
+  * not an artifact of naive row copying.
+  *
+  * Design: the output is `factor` key-disjoint shards, each an
+  * isomorphic image of the source corpus ("iid scale-up" — exactly
+  * what a 10× crawl looks like statistically). Naive replication
+  * would instead multiply every duplicate cluster by `factor` (pair
+  * counts ×factor², not ×factor) and make every embedding a 10-way
+  * near-duplicate of itself — a quadratic stress test, not a scale
+  * proof. Per table:
+  *
+  *  - fixed dimensions (`region`, `nation`) copy through unchanged,
+  *    as TPC-H itself scales them;
+  *  - fact/dim keys shift by `replica × sourceKeySpan` (dense 0-based
+  *    source keys), preserving referential integrity within a shard;
+  *    `Customer#…`/`Supplier#…` names are re-derived from the new key;
+  *  - `events` keeps its timestamps (window density scales linearly;
+  *    per-user history is shard-local and unchanged);
+  *  - `documents.text` maps every non-stopword token's LAST character
+  *    to a replica-specific consonant. The map is bijective on the
+  *    corpus vocabulary (verified against the driver corpus for all
+  *    nine letters) and LENGTH-PRESERVING, so every Gopher gate
+  *    feature — word count, mean word length, symbol ratio, alpha
+  *    fraction, stopword hits (the 12 stoplist words are untouched),
+  *    `n_chars` — is EXACTLY invariant per shard, while cross-shard
+  *    shingle overlap collapses to the rare all-stopword n-gram
+  *    (measured Jaccard ≲ 0.001, far below every dedup threshold).
+  *    The consonants {b,c,g,h,j,k,m,p,q} are chosen so no mapped
+  *    token can collide with a stoplist word (none ends in them);
+  *  - `embeddings` get a per-(replica, dimension) deterministic sign
+  *    flip: an orthogonal transform, so intra-shard dot products,
+  *    norms, and cluster structure are bit-exact, while cross-shard
+  *    cosines decorrelate to ~N(0, 1/64) — no spurious cross-shard
+  *    near-duplicates. `vec_id` shifts by the DOCUMENT stride because
+  *    `llm_multimodal` joins `doc_id = vec_id`.
+  *
+  * Scale posture: one columnar pass per table, no shuffle (explode is
+  * map-side); at a real 100 TB this is exactly the shape you'd run —
+  * `factor` map tasks per input split, write-partitioned by replica.
+  */
+object ScaleUp {
+  private val Stop = Seq(
+    "the", "a", "of", "and", "el", "la", "de", "y",
+    "der", "die", "das", "und")
+  // replica 1..9 suffix letters; index 0 (identity shard) unused
+  private val Letters = "bcghjkmpq"
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    require(factor >= 1 && factor <= 10,
+      s"factor must be in [1,10] (have ${Letters.length + 1} disjoint shard alphabets), got $factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    // via Tables.load: explicit fail-fast schemas + the ns→µs events
+    // timestamp normalization (the output stores plain µs)
+    def read(t: String) = core.Tables.load(spark, src, t)
+    def write(t: String)(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // replica index column; replica 0 is the untouched source image
+    def amplify(df: DataFrame): DataFrame =
+      df.withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
+    // shard key stride = max(key)+1 of the OWNING table, so shifted key
+    // ranges are disjoint whether or not the source keys are dense
+    def span(t: String, c: String): Long =
+      read(t).agg(max(col(c))).head.getLong(0) + 1L
+    def shift(c: String, stride: Long) =
+      (col(c) + col("r").cast("long") * stride).as(c)
+
+    val nCust = span("customer", "c_custkey")
+    val nSupp = span("supplier", "s_suppkey")
+    val nPart = span("part", "p_partkey")
+    val nOrd = span("orders", "o_orderkey")
+    val nEvt = span("events", "event_id")
+    val nUser = span("events", "user_id")
+    val nDoc = span("documents", "doc_id")
+
+    write("region")(read("region"))
+    write("nation")(read("nation"))
+
+    write("customer")(amplify(read("customer")).select(
+      shift("c_custkey", nCust),
+      format_string("Customer#%09d", col("c_custkey") + col("r") * nCust)
+        .as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+
+    write("supplier")(amplify(read("supplier")).select(
+      shift("s_suppkey", nSupp),
+      format_string("Supplier#%09d", col("s_suppkey") + col("r") * nSupp)
+        .as("s_name"),
+      col("s_nationkey"), col("s_acctbal")))
+
+    write("part")(amplify(read("part")).select(
+      shift("p_partkey", nPart), col("p_name"), col("p_brand"),
+      col("p_type"), col("p_size"), col("p_retailprice")))
+
+    write("orders")(amplify(read("orders")).select(
+      shift("o_orderkey", nOrd), shift("o_custkey", nCust),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")))
+
+    write("lineitem")(amplify(read("lineitem")).select(
+      shift("l_orderkey", nOrd), shift("l_partkey", nPart),
+      shift("l_suppkey", nSupp), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
+
+    write("events")(amplify(read("events")).select(
+      shift("event_id", nEvt), col("ts"), shift("user_id", nUser),
+      col("event_type"), col("value"), col("props")))
+
+    // length-preserving per-shard word map (see scaladoc)
+    val shardText = array_join(
+      transform(split(col("text"), " "), w =>
+        when(col("r") === 0 || w.isin(Stop: _*), w)
+          .otherwise(concat(
+            w.substr(lit(1), length(w) - 1),
+            element_at(lit(Letters.map(_.toString).toArray), col("r"))))),
+      " ")
+    write("documents")(amplify(read("documents")).select(
+      shift("doc_id", nDoc), shardText.as("text"),
+      col("lang"), col("source"), col("n_chars")))
+
+    // orthogonal per-shard transform: deterministic ±1 per (r, dim)
+    write("embeddings")(amplify(read("embeddings")).select(
+      // DOC stride, not the embeddings row count: llm_multimodal joins
+      // doc_id = vec_id and the alignment must survive sharding
+      shift("vec_id", nDoc),
+      transform(col("embedding"), (x, i) =>
+        when(col("r") === 0 ||
+          pmod(xxhash64(lit("graft_shard_sign"), col("r") * 64 + i), lit(2)) === 0, x)
+          .otherwise(-x)).cast("array<float>").as("embedding"),
+      col("label")))
+  }
+}

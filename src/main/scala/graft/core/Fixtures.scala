@@ -22,7 +22,14 @@ object Fixtures {
     * writes into a `<name>.build` sibling; only after it returns is
     * the directory renamed into place (same filesystem → atomic).
     * Stale partials from a previous crash are deleted first. No-op if
-    * the fixture is already complete. */
+    * the fixture is already complete.
+    *
+    * SINGLE-PROCESS atomicity only (r6 advice): two JVMs building the
+    * same fixture can rm each other's staging dir (or a freshly
+    * renamed final dir) mid-build — fine for the current one-driver
+    * test/bench usage, where crash recovery is the threat model. If
+    * multi-process builds ever happen: stage under a per-process
+    * unique temp name and treat rename failure as "someone else won". */
   def buildAtomic(sfDir: String, name: String)(body: String => Unit): Unit = {
     if (exists(sfDir, name)) return
     val fin = new java.io.File(path(sfDir, name))

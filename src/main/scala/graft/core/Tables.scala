@@ -90,10 +90,18 @@ object Tables {
       // leave on: every other table is loaded with an explicit schema,
       // so a ns column can never silently become LongType elsewhere.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+      // the driver's events.parquet stores ns (footer infers LongType
+      // under the legacy conf); [[graft.ScaleUp]] output stores plain
+      // µs TimestampType — probe the footer once and take either path
+      val storedNanos = spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType == LongType
+      if (storedNanos)
+        spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+      else
+        spark.read.schema(events).parquet(s"$sfDir/events.parquet")
     } else {
       spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     }

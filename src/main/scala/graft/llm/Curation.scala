@@ -261,7 +261,7 @@ object Curation {
     * and the end-to-end cascade (`llm_curation_e2e`) so the two can
     * never apply different quality gates. Appends metric + flag +
     * `keep` columns, preserving the input's columns. */
-  private[llm] def gopherFlagsOf(d: DataFrame): DataFrame = {
+  private[graft] def gopherFlagsOf(d: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val nWords = size(toks)
     val meanLen = (col("n_chars") - (nWords - 1)).cast("double") /

@@ -108,23 +108,7 @@ object Dedup {
     // The zero-shuffle alternative (per-row array HOFs, 64×array_min
     // over transform) was measured 30% SLOWER here: 64 intermediate
     // array allocations per row outweigh a combiner-collapsed shuffle.
-    val based = sh.withColumn("_hb", xxhash64(col("shingle")))
-    val sigCols = (0 until NumPerms).map(p =>
-      min(xxhash64(lit(p), col("_hb"))).as(s"h$p"))
-    val sig = based.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-
-    // LSH bands: hash of each 4-signature chunk.
-    val bandCols = (0 until NumPerms / BandRows).map { b =>
-      val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
-      xxhash64((lit(b) +: rows): _*)
-    }
-    // materialize the signature bands once: bandPairsKeyed's x/y
-    // branches and its ranking window would otherwise re-run the
-    // 64-agg signature build per branch (same stored-index note as
-    // cosineBandCandidates)
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-      .localCheckpoint()
+    val bands = minhashBands(sh)
 
     // candidates: docs sharing any band bucket, via the BOUNDED
     // blocked self-join (see bandPairs) — a boilerplate-heavy corpus
@@ -140,6 +124,28 @@ object Dedup {
     val out = verifyJaccard(cand, sh, JaccardThreshold).localCheckpoint()
     sh.unpersist()
     ordered(out)
+  }
+
+  /** (doc_id, band_idx, band_hash) LSH index of a (doc_id, shingle)
+    * set — the signature+banding stage of [[nearDedupPairs]], one
+    * definition shared with [[graft.ScaleStats]]' candidate counting.
+    * localCheckpoint'ed: bandPairsKeyed's x/y branches and its ranking
+    * window would otherwise re-run the 64-agg signature build per
+    * branch (same stored-index note as cosineBandCandidates). */
+  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
+    val based = sh.withColumn("_hb", xxhash64(col("shingle")))
+    val sigCols = (0 until NumPerms).map(p =>
+      min(xxhash64(lit(p), col("_hb"))).as(s"h$p"))
+    val sig = based.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+    // LSH bands: hash of each 4-signature chunk.
+    val bandCols = (0 until NumPerms / BandRows).map { b =>
+      val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
+      xxhash64((lit(b) +: rows): _*)
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      .localCheckpoint()
   }
 
   /** Max docs per block in the blocked band self-join — bounds any
@@ -224,7 +230,11 @@ object Dedup {
     bruteJaccardPairs(spark, docs(spark, dir))
 
   /** Brute pair set over an arbitrary (doc_id, text) frame — the
-    * ground-truth twin of [[nearDedupPairs]] for generated corpora. */
+    * ground-truth twin of [[nearDedupPairs]] for generated corpora.
+    * Verification twin, never the scale path: the production pair
+    * source is the banded [[nearDedupPairs]] (PlanSpec pins its capped
+    * blocked join); this all-pairs join exists so the oracle and the
+    * LSH==brute laws have an exact reference. */
   private[graft] def bruteJaccardPairs(spark: SparkSession, d: DataFrame): DataFrame = {
     // Direct intersection counts from the shingle self-join — one
     // shuffle join + one aggregation. (A pairs→distinct→re-join
@@ -448,15 +458,22 @@ object Dedup {
     * id + 4·10⁸ whose shingles are a strict subset of its source's —
     * containment exactly 1.0, detection guaranteed, derivation pure
     * string arithmetic both engines compute identically. */
-  def containment(spark: SparkSession, dir: String): DataFrame = {
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    ordered(containmentPairs(spark, containmentCorpus(spark, dir),
+      prefixFilter = true))
+
+  /** The keyed query's corpus: documents plus the planted sub-doc
+    * derivatives — one definition shared with [[graft.ScaleStats]]'
+    * candidate counting so stats measure the same input the query
+    * runs on. */
+  private[graft] def containmentCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     val toks = split(col("text"), " ")
     val planted = d.filter(col("doc_id") < 10)
       .select((col("doc_id") + ContainedOffset).as("doc_id"),
         array_join(slice(toks, lit(1), ((size(toks) + 1) / 2).cast("int")), " ")
           .as("text"))
-    ordered(containmentPairs(spark, d.unionByName(planted),
-      prefixFilter = true))
+    d.unionByName(planted)
   }
 
   /** Containment pairs over an arbitrary (doc_id, text) frame.
@@ -473,23 +490,12 @@ object Dedup {
     val thr = thrNum.toDouble / thrDen
     val sh = shinglesOf(spark, d, shingleK).localCheckpoint()
     val cand = (if (prefixFilter) {
-      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-      val byRarity = Window.partitionBy(col("doc_id"))
-        .orderBy(col("_df").asc, col("shingle").asc)
-      val perDoc = Window.partitionBy(col("doc_id"))
-      val pfx = sh.join(dfreq, Seq("shingle"))
-        .withColumn("_rk", row_number().over(byRarity))
-        .withColumn("_n", count(lit(1)).over(perDoc))
-        // prefix length n − ceil(0.9·n) + 1, integer-exact on both engines
-        // (`div`, not `/` — Spark's Column `/` is double division)
-        .filter(col("_rk") <=
-          col("_n") - expr(s"(_n * $thrNum + ${thrDen - 1}) div $thrDen") + 1)
-        .select(col("doc_id").as("_pd"), col("shingle"))
-      pfx.join(sh.select(col("doc_id").as("_fd"), col("shingle")), Seq("shingle"))
-        .filter(col("_pd") =!= col("_fd"))
-        .select(least(col("_pd"), col("_fd")).as("doc_a"),
-          greatest(col("_pd"), col("_fd")).as("doc_b"))
+      prefixCandidates(sh, thrNum, thrDen)
     } else {
+      // verification twin, never the scale path: full shingle
+      // self-join, only reachable with prefixFilter = false (LlmSpec /
+      // PropertySpec equality laws); the keyed query always passes
+      // true, and PlanSpec pins the prefix window in its plan
       sh.select(col("doc_id").as("doc_a"), col("shingle"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
         .filter(col("doc_a") < col("doc_b"))
@@ -497,6 +503,38 @@ object Dedup {
     }).distinct()
 
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    containmentVerify(cand, sh, sz, thr)
+  }
+
+  /** PPJoin-style prefix-filtered candidates of a (doc_id, shingle)
+    * set: each doc's n − ⌈t·n⌉ + 1 RAREST shingles joined against the
+    * full set — recall-lossless by the prefix-filter theorem. One
+    * definition shared by [[containmentPairs]] and
+    * [[graft.ScaleStats]]' candidate counting. Un-distinct'ed. */
+  private[graft] def prefixCandidates(
+      sh: DataFrame, thrNum: Int, thrDen: Int): DataFrame = {
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_df").asc, col("shingle").asc)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val pfx = sh.join(dfreq, Seq("shingle"))
+      .withColumn("_rk", row_number().over(byRarity))
+      .withColumn("_n", count(lit(1)).over(perDoc))
+      // prefix length n − ceil(0.9·n) + 1, integer-exact on both engines
+      // (`div`, not `/` — Spark's Column `/` is double division)
+      .filter(col("_rk") <=
+        col("_n") - expr(s"(_n * $thrNum + ${thrDen - 1}) div $thrDen") + 1)
+      .select(col("doc_id").as("_pd"), col("shingle"))
+    pfx.join(sh.select(col("doc_id").as("_fd"), col("shingle")), Seq("shingle"))
+      .filter(col("_pd") =!= col("_fd"))
+      .select(least(col("_pd"), col("_fd")).as("doc_a"),
+        greatest(col("_pd"), col("_fd")).as("doc_b"))
+  }
+
+  /** Exact-containment verification of a candidate pair list against
+    * the shingle set — only candidates pay the intersection joins. */
+  private def containmentVerify(cand: DataFrame, sh: DataFrame,
+      sz: DataFrame, thr: Double): DataFrame = {
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))

@@ -150,6 +150,15 @@ object Multimodal {
           col("f_min"), col("f_max")))
   }
 
+  /** UNIT COUPLING (r6 advice): this SQL slices frames by CHARACTER
+    * offsets (`substring` + `unicode` code points) while the Scala path
+    * slices the UTF-8 BYTE payload and the frame count divides
+    * `octet_length` (bytes). The two agree iff the corpus is pure
+    * ASCII (byte i == char i, code point == byte value) — an invariant
+    * `llm_multimodal_decode` relies on identically and MultimodalSpec
+    * asserts against the fixture corpus ("corpus is pure ASCII").
+    * A non-ASCII corpus needs both engines re-derived from ONE unit
+    * (e.g. both over the byte array). */
   private val frameSampleSql = {
     val pts = "list_transform(regexp_split_to_array(" +
       "substring(text, CAST(i AS INT) * 64 + 1, 64), ''), x -> unicode(x))"

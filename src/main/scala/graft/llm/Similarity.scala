@@ -55,7 +55,10 @@ object Similarity {
 
   /** Brute-force cosine top-5 for 10 fixed probes. Ranking is on the
     * rounded score with vec_id tiebreak so both engines rank
-    * identically. */
+    * identically. Verification twin of the ANN paths, never the scale
+    * path: this exact scan is the recall baseline `llm_simsearch_lsh`
+    * / `llm_simsearch_ivf` are graded against — at 100 TB you run
+    * those; this one exists so "recall" has a ground truth. */
   def simsearch(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
     // norms computed once per vector (n ops), not once per pair (n*k).
@@ -568,8 +571,8 @@ object Similarity {
         .select(col("id_a"), col("id_b"), col("cos")))
   }
 
-  private val DedupBandBits = 8 // bits per band
-  private val DedupBands = 8    // bands → 64 hyperplanes total
+  private[graft] val DedupBandBits = 8 // bits per band
+  private[graft] val DedupBands = 8    // bands → 64 hyperplanes total
   private val DedupThreshold = 0.9
 
   /** The corpus the keyed LSH dedup query runs on: the real embeddings

@@ -128,20 +128,28 @@ object Aggregates {
       hll_sketch_estimate(hll_sketch_agg(col("c_custkey"))).as("_direct"),
       countDistinct(col("c_custkey")).as("exact_distinct"))
     // Oracle-facing: merge-closeness (union-of-disjoint and the direct
-    // one-level sketch must estimate within 1% of each other — raw HLL
-    // registers max-merge losslessly, but the DataSketches union
-    // gadget re-estimates through a different representation than the
-    // HLL_4 sketches themselves, so estimates match exactly only in
-    // sparse mode; found empirically at 1500 keys) and the estimate's
-    // relative error vs the exact twin ≤ 5× the default-lgK standard
-    // error (~1.6%). Both land as booleans the oracle pins to TRUE — a
-    // broken merge or drifting sketch goes red at the driver gate
-    // instead of hiding behind `no_oracle`.
+    // one-level sketch must estimate within 5% of each other) and the
+    // estimate's relative error vs the exact twin ≤ 5× the default-lgK
+    // standard error (~1.6%). Both land as booleans the oracle pins to
+    // TRUE — a broken merge (double counting = 2× off) goes red at the
+    // driver gate instead of hiding behind `no_oracle`.
+    //
+    // Why 5%, not the 1% this pinned through round 6: below ~k/8
+    // coupons the HLL_4 sketch is still in sparse mode, where union of
+    // disjoint sets is lossless and the two paths agree to <1%
+    // (sf0.001–sf0.1: ≤ 1500 customers/nation). At sf1 (6000/nation,
+    // 150k global) the sketches go DENSE, and the union path
+    // re-estimates through the composite estimator while the direct
+    // sketch keeps its HIP estimator — a legitimate few-SE divergence
+    // (measured at sf1: merged 153040 vs direct 151427, 1.07% apart,
+    // both within 2.1% of the exact 150000), not a merge bug. 5% ≈ 3
+    // combined SEs at lgK=12 keeps the pin scale-stable while still
+    // failing loudly on any real merge defect (double counting = 2×).
     ordered(
       merged.crossJoin(direct)
         .select(col("n_nations"), col("n_rows"), col("exact_distinct"),
           (abs(col("_merged").cast("double") - col("_direct").cast("double")) /
-            col("_direct").cast("double") <= 0.01).as("merge_close"),
+            col("_direct").cast("double") <= 0.05).as("merge_close"),
           (abs(col("_merged").cast("double") -
             col("exact_distinct").cast("double")) /
             col("exact_distinct").cast("double") <= 0.08).as("est_in_bound")))

@@ -60,6 +60,14 @@ object Streaming {
     * fixture at ≥ [[MbSlices]] − 1). */
   @volatile private[graft] var lastBatchId: Long = -1L
 
+  /** Peak state-store row count (sum over state operators, max over
+    * micro-batches) of the most recent [[runToTable]] query, from
+    * `StreamingQueryProgress.stateOperators` — the store's own account
+    * of what it holds, so tests can pin "state is bounded by k/keys,
+    * never by input rows" against the runtime, not the code's claim.
+    * −1 when the run reported no progress. */
+  @volatile private[graft] var lastStateRowsPeak: Long = -1L
+
   /** Bounded streaming read of events. FileStreamSource requires a
     * directory, so we stage the (ns→µs normalized) table into a fixture
     * dir once and stream from there.
@@ -187,6 +195,9 @@ object Streaming {
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     lastBatchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    lastStateRowsPeak = q.recentProgress
+      .map(p => Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
+      .foldLeft(-1L)(math.max)
     spark.table(name)
   }
 
@@ -738,11 +749,17 @@ object Streaming {
     * Final summaries are EXPLODED and probe-joined relationally — no
     * driver collect anywhere. Probes + invariants mirror the batch
     * twin; same oracle shape. */
+  /** Heavy-hitter sharding constants — shared with the StreamingSpec
+    * state-size pin (single-definition rule): state is keyed by shard,
+    * so the store holds exactly ≤ [[HhShards]] rows forever. */
+  private[graft] val HhShards = 8
+  private[graft] val HhK = 32
+
   def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val K = 32
-    val Shards = 8
+    val K = HhK
+    val Shards = HhShards
     val mg = new graft.functions.Udafs.MisraGries(K)
     val keyed = eventsStreamMultiBatch(spark, dir)
       .select(graft.functions.Udafs.HeavyKey.column.as("key"))

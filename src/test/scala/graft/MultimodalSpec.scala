@@ -38,6 +38,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() === docs.count())
   }
 
+  test("corpus is pure ASCII — the unit invariant the frame/decode oracles slice by") {
+    // frameSampleSql addresses frames by CHARACTER offset while the
+    // Scala path slices UTF-8 BYTES (its n_frames divides octet_length);
+    // they agree iff every character is ASCII. Assert it directly so a
+    // future non-ASCII corpus fails HERE with the reason, not as an
+    // opaque oracle hash mismatch. (r6 advice)
+    val docs = core.Tables.load(spark, Sf, "documents")
+    val nonAscii = docs
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii === 0,
+      s"$nonAscii docs contain multi-byte chars — char-offset SQL and " +
+        "byte-offset Scala frame boundaries would diverge")
+  }
+
   test("frame sampling: stride-2 frame set per doc, short docs drop, stats coherent") {
     val out = llm.Multimodal.frameSample(spark, Sf)
     val docs = core.Tables.load(spark, Sf, "documents")

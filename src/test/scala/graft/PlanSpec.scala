@@ -317,6 +317,81 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), s"spine should be generated:\n$p")
   }
 
+  // ——— expensive-tail pins (r6 verdict task #3): the top cost centers
+  // each carry the one plan property that makes their cost linear-ish,
+  // asserted so a naive respelling fails here before it ships ———
+
+  test("llm_containment: candidates come from the ranked PREFIX, never a full shingle self-join") {
+    val p = plan("llm_containment")
+    // the prefix filter's signature is the rarity-ranking window
+    // (row_number over df ASC) feeding the candidate join; the brute
+    // respelling (containmentPairs(prefixFilter = false)) has no
+    // window at all — it joins the FULL shingle set to itself, m² rows
+    // per shared shingle, the 100 TB outage shape
+    assert(p.matches("(?s).*Window \\[row_number\\(\\).*"),
+      s"prefix-rarity ranking window missing — full self-join?:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay equi-join shaped:\n$p")
+  }
+
+  test("join_range: user_id stays the hash key — the range predicate rides as residual") {
+    val p = plan("join_range")
+    // the equi component is what keeps this a hash/merge join; losing
+    // it (e.g. spelling the condition as pure range) plans a nested
+    // loop over events×events
+    assert(p.matches("(?s).*Join \\[user_id#\\d+L?\\], \\[uid2#\\d+L?\\],.*"),
+      s"user_id must be the join's equi key:\n$p")
+  }
+
+  test("llm_near_dedup: band join is the CAPPED blocked shape (block ids in the join key)") {
+    // the keyed query's final plan starts at the post-localCheckpoint
+    // Scan ExistingRDD, so pin the candidate STAGE itself — the same
+    // single definitions (minhashBands → bandPairsKeyed) the keyed
+    // query composes, per the single-definition rule
+    val stage = llm.Dedup.bandPairsKeyed(
+      llm.Dedup.minhashBands(llm.Dedup.shingles(spark, Sf)))
+    val p = stage.queryExecution.executedPlan.toString
+    // bandPairsKeyed joins on (band_idx, band_hash, _gx, _gy) — the
+    // block components bound any single join group at Cap² rows. A
+    // naive respelling joins on (band_idx, band_hash) alone and hands
+    // one hot boilerplate bucket O(m²) rows in a single group that
+    // AQE cannot split (the skew is within one key)
+    assert(p.matches(
+      "(?s).*Join \\[band_idx#\\d+, band_hash#\\d+L?, _gx#\\d+L?, _gy#\\d+L?\\],.*"),
+      s"block ids _gx/_gy missing from the band join key:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph_triangles: wedge closure is equi-joined; nested loops only for the 1-row scalars") {
+    val p = plan("graph_triangles")
+    // wedges: e1.b = e2.a (1-key join); closure: e3 probed on BOTH
+    // endpoints (2-key join). Either degrading to a nested loop is the
+    // Θ(V²) shape. The only BNLJs allowed are the Cross combines of
+    // the three 1-row count scalars (the broadcast(1-row agg) pattern
+    // ScanGuardRule budget-checks).
+    assert(p.matches("(?s).*Join \\[b#\\d+L?\\], \\[a#\\d+L?\\],.*"),
+      s"wedge join lost its equi key:\n$p")
+    assert(p.matches("(?s).*Join \\[a#\\d+L?, b#\\d+L?\\], \\[a#\\d+L?, b#\\d+L?\\],.*"),
+      s"closure join must probe both endpoints:\n$p")
+    val badNlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(_.contains("Cross"))
+    assert(badNlj.isEmpty,
+      s"non-scalar nested loop in the wedge path:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("llm_bpe_pairs: pair count combines map-side; one shuffle total") {
+    val p = plan("llm_bpe_pairs")
+    // the at-scale work is the count — partial aggregation means the
+    // exchange carries one row per distinct pair per mapper (~26²
+    // keys), not one row per corpus character pair
+    assert(p.contains("partial_count"),
+      s"pair count must combine map-side:\n$p")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nHash === 1, s"expected exactly the final-agg shuffle, got $nHash:\n$p")
+  }
+
   test("llm_cosine_dedup_lsh verifies candidates via equi-joins, never a nested loop") {
     // the whole point of the LSH path: the exact-cosine verify joins a
     // bounded candidate list by id — a BroadcastNestedLoopJoin here

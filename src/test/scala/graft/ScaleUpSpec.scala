@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sf1 scale proof rests on [[ScaleUp]] producing a *statistically
+  * faithful* amplification — these asserts pin the invariants the
+  * BASELINE.md sf1 section quotes: exact per-shard gate invariance,
+  * referential integrity, isomorphic duplicate structure, decorrelated
+  * cross-shard similarity. Each would fail under naive row copying. */
+class ScaleUpSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val factor = 3
+  private lazy val out: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scaleup").toString
+    ScaleUp.run(spark, TestSpark.Sf, dir, factor)
+    dir
+  }
+  private def src(t: String) = core.Tables.load(spark, TestSpark.Sf, t)
+  private def dst(t: String) = core.Tables.load(spark, out, t)
+
+  test("row counts scale by the factor; fixed dims copy through") {
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+                  "events", "documents", "embeddings"))
+      assert(dst(t).count() === src(t).count() * factor, t)
+    for (t <- Seq("region", "nation"))
+      assert(dst(t).count() === src(t).count(), t)
+  }
+
+  test("keys stay unique and referential integrity holds per shard") {
+    assert(dst("orders").select("o_orderkey").distinct.count() ===
+      dst("orders").count())
+    assert(dst("documents").select("doc_id").distinct.count() ===
+      dst("documents").count())
+    // every lineitem FK resolves (inner join loses no rows)
+    val li = dst("lineitem")
+    assert(li.join(dst("orders"), li("l_orderkey") === col("o_orderkey"))
+      .count() === li.count())
+    assert(li.join(dst("part"), li("l_partkey") === col("p_partkey"))
+      .count() === li.count())
+    assert(li.join(dst("supplier"), li("l_suppkey") === col("s_suppkey"))
+      .count() === li.count())
+    assert(dst("orders").join(dst("customer"),
+      col("o_custkey") === col("c_custkey")).count() === dst("orders").count())
+  }
+
+  test("documents–embeddings id alignment survives sharding") {
+    assert(
+      dst("documents").join(dst("embeddings"),
+        col("doc_id") === col("vec_id")).count() ===
+        src("documents").join(src("embeddings"),
+          col("doc_id") === col("vec_id")).count() * factor)
+  }
+
+  test("every Gopher gate feature is EXACTLY invariant per shard") {
+    // the word map is length-preserving and stopword-transparent, so
+    // each shard's gate metric multiset equals the source's exactly
+    val srcM = llm.Curation.gopherFlagsOf(src("documents"))
+      .groupBy("n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+        "n_stopwords", "keep").count()
+    val dstM = llm.Curation.gopherFlagsOf(dst("documents"))
+      .groupBy("n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+        "n_stopwords", "keep").count()
+      .withColumn("count", (col("count") / factor).cast("long"))
+    assert(srcM.exceptAll(dstM).isEmpty && dstM.exceptAll(srcM).isEmpty,
+      "gate metric distribution drifted under amplification")
+    // n_chars stays consistent with the rewritten text
+    assert(dst("documents").filter(col("n_chars") =!= length(col("text")))
+      .count() === 0)
+  }
+
+  test("duplicate structure is isomorphic: exact-dup count scales linearly") {
+    def dups(df: org.apache.spark.sql.DataFrame) =
+      df.count() - df.select("text").distinct.count()
+    assert(dups(dst("documents")) === dups(src("documents")) * factor,
+      "cross-shard text collisions (or lost intra-shard dups)")
+  }
+
+  test("embedding sign-flip preserves norms exactly, decorrelates shards") {
+    val nDoc = src("documents").agg(max("doc_id")).head.getLong(0) + 1
+    val nrm = aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)
+    val srcNorms = src("embeddings").select(col("vec_id"), nrm.as("n2"))
+    val dstNorms = dst("embeddings")
+      .select(pmod(col("vec_id"), lit(nDoc)).as("vec_id"), nrm.as("n2"))
+    // per-source-vector: every shard copy has the identical norm
+    assert(dstNorms.distinct().count() === srcNorms.distinct().count())
+    // cross-shard cosine of the SAME source vector ~ random, not ~1:
+    // shard 1's copy of vector v against shard 0's original
+    val v0 = src("embeddings").orderBy("vec_id").limit(8)
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    val v1 = dst("embeddings")
+      .filter(col("vec_id") >= nDoc && col("vec_id") < nDoc + 8)
+      .orderBy("vec_id").limit(8)
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    for ((a, b) <- v0.zip(v1)) {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      val cos = dot / (na * nb)
+      assert(math.abs(cos) < 0.7,
+        f"shard copy still correlated with its source (cos=$cos%.3f)")
+      assert(math.abs(na - nb) < 1e-6, "norm not preserved")
+    }
+  }
+
+  test("cross-shard text similarity is negligible (no spurious near-dups)") {
+    // a doc vs its shard-1 image: shared 3-shingles can only be
+    // all-stopword trigrams — Jaccard must sit far below any threshold
+    val d0 = src("documents").orderBy("doc_id").limit(16)
+      .collect().map(r => r.getString(1))
+    val nDoc = src("documents").agg(max("doc_id")).head.getLong(0) + 1
+    val d1 = dst("documents")
+      .filter(col("doc_id") >= nDoc && col("doc_id") < nDoc + 16)
+      .orderBy("doc_id").collect().map(r => r.getString(1))
+    def shingles(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    for ((a, b) <- d0.zip(d1)) {
+      val (sa, sb) = (shingles(a), shingles(b))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size.max(1)
+      assert(j < 0.1, f"cross-shard Jaccard $j%.3f too high")
+    }
+  }
+}

@@ -139,6 +139,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); spark.catalog.dropTempView(name) }
   }
 
+  // ——— state-size pins (r6 verdict task #4): the fixed-state claims,
+  // asserted from StreamingQueryProgress.stateOperators — the store's
+  // own row accounting — so an unbounded-state respelling (exact
+  // counter map, per-key grouping, no watermark eviction) fails here ———
+
+  test("stream_heavy_hitters: state store holds ≤ Shards rows, never the key universe") {
+    val n = core.Tables.load(spark, TestSpark.Sf, "events").count()
+    stream.Streaming.streamHeavyHitters(spark, TestSpark.Sf).collect()
+    val peak = stream.Streaming.lastStateRowsPeak
+    assert(peak >= 1 && peak <= stream.Streaming.HhShards,
+      s"MG state must be one row per shard (≤${stream.Streaming.HhShards}), got $peak")
+    assert(peak < n, s"state ($peak) grew with input ($n rows)")
+  }
+
+  test("stream_tws: state rows = distinct keys, not input rows") {
+    val ev = core.Tables.load(spark, TestSpark.Sf, "events")
+    val nRows = ev.count()
+    val nKeys = ev.select("user_id").distinct().count()
+    stream.Streaming.tws(spark, TestSpark.Sf).collect()
+    val peak = stream.Streaming.lastStateRowsPeak
+    assert(peak >= 1 && peak <= nKeys,
+      s"per-key ValueState must hold ≤ $nKeys rows, got $peak")
+    assert(peak < nRows, s"state ($peak) grew with input ($nRows rows)")
+  }
+
+  test("stream_dedup: state rows ≤ distinct ids — re-deliveries share one state row") {
+    val ev = core.Tables.load(spark, TestSpark.Sf, "events")
+    val nIds = ev.select("event_id").distinct().count()
+    stream.Streaming.dedup(spark, TestSpark.Sf).collect()
+    val peak = stream.Streaming.lastStateRowsPeak
+    // input is the table UNIONed with itself (2·nIds rows); the dedup
+    // store keys by event_id, so even before watermark eviction it can
+    // never exceed nIds — an exact-history respelling would hold 2·nIds
+    assert(peak >= 1 && peak <= nIds,
+      s"dedup state must be ≤ $nIds (one row per id), got $peak")
+  }
+
   test("foreachBatch sink appends once per micro-batch and reruns are idempotent") {
     val first = stream.Streaming.foreachBatchSink(spark, TestSpark.Sf).collect().toSeq
     assert(stream.Streaming.lastBatchId >= stream.Streaming.MbSlices - 1,
