@@ -48,12 +48,22 @@ object ScaleStats {
         .filter(col("a") < col("b"))
         .select(col("a"), col("b")).distinct().count()
 
-      // embedding dedup (SRP-LSH): banded candidates vs n·(n−1)/2
+      // embedding dedup (SRP-LSH): banded candidates vs n·(n−1)/2 —
+      // at FIXED 8-bit depth (the quadratic-in-disguise regime: a
+      // constant fraction of all pairs collide by chance) and at the
+      // keyed query's adaptive log₂(n) depth (occupancy-constant →
+      // candidates track true near-dups, linear). Same definitions
+      // the keyed query runs.
       val e = llm.Similarity.plantedEmbeddings(
         core.Tables.load(spark, dir, "embeddings"))
       val nVec = e.count()
-      val cosCand = llm.Similarity.cosineBandCandidates(
+      val adaptiveBits = llm.Similarity.srpBitsFor(nVec)
+      val cosCandFixed = llm.Similarity.cosineBandCandidates(
         e, llm.Similarity.DedupBandBits, llm.Similarity.DedupBands).count()
+      val cosCandAdaptive =
+        if (adaptiveBits == llm.Similarity.DedupBandBits) cosCandFixed
+        else llm.Similarity.cosineBandCandidates(
+          e, adaptiveBits, llm.Similarity.DedupBands).count()
 
       println(
         s"""{"dir":"$dir","n_docs":$nDocs,""" +
@@ -61,7 +71,9 @@ object ScaleStats {
           s""""containment_prefix_candidates":$contCand,""" +
           s""""containment_sharing_pairs":$shareBlocked,""" +
           s""""n_vectors":$nVec,"all_pairs":${nVec * (nVec - 1) / 2},""" +
-          s""""cosine_band_candidates":$cosCand}""")
+          s""""cosine_band_candidates_fixed8":$cosCandFixed,""" +
+          s""""srp_bits_adaptive":$adaptiveBits,""" +
+          s""""cosine_band_candidates_adaptive":$cosCandAdaptive}""")
     }
     spark.stop()
   }

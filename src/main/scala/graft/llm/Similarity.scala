@@ -626,15 +626,48 @@ object Similarity {
     val nPairs = nRows * (nRows - 1) / 2
     // materialize the (tiny) candidate set once: the selectivity count
     // and the verify join read the same blocks
-    val cand = cosineBandCandidates(e, DedupBandBits, DedupBands)
+    val cand = cosineBandCandidates(e, srpBitsFor(nRows), DedupBands)
       .localCheckpoint()
     cosineVerify(e, cand, DedupThreshold)
       .withColumn("cand_frac_lt_20pct",
         lit(cand.count().toDouble < 0.2 * nPairs))
   }
 
+  /** Target band-bucket occupancy for the adaptive depth rule. */
+  private[graft] val SrpTargetBucket = 4
+
+  /** Scale-adaptive band depth: bits = max(8, ⌈log₂(n / 4)⌉), i.e.
+    * 2^bits buckets per band ≈ n/4 so expected bucket occupancy stays
+    * ~constant as the corpus grows. Why this matters — FIXED-depth SRP
+    * banding is O(n²) in disguise: random (near-orthogonal) vectors
+    * land in a shared 8-bit bucket with p ≈ 2⁻⁸ per band, so
+    * candidates ≈ bands·n²/2⁹ — a constant FRACTION of all pairs, not
+    * a bounded set. Measured by [[graft.ScaleStats]]: 77 k candidates
+    * at sf0.1 → 7.37 M at sf1 (95.6× for 10× vectors, exactly the n²
+    * slope). With depth growing log₂(n), occupancy — and with it the
+    * random-collision candidate mass — stays flat, so candidates track
+    * the TRUE near-dup count (linear). Recall on the pinned families
+    * stays deterministic-exact far beyond any shipped SF: a planted
+    * pair at θ ≈ 2.9° flips a plane with p = θ/π ≈ 0.016, so at even
+    * 16-bit bands P[a band breaks] = 1 − 0.984¹⁶ ≈ 0.23 and P[all 8
+    * break] ≈ 0.23⁸ ≈ 8·10⁻⁶ — and the planes are deterministic, so
+    * the shipped SFs' empirical 100 % recall is reproducible, pinned
+    * by the oracle hash-match at every SF. (At the 0.9 THRESHOLD
+    * boundary (θ = 26°) deeper bands do trade recall — the classic
+    * (b, r) tradeoff; production tuning would grow `bands` ∝ p₁^−bits
+    * alongside. The planted corpus pins the ≥ 0.9987 regime.) */
+  private[graft] def srpBitsFor(n: Long): Int =
+    math.max(DedupBandBits,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, (n - 1) / SrpTargetBucket)))
+
   /** Band-bucket candidate pairs (id_a < id_b) from banded SRP
-    * signatures. Exposed for selectivity assertions in LlmSpec. */
+    * signatures, via the same CAPPED blocked self-join as MinHash-LSH
+    * ([[Dedup.bandPairsKeyed]] — one definition for both modalities):
+    * a hot bucket (duplicate-family pileup, or the all-zeros bucket a
+    * degenerate embedding batch hashes to) becomes ~(m/64)²
+    * independent join keys instead of one m² join group no AQE split
+    * can divide. Exposed for selectivity assertions in LlmSpec. */
   private[graft] def cosineBandCandidates(
       e0: DataFrame, bits: Int, bands: Int): DataFrame = {
     val bandsOf = srpBands(bits, bands)
@@ -643,15 +676,11 @@ object Similarity {
     // the candidate stage (measured 3.3s -> 1.8s at sf0.1). At scale
     // this is exactly the stored-LSH-index economics: band once,
     // join against the stored bands.
-    val banded = e0.select(col("vec_id"),
-      posexplode(bandsOf(col("embedding"))).as(Seq("band_idx", "bucket")))
+    val banded = e0.select(col("vec_id").as("doc_id"),
+      posexplode(bandsOf(col("embedding"))).as(Seq("band_idx", "band_hash")))
       .localCheckpoint()
-    banded.as("x").join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
+    Dedup.bandPairs(banded)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
   }
 
   private[graft] def cosineDedupLshImpl(
