@@ -38,7 +38,8 @@ def load_history(sf_substr):
 # Everything Bench prints besides per-query timings; used to split a
 # salvaged key:number soup into metadata vs queries.
 META_KEYS = {"value", "first_stream_init", "passes", "load_avg_start",
-             "load_avg_end", "cpus", "canary_sec", "cpu_mhz",
+             "load_avg_end", "cpus", "canary_sec", "canary_par_sec",
+             "steal_pct", "boot_epoch", "cpu_mhz",
              "settled_sec", "contended", "n", "rc", "sf"}
 
 
@@ -149,13 +150,35 @@ def main():
                 print(f"REFUSED: {msg} (override with --allow-contended)")
                 sys.exit(2)
 
+    # Host identity: two artifacts with different boot epochs are
+    # different VM instances. Measured (r7): same-spec instances with
+    # indistinguishable solo canaries differ ~1.5x on Spark throughput,
+    # so a cross-instance comparison is advisory at best — say so.
+    ob, nb = old.get("boot_epoch"), new.get("boot_epoch")
+    if ob is not None and nb is not None and ob > 0 and nb > 0 and ob != nb:
+        print("warning: runs are from DIFFERENT VM instances "
+              f"(boot epochs {int(ob)} vs {int(nb)}) - same-spec instances "
+              "have measured ~1.5x apart at identical canaries; treat "
+              "ratios as advisory")
+    for label, e in ((olabel, old), (nlabel, new)):
+        sp = e.get("steal_pct")
+        if sp is not None and sp > 2:
+            print(f"warning: {label} ran at {sp:.1f}% hypervisor steal")
+
     # canary normalization: a query 2x slower at a 2x-slower canary is
-    # machine drift, not code. If EITHER side lacks a canary, disable
-    # normalization entirely — substituting 1.0s for a ~0.2s canary
-    # would skew every ratio ~5x in one direction. `is not None`, not
-    # truthiness: a (theoretical) 0.0 canary must not silently fall
-    # back to raw comparison.
-    oc, nc = old.get("canary_sec"), new.get("canary_sec")
+    # machine drift, not code. Prefer the PARALLEL canary when both
+    # runs carry it — Spark queries run cpus-wide, and host effects
+    # that only bind under concurrency are invisible to the solo
+    # canary. If EITHER side lacks a canary, disable normalization
+    # entirely — substituting 1.0s for a ~0.2s canary would skew every
+    # ratio ~5x in one direction. `is not None`, not truthiness: a
+    # (theoretical) 0.0 canary must not silently fall back to raw
+    # comparison.
+    oc, nc = old.get("canary_par_sec"), new.get("canary_par_sec")
+    which = "par"
+    if oc is None or nc is None:
+        oc, nc = old.get("canary_sec"), new.get("canary_sec")
+        which = "solo"
     if oc is not None and nc is not None and nc > 0:
         scale = oc / nc
     else:
@@ -167,7 +190,7 @@ def main():
           f"load={old.get('load_avg_start')} canary={old.get('canary_sec')}")
     print(f"new {nlabel}: total={new['value']:.1f}s "
           f"load={new.get('load_avg_start')} canary={new.get('canary_sec')}"
-          f"  (canary scale {scale:.2f})")
+          f"  ({which}-canary scale {scale:.2f})")
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     if added:

@@ -40,6 +40,43 @@ object Bench {
     }
     def canaryMin3(): Double = { canaryRep(); (1 to 3).map(_ => canaryRep()).min }
 
+    // Parallel canary (r7): `cpus` concurrent copies of the same fixed
+    // work, reported as the WALL time of the slowest thread's min-of-3.
+    // Why a second canary: the r7 session measured two same-day VM
+    // instances with INDISTINGUISHABLE single-thread canaries
+    // (0.168–0.182 s) whose Spark throughput differed ~1.5× — a
+    // single-thread probe cannot see host-level effects that only bind
+    // under concurrency (scheduler placement, SMT siblings, cache/
+    // memory-bus sharing). A drifted par-canary at a clean solo canary
+    // says "different host behavior under load", which is exactly the
+    // regime every Spark query runs in. benchdiff prefers this for
+    // normalization when both runs carry it.
+    def canaryPar(n: Int): Double = {
+      val times = new Array[Double](n)
+      val ts = (0 until n).map { i =>
+        new Thread(() => { times(i) = canaryMin3() })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      times.max
+    }
+
+    // Host-window identity (r7): steal time over the measurement window
+    // and the VM boot epoch. Two artifacts with different boot epochs
+    // are different VM instances — their absolute totals are not
+    // comparable even at identical canaries (measured: ~1.5× Spark
+    // drift across same-spec instances, all probes clean).
+    def procStat(): Array[Long] = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+    } catch { case _: Throwable => Array.empty[Long] }
+    val bootEpoch: Long = try {
+      val up = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/uptime"))
+        .split(" ")(0).toDouble
+      System.currentTimeMillis() / 1000 - up.toLong
+    } catch { case _: Throwable => -1L }
+    val statStart = procStat()
+
     // Self-gating contention check (r6 verdict task #1: TWICE the
     // committed artifact was the day's most contended run, despite a
     // loadavg-only settle loop — loadavg lags and never measured what
@@ -77,6 +114,9 @@ object Bench {
     val contended = canarySec > canaryBound || loadStart > settleThreshold
     if (contended) System.err.println(
       f"[bench] STILL contended after ${settledSec}s — artifact will carry contended:true")
+    // measured once, post-settle, pre-Spark (its own threads would
+    // otherwise contend with executor threads)
+    val canaryParSec = canaryPar(cpus.toInt)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -165,7 +205,18 @@ object Bench {
       "\"" + esc(k) + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
     val total = best.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended}"""
+    // steal% across the whole measurement window (field 8 of the
+    // aggregate cpu line) — hypervisor-level contention that loadavg
+    // and the canaries cannot see
+    val stealPct = {
+      val a = statStart; val b = procStat()
+      if (a.length >= 8 && b.length >= 8) {
+        val d = a.indices.map(i => b(i) - a(i))
+        val tot = d.sum.toDouble
+        if (tot > 0) 100.0 * d(7) / tot else -1.0
+      } else -1.0
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended}"""
     println(line)
     // Self-contained artifact: the driver captures a stdout TAIL, and
     // BENCH_r01–r03 all truncated mid-map, losing per-query timings and
