@@ -170,9 +170,13 @@ object Udafs {
     * of input size. Output is rounded downstream (float-sum order is
     * partition-dependent; round(·,6) absorbs the ~1e-13 noise). */
   class VecMean(dim: Int)
-      extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+      extends Aggregator[Array[Float], (Array[Double], Long), Seq[Double]] {
+    // IN is Array[Float], not Seq[Float]: a Seq input deserializes to
+    // an immutable List, making v(i) in reduce an O(i) pointer chase
+    // per element (same trap as the SRP banding UDF — see
+    // llm/Similarity.scala srpBands).
     override def zero: (Array[Double], Long) = (Array.fill(dim)(0.0), 0L)
-    override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
       var i = 0
       while (i < dim && i < v.length) { b._1(i) += v(i); i += 1 }
       (b._1, b._2 + 1)

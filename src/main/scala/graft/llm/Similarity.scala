@@ -108,12 +108,20 @@ object Similarity {
   /** UDF computing the banded SRP signature of a vector: `bands` band
     * buckets, each the sign pattern of `bits` hyperplanes. Shared by
     * the ANN search and the embedding-dedup paths — banding (match on
-    * ANY band = OR-amplification) is what tunes recall vs pruning. */
+    * ANY band = OR-amplification) is what tunes recall vs pruning.
+    *
+    * The argument MUST be `Array[Float]`, not `Seq[Float]`: Spark's
+    * encoder-based UDF deserialization materializes a Seq parameter as
+    * an immutable List, making `v(i)` an O(i) pointer chase — this
+    * inner loop became O(bits·bands·dim²) list hops, measured 26 s for
+    * 20 k rows at sf1 vs 0.3 s with the primitive-array fast path
+    * (~80×). An Array[Float] parameter deserializes via
+    * `ArrayData.toFloatArray` — one copy, zero boxing. */
   private def srpBands(bits: Int, bands: Int) = {
     val nPlanes = bits * bands
     val planes: Array[Array[Double]] =
       Array.tabulate(nPlanes, 64)((p, i) => planeComponent(p, i))
-    udf { (v: Seq[Float]) =>
+    udf { (v: Array[Float]) =>
       val out = new Array[Int](bands)
       var p = 0
       while (p < nPlanes) {
@@ -405,7 +413,7 @@ object Similarity {
   /** Argmax-dot cluster assignment against unit centroids (|v| is
     * constant per row, so max dot = max cosine); ties resolve to the
     * lowest centroid id. */
-  private def nearestCentroid(cents: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+  private def nearestCentroid(cents: Array[Array[Double]]) = udf { (v: Array[Float]) =>
     var best = 0
     var bestDot = Double.NegativeInfinity
     var c = 0
@@ -423,7 +431,7 @@ object Similarity {
   /** Top-`nProbe` nearest centroid ids for a query vector (dot desc,
     * centroid id asc on ties). */
   private def nearestCentroids(cents: Array[Array[Double]], nProbe: Int) =
-    udf { (v: Seq[Float]) =>
+    udf { (v: Array[Float]) =>
       cents.indices.map { c =>
         val cent = cents(c)
         var s = 0.0
