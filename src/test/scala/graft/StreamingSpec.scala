@@ -283,4 +283,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(nulls.filter(col("p_us") >= wmUs - 3600L * 1000000L).count() === 0,
       "a null row emitted at/above the watermark")
   }
+
+  test("RocksDB state store reproduces the default provider across all state machineries") {
+    // The 100 TB state answer: HDFSBackedStateStoreProvider holds every
+    // store's working set on the executor HEAP — at production key
+    // cardinalities that is the streaming OOM shape, and the fix is the
+    // spill-to-disk RocksDB provider. `stream_tws` already runs on it
+    // (transformWithState requires it); this pins the rest of the
+    // state-machinery zoo — windowed agg, dropDuplicates, symmetric
+    // hash stream-stream join, session-window merge — byte-identical
+    // under a provider swap, so the operators' semantics carry no
+    // hidden dependency on the default store's in-heap behavior.
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    // conf honored per-query: an unloadable provider must fail the
+    // query, so a green RocksDB run below cannot be a silent fallback
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "graft.no.such.Provider")
+    try {
+      intercept[Exception] {
+        stream.Streaming.tumbling(spark, TestSpark.Sf).collect()
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    for (key <- Seq("stream_tumbling", "stream_dedup", "stream_join",
+        "stream_session")) {
+      val run = SparkEntry.queries(key)
+      val base = run(spark, TestSpark.Sf).collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
+      val swapped = try run(spark, TestSpark.Sf).collect().map(_.toString).sorted
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      assert(swapped === base, s"$key diverged under RocksDB")
+    }
+  }
 }
