@@ -532,4 +532,29 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  // ------------------------------------------------- adaptive SRP depth
+
+  test("property: srpBitsFor keeps band-bucket occupancy constant at any corpus size") {
+    // The scale contract behind the r7 cosine-LSH fix: fixed-depth SRP
+    // banding is O(n²) in disguise (random pairs collide at a constant
+    // per-band rate), so band depth must grow with log₂(n). The law:
+    // expected occupancy n / 2^bits stays within a constant window —
+    // [target/2, target] once past the 8-bit floor — for ANY corpus
+    // size, the invariant that makes random-collision candidate mass
+    // O(n) instead of O(n²). Pure function, so the law covers the full
+    // long range no fixture ever could.
+    import graft.llm.Similarity.{srpBitsFor, SrpTargetBucket, DedupBandBits}
+    check("srp-bits-occupancy", Prop.forAllNoShrink(
+      Gen.choose(1L, 1L << 50)) { n =>
+      val bits = srpBitsFor(n)
+      val buckets = math.pow(2.0, bits)
+      val occ = n / buckets
+      val floorRegime = n <= (SrpTargetBucket.toLong << DedupBandBits)
+      bits >= DedupBandBits &&
+        bits <= 62 &&
+        (floorRegime || (occ > SrpTargetBucket / 2.0 && occ <= SrpTargetBucket)) &&
+        srpBitsFor(n + 1) >= bits // monotone: more docs never shallower bands
+    }, cases = 200)
+  }
 }
