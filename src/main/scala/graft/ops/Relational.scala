@@ -194,17 +194,28 @@ object Relational {
     * join — NOT the BroadcastNestedLoopJoin a residual-only predicate
     * would force (pinned in PlanSpec). At 100 TB the caveat is skew:
     * a mostly-NULL key column makes NULL the hottest bucket of a
-    * shuffled `<=>` join; broadcast the dim side (as here) or split
-    * the NULL stripe out and union. */
+    * shuffled `<=>` join; broadcast the dim side or split the NULL
+    * stripe out and union.
+    *
+    * The pair COUNT itself never materializes the many-to-many join:
+    * with only the join key in scope, COUNT(*) per key factorizes into
+    * count_left(key) × count_right(key), so each side pre-aggregates
+    * (map-side partial, one row per key) and the `<=>` join runs on
+    * the TINY aggregates. Catalyst does not push aggregates through
+    * joins on its own — the sf1 bench caught the naive shape growing
+    * 16× for 10× data (|bucket|² pair rows materialized just to be
+    * counted); this shape grows with the KEY cardinality, not the
+    * pair count. */
   def joinNullsafe(spark: SparkSession, dir: String): DataFrame = {
-    val cust = t(spark, dir, "customer")
+    val custN = t(spark, dir, "customer")
       .select(expr("nullif(c_nationkey % 5, 0)").as("ck"))
-    val supp = t(spark, dir, "supplier")
+      .groupBy(col("ck")).agg(count(lit(1)).as("nc"))
+    val suppN = t(spark, dir, "supplier")
       .select(expr("nullif(s_nationkey % 5, 0)").as("sk"))
+      .groupBy(col("sk")).agg(count(lit(1)).as("ns"))
     ordered(
-      cust.join(broadcast(supp), col("ck") <=> col("sk"))
-        .groupBy(col("ck"))
-        .agg(count(lit(1)).as("n_pairs")))
+      custN.join(broadcast(suppN), col("ck") <=> col("sk"))
+        .select(col("ck"), (col("nc") * col("ns")).as("n_pairs")))
   }
 
   private val joinNullsafeSql =
