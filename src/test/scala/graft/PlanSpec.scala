@@ -69,6 +69,21 @@ class PlanSpec extends AnyFunSuite {
       s"null-safe equality degraded to a non-equi join:\n$p")
   }
 
+  test("join_nullsafe: COUNT factorizes BELOW the join — pairs are never materialized") {
+    // The sf1 bench caught the naive spelling (join-then-count) growing
+    // 16x for 10x data: it materializes |bucket_l|x|bucket_r| rows just
+    // to count them. The fixed shape pre-aggregates each side, so in
+    // tree print order the join is the TOPMOST of the three (parents
+    // print first): a respelling with any aggregate above the join
+    // flips the order and fails here.
+    val p = plan("join_nullsafe")
+    val join = p.indexOf("BroadcastHashJoin")
+    val agg = p.indexOf("HashAggregate")
+    assert(join >= 0 && agg >= 0, s"expected hash join over hash aggregates:\n$p")
+    assert(join < agg,
+      s"aggregate sits ABOVE the <=> join — pair rows are being materialized:\n$p")
+  }
+
   test("llm_frame_sample: the frame explode is shuffle-free (no hash exchange)") {
     // the only exchange allowed is the final presentation sort's range
     // partitioning (the `ordered` wrapper); the decode/explode path
