@@ -842,14 +842,55 @@ object Similarity {
     * — never a cross product; within-cluster quadratic cost is the
     * knob k controls (more centroids → smaller cells), and a skewed
     * cell splits by sub-partitioning the partitioner (exactly how the
-    * MinHash band join bounds its buckets). */
+    * MinHash band join bounds its buckets). k is ADAPTIVE, same law as
+    * [[srpBitsFor]]: a FIXED plane count makes within-cell pairs
+    * n²/2^bits — a latent quadratic the sf1 bench surfaced (25M pair
+    * rows at 4 planes; ~2.5B at sf10). The cell id is the top `bits`
+    * of a fixed 16-plane sign code with bits the smallest in [4,16]
+    * keeping expected cell size ≤ [[SemTargetCell]] — an integer
+    * CASE ladder over exact thresholds (NOT ceil(log2(…)): IEEE log2
+    * rounds differently across engines at exact powers of two), built
+    * once by [[semCidSql]] and consumed verbatim by BOTH engines, with
+    * the corpus count riding the broadcast-1-row audit-scalar pattern.
+    * Depth changes only the approximation coarseness (the SemDeDup
+    * tradeoff knob); planted near-dups preserve every coordinate SIGN,
+    * so they share their original's full 16-plane code at any depth. */
+  private[graft] val SemTargetCell = 32L
+  private[graft] val SemMaxPlanes = 16
+
+  /** The adaptive sign-plane cell id as ONE engine-neutral SQL string:
+    * `elem(i)` renders coordinate access (`element_at(embedding, i)`
+    * on Spark, `embedding[i]` in DuckDB), `nExpr` the corpus-count
+    * column. Divisor ladder = 2^(16−bits); FLOOR of a double division
+    * is exact here (both operands < 2^53, divisor a power of two). */
+  /** The depth ladder alone (divisor = 2^(16−bits)), and its Scala
+    * twin — the PropertySpec law runs the twin over the full long
+    * range, and a one-job boundary sweep pins string ≡ twin at every
+    * threshold, so the SQL the oracle replays IS the tested rule. */
+  private[graft] def semDivisorSql(nExpr: String): String =
+    (4 until SemMaxPlanes).map(b =>
+      s"WHEN $nExpr <= ${SemTargetCell << b} THEN ${1L << (SemMaxPlanes - b)}")
+      .mkString("CASE ", " ", " ELSE 1 END")
+
+  private[graft] def semDivisorFor(n: Long): Long =
+    (4 until SemMaxPlanes).collectFirst {
+      case b if n <= (SemTargetCell << b) => 1L << (SemMaxPlanes - b)
+    }.getOrElse(1L)
+
+  private[graft] def semCidSql(elem: Int => String, nExpr: String): String = {
+    val code = (1 to SemMaxPlanes).map(i =>
+      s"CASE WHEN ${elem(i)} > 0 THEN ${1L << (SemMaxPlanes - i)} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"CAST(FLOOR($code * 1.0 / (${semDivisorSql(nExpr)})) AS INT)"
+  }
+
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
-    val cidExpr = (1 to 4).map(i =>
-      when(element_at(col("embedding"), i) > 0f, lit(1 << (4 - i)))
-        .otherwise(lit(0))).reduce(_ + _)
-    val e = plantedEmbeddings(emb(spark, dir))
-      .withColumn("cid", cidExpr)
+    val planted = plantedEmbeddings(emb(spark, dir))
+    val nRow = planted.agg(count(lit(1)).as("n_corpus"))
+    val e = planted.crossJoin(broadcast(nRow))
+      .withColumn("cid",
+        expr(semCidSql(i => s"element_at(embedding, $i)", "n_corpus")))
       .withColumn("nrm", norm("embedding"))
     val a = e.select(col("cid"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
@@ -868,9 +909,7 @@ object Similarity {
   }
 
   private val semDedupSql = {
-    val cid = (1 to 4).map(i =>
-      s"CASE WHEN embedding[$i] > 0 THEN ${1 << (4 - i)} ELSE 0 END")
-      .mkString(" + ")
+    val cid = semCidSql(i => s"embedding[$i]", "n_corpus")
     val cos =
       "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
         "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
@@ -887,8 +926,9 @@ object Similarity {
        |    list_transform(embedding,
        |      x -> CAST(CAST(x AS DOUBLE) + 0.05 * abs(CAST(x AS DOUBLE)) AS FLOAT))
        |  FROM embeddings WHERE vec_id < 25),
+       |nn AS (SELECT COUNT(*) AS n_corpus FROM planted),
        |e AS (
-       |  SELECT vec_id, embedding, $cid AS cid FROM planted),
+       |  SELECT vec_id, embedding, $cid AS cid FROM planted CROSS JOIN nn),
        |dropped AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id

@@ -319,16 +319,18 @@ class LlmSpec extends AnyFunSuite {
     // both planted families preserve coordinate signs, so all 50
     // derived near-dups share their original's cluster and must drop
     assert(out.count(!_._3) == 50, s"expected the 50 planted drops, got ${out.count(!_._3)}")
-    // brute reference: same partitioner, same threshold, no clustering
+    // brute reference: same partitioner (the shared adaptive sign-plane
+    // definition — ONE source of truth), same threshold, no clustering
     // shortcut — a vec is dropped iff SOME lower-id same-cluster vec is
     // ≥ 0.9 round6-cosine
     DotProduct.register(spark)
-    val e = llm.Similarity.plantedEmbeddings(
-        graft.core.Tables.load(spark, Sf, "embeddings"))
+    val planted = llm.Similarity.plantedEmbeddings(
+      graft.core.Tables.load(spark, Sf, "embeddings"))
+    val e = planted
+      .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_corpus"))))
       .selectExpr("vec_id", "embedding",
-        (1 to 4).map(i =>
-          s"CASE WHEN element_at(embedding, $i) > 0F THEN ${1 << (4 - i)} ELSE 0 END")
-          .mkString("", " + ", " AS cid"))
+        llm.Similarity.semCidSql(
+          i => s"element_at(embedding, $i)", "n_corpus") + " AS cid")
     val pairs = e.as("a").join(e.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .selectExpr("b.vec_id AS v",
@@ -340,11 +342,19 @@ class LlmSpec extends AnyFunSuite {
     out.foreach { case (id, _, kept) =>
       assert(kept == !pairs.contains(id), s"vec $id kept=$kept mismatch")
     }
-    // and the pair join must stay an equi join on cid
+    // and the pair join must stay an equi join on cid — the only
+    // nested loops allowed are the Cross combines of the 1-row corpus
+    // count (the broadcast(1-row agg) pattern ScanGuardRule
+    // budget-checks)
     val p = llm.Similarity.semDedup(spark, Sf)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+    assert(p.matches("(?s).*Join \\[cid#\\d+\\], \\[cid#\\d+\\],.*"),
       s"semdedup pair join must be cid-keyed:\n$p")
+    val badNlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(_.contains("Cross"))
+    assert(badNlj.isEmpty && !p.contains("CartesianProduct"),
+      s"non-scalar nested loop in the semdedup pair path:\n$p")
   }
 
   test("bm25: scores positive and non-increasing; multi-term hits outrank by construction") {

@@ -557,4 +557,41 @@ class PropertySpec extends AnyFunSuite {
         srpBitsFor(n + 1) >= bits // monotone: more docs never shallower bands
     }, cases = 200)
   }
+
+  test("property: semdedup cell occupancy stays constant at any corpus size") {
+    // Same law, second partitioner: semdedup's sign-plane depth ladder
+    // (the r7 fix for the fixed-16-cell quadratic). Expected cell size
+    // n / 2^bits ∈ (target/2·…, target] between the 4-plane floor and
+    // the 16-plane ceiling, monotone in n. The ladder the oracle
+    // replays is a SQL string, so a one-job boundary sweep below pins
+    // string ≡ twin at every threshold edge (the only places the CASE
+    // can be off by one).
+    import graft.llm.Similarity.{semDivisorFor, SemTargetCell, SemMaxPlanes}
+    def bitsOf(n: Long): Int =
+      SemMaxPlanes - java.lang.Long.numberOfTrailingZeros(semDivisorFor(n))
+    check("sem-cell-occupancy", Prop.forAllNoShrink(
+      Gen.choose(1L, 1L << 50)) { n =>
+      val bits = bitsOf(n)
+      val occ = n / math.pow(2.0, bits)
+      val floorRegime = n <= (SemTargetCell << 4)
+      val ceilRegime = n > (SemTargetCell << (SemMaxPlanes - 1))
+      bits >= 4 && bits <= SemMaxPlanes &&
+        (floorRegime || ceilRegime ||
+          (occ > SemTargetCell / 2.0 && occ <= SemTargetCell)) &&
+        bitsOf(n + 1) >= bits // monotone: more vectors never fewer cells
+    }, cases = 200)
+
+    // boundary sweep: evaluate the SQL ladder in Spark at every
+    // threshold ±1 (and the extremes) in ONE job; must equal the twin
+    val edges = (4 until SemMaxPlanes).map(b => SemTargetCell << b)
+    val ns = (Seq(1L, Long.MaxValue) ++ edges.flatMap(t => Seq(t - 1, t, t + 1))).distinct
+    val got = ns.toDF("n")
+      .selectExpr("n",
+        "CAST(" + graft.llm.Similarity.semDivisorSql("n") + " AS BIGINT) AS d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      assert(got(n) == semDivisorFor(n),
+        s"SQL ladder diverges from the Scala twin at n=$n")
+    }
+  }
 }
