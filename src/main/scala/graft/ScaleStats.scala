@@ -65,6 +65,19 @@ object ScaleStats {
         else llm.Similarity.cosineBandCandidates(
           e, adaptiveBits, llm.Similarity.DedupBands).count()
 
+      // semdedup: within-cell pairs Σ c·(c−1)/2 under the keyed
+      // query's OWN cell definition (semCidSql — the string both
+      // engines run), at the legacy fixed 4-plane depth (nExpr pinned
+      // inside the floor regime) vs the adaptive ladder at this SF's
+      // true corpus count. The pair count IS the verify-stage work.
+      def semPairs(nExpr: String): Long = e
+        .select(expr(llm.Similarity.semCidSql(
+          i => s"element_at(embedding, $i)", nExpr)).as("cid"))
+        .groupBy(col("cid")).count()
+        .agg(sum(expr("count * (count - 1) / 2")).cast("long")).first().getLong(0)
+      val semFixed4 = semPairs("50")
+      val semAdaptive = semPairs(nVec.toString)
+
       println(
         s"""{"dir":"$dir","n_docs":$nDocs,""" +
           s""""neardup_band_candidates":$nearCand,""" +
@@ -73,7 +86,9 @@ object ScaleStats {
           s""""n_vectors":$nVec,"all_pairs":${nVec * (nVec - 1) / 2},""" +
           s""""cosine_band_candidates_fixed8":$cosCandFixed,""" +
           s""""srp_bits_adaptive":$adaptiveBits,""" +
-          s""""cosine_band_candidates_adaptive":$cosCandAdaptive}""")
+          s""""cosine_band_candidates_adaptive":$cosCandAdaptive,""" +
+          s""""semdedup_cell_pairs_fixed4":$semFixed4,""" +
+          s""""semdedup_cell_pairs_adaptive":$semAdaptive}""")
     }
     spark.stop()
   }
