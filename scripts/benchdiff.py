@@ -179,6 +179,23 @@ def main():
     if oc is None or nc is None:
         oc, nc = old.get("canary_sec"), new.get("canary_sec")
         which = "solo"
+    else:
+        # the par canary is only a fair yardstick when its dilation
+        # over the solo canary (par/solo, ~1.2x on a quiet host) is
+        # comparable on BOTH sides: a reference run whose par canary
+        # was itself contended scales every new-run query UP and
+        # manufactures raw-faster "regressions" (observed: par 0.31 on
+        # a 0.17-solo host flagged 12 queries that were all raw-faster)
+        osolo, nsolo = old.get("canary_sec"), new.get("canary_sec")
+        if osolo and nsolo:
+            odil, ndil = oc / osolo, nc / nsolo
+            if max(odil, ndil) / min(odil, ndil) > 1.3:
+                print(f"warning: par-canary dilation differs "
+                      f"({olabel} {odil:.2f}x vs {nlabel} {ndil:.2f}x) - "
+                      "one run's parallel canary was itself contended; "
+                      "falling back to SOLO-canary normalization")
+                oc, nc = osolo, nsolo
+                which = "solo"
     if oc is not None and nc is not None and nc > 0:
         scale = oc / nc
     else:
