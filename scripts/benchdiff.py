@@ -164,6 +164,11 @@ def main():
         sp = e.get("steal_pct")
         if sp is not None and sp > 2:
             print(f"warning: {label} ran at {sp:.1f}% hypervisor steal")
+    ocpu, ncpu = old.get("cpus"), new.get("cpus")
+    if ocpu is not None and ncpu is not None and ocpu != ncpu:
+        print(f"warning: CPU-count mismatch ({olabel} local[{ocpu}] vs "
+              f"{nlabel} local[{ncpu}]) - thread count changes shuffle "
+              "partitioning and scheduling overhead; ratios are advisory")
 
     # canary normalization: a query 2x slower at a 2x-slower canary is
     # machine drift, not code. Prefer the PARALLEL canary when both

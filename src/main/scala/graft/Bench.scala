@@ -18,7 +18,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the driver contract (local[32]); QBench keeps its
+    // deliberate 4-thread default for steady-state single-query timing.
+    // A 4-thread full-inventory run slipped into bench_history twice
+    // (2026-08-14) before this pin — artifacts self-identify via "cpus".
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     // Fixed-work CPU canary (r4 verdict ask): sorting the same 2M
     // xorshift-filled longs is pure single-thread CPU with zero Spark
