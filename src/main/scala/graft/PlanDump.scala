@@ -53,7 +53,8 @@ object PlanDump {
     "sql_tpch_q19" -> "disjunctive join predicate: common equi conjunct pulled out into one hash join, OR-residual post-join",
     "sql_tpch_q13" -> "ON-residual pushed into the scan under a LeftOuter join + two-stage aggregate cascade",
     "join_nullsafe" -> "null-safe <=> key stays a hashed equi-join (broadcast) OVER per-side aggregates: count factorizes below the join, pair rows never materialize",
-    "llm_curation_e2e" -> "curation cascade: columnar gate, one dedup hash exchange, one group exchange")
+    "llm_curation_e2e" -> "curation cascade: columnar gate, one dedup hash exchange, one group exchange",
+    "llm_semdedup" -> "semdedup: adaptive sign-plane cell id (broadcast 1-row corpus count), pair join equi-keyed on cid")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
