@@ -207,15 +207,25 @@ object Relational {
     * counted); this shape grows with the KEY cardinality, not the
     * pair count. */
   def joinNullsafe(spark: SparkSession, dir: String): DataFrame = {
-    val custN = t(spark, dir, "customer")
+    val cust = t(spark, dir, "customer")
       .select(expr("nullif(c_nationkey % 5, 0)").as("ck"))
-      .groupBy(col("ck")).agg(count(lit(1)).as("nc"))
-    val suppN = t(spark, dir, "supplier")
+    val supp = t(spark, dir, "supplier")
       .select(expr("nullif(s_nationkey % 5, 0)").as("sk"))
-      .groupBy(col("sk")).agg(count(lit(1)).as("ns"))
-    ordered(
-      custN.join(broadcast(suppN), col("ck") <=> col("sk"))
-        .select(col("ck"), (col("nc") * col("ns")).as("n_pairs")))
+    ordered(nullsafePairCounts(cust, "ck", supp, "sk"))
+  }
+
+  /** COUNT(*) per null-safe join key, factorized BELOW the join:
+    * each side pre-aggregates to one row per key and the `<=>` join
+    * multiplies the counts — pair rows never materialize. One
+    * definition shared by the keyed query and PropertySpec's
+    * `nullsafe-count-factorization` law (≡ join-then-count on
+    * generated sides, nulls and one-sided keys included). */
+  private[graft] def nullsafePairCounts(a: DataFrame, ak: String,
+      b: DataFrame, bk: String): DataFrame = {
+    val aN = a.groupBy(col(ak)).agg(count(lit(1)).as("nc"))
+    val bN = b.groupBy(col(bk)).agg(count(lit(1)).as("ns"))
+    aN.join(broadcast(bN), col(ak) <=> col(bk))
+      .select(col(ak), (col("nc") * col("ns")).as("n_pairs"))
   }
 
   private val joinNullsafeSql =

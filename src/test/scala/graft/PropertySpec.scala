@@ -247,6 +247,32 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 6)
   }
 
+  // ------------------------------------ null-safe count factorization
+
+  test("property: null-safe pair count factorizes through the join") {
+    // the algebra behind the r7 join_nullsafe fix: COUNT(*) grouped by
+    // the join key equals count_left(k) × count_right(k), so the
+    // aggregate moves BELOW the join. The plan law (PlanSpec) pins the
+    // shape; this pins the semantics — against join-then-count on
+    // generated sides including NULL keys (which `<=>` must match),
+    // one-sided keys (inner join drops them on both spellings), and
+    // empty sides.
+    val genKeys = Gen.listOf(Gen.option(Gen.choose(0, 4)))
+    check("nullsafe-count-factorization",
+      Prop.forAllNoShrink(Gen.zip(genKeys, genKeys)) { case (ka, kb) =>
+        val a = ka.toDF("ck")
+        val b = kb.toDF("sk")
+        def toMap(rows: Array[org.apache.spark.sql.Row]) =
+          rows.map(r => (Option(r.get(0)), r.getLong(1))).toMap
+        val fact = toMap(
+          ops.Relational.nullsafePairCounts(a, "ck", b, "sk").collect())
+        val naive = toMap(
+          a.join(b, col("ck") <=> col("sk"))
+            .groupBy(col("ck")).agg(count(lit(1)).as("n")).collect())
+        fact == naive
+      }, cases = 10)
+  }
+
   // ------------------------------------------- misra-gries laws
 
   test("property: misra-gries bounds and heavy-key coverage hold under any split") {
