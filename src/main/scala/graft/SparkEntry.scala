@@ -14,7 +14,7 @@ object SparkEntry {
   def registry: Map[String, Q] =
     ops.Scans.queries ++ ops.Relational.queries ++ ops.ScaleJoins.queries ++
       ops.Graph.queries ++
-      ops.SqlApi.queries ++
+      ops.SqlApi.queries ++ ops.TpchSuite.queries ++
       ops.Aggregates.queries ++
       ops.Windows.queries ++ ops.Scalars.queries ++ etl.Etl.queries ++
       stream.Streaming.queries ++

@@ -416,4 +416,64 @@ class PlanSpec extends AnyFunSuite {
       s"LSH dedup must not plan a nested-loop pair join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  // ---- round 8: the TpchSuite completion (Q1/Q6/.../Q22) plan pins ----
+
+  test("sql_tpch_q6: every predicate pushed, 4-column read schema (scan IS the query)") {
+    val p = plan("sql_tpch_q6")
+    // the date band reaches the parquet scan...
+    assert(p.matches("(?s).*PushedFilters: \\[.*GreaterThanOrEqual\\(l_shipda.*"),
+      s"date band not pushed to the scan:\n$p")
+    // ...and the scan reads only the 4 referenced columns of 11
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp>"),
+      s"column pruning lost:\n$p")
+  }
+
+  test("sql_tpch_q10: top-20-over-aggregate plans TakeOrderedAndProject, no global sort") {
+    val p = plan("sql_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"expected a 20-row heap merge above the aggregate:\n$p")
+  }
+
+  test("sql_tpch_q17: correlated per-part average decorrelates to ONE grouped aggregate") {
+    val p = plan("sql_tpch_q17")
+    // the per-part average is a single hash aggregate keyed on partkey,
+    // broadcast back — never a per-probe-row re-scan of lineitem
+    assert(p.matches("(?s).*HashAggregate\\(keys=\\[l_partkey#\\d+L\\].*"),
+      s"per-part average must be one grouped aggregate:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated avg degenerated to a nested loop:\n$p")
+  }
+
+  test("sql_tpch_q20: the IN-feeding-IN chain plans two semi joins, no re-execution") {
+    val p = plan("sql_tpch_q20")
+    val semis = "LeftSemi".r.findAllIn(p).size
+    assert(semis === 2, s"expected part-filter + supplier-filter semi joins, got $semis:\n$p")
+    // the 'small%' prefix filter reaches the part scan under the inner semi
+    assert(p.contains("StringStartsWith(p_name,small)"),
+      s"LIKE prefix not pushed to the part scan:\n$p")
+  }
+
+  test("sql_tpch_q22: anti join with the date residual pushed below it; scalar avg pushed into the scan") {
+    val p = plan("sql_tpch_q22")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan an anti join:\n$p")
+    // the date predicate references only the orders side → filters the
+    // anti join's build input at the scan, never evaluated per pair
+    assert(p.matches("(?s).*GreaterThanOrEqual\\(o_orderdate,2000-01-01.*"),
+      s"date residual not pushed into the orders scan:\n$p")
+    // and the uncorrelated average lands IN the customer scan's
+    // pushed filters as a scalar-subquery literal
+    assert(p.contains("GreaterThan(c_acctbal,ScalarSubquery"),
+      s"scalar average not pushed into the customer scan:\n$p")
+  }
+
+  test("sql_tpch_q11: global-mean group filter is one broadcast scalar, not a per-group re-scan") {
+    val p = plan("sql_tpch_q11")
+    // the subquery mean is a SinglePartition aggregate evaluated once;
+    // the group filter compares against its literal
+    assert(p.matches("(?s).*Filter .*1\\.1 \\* Subquery subquery#\\d+.*"),
+      s"threshold must reference the once-computed scalar:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
