@@ -24,16 +24,20 @@ object Fixtures {
     * Stale partials from a previous crash are deleted first. No-op if
     * the fixture is already complete.
     *
-    * SINGLE-PROCESS atomicity only (r6 advice): two JVMs building the
-    * same fixture can rm each other's staging dir (or a freshly
-    * renamed final dir) mid-build — fine for the current one-driver
-    * test/bench usage, where crash recovery is the threat model. If
-    * multi-process builds ever happen: stage under a per-process
-    * unique temp name and treat rename failure as "someone else won". */
+    * Concurrent-builder safe (r7 advice): the staging dir is
+    * per-process unique (`<name>.build.<pid>`), so two JVMs building
+    * the same fixture never touch each other's staging; each process
+    * only ever deletes its OWN stale staging dir and an incomplete
+    * (no `_SUCCESS`) final dir. A failed rename re-checks [[exists]]:
+    * if another builder published a complete fixture first, that's a
+    * win, not an error (stale `.build.<pid>` dirs from crashed
+    * builders are inert scratch under target/, cleaned by the next
+    * same-pid run or `sbt clean`). */
   def buildAtomic(sfDir: String, name: String)(body: String => Unit): Unit = {
     if (exists(sfDir, name)) return
     val fin = new java.io.File(path(sfDir, name))
-    val tmp = new java.io.File(fin.getParentFile, fin.getName + ".build")
+    val pid = ProcessHandle.current().pid()
+    val tmp = new java.io.File(fin.getParentFile, s"${fin.getName}.build.$pid")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
@@ -42,7 +46,9 @@ object Fixtures {
     rm(fin) // a final dir without _SUCCESS is itself a crashed partial
     tmp.getParentFile.mkdirs()
     body(tmp.getPath)
-    if (!tmp.renameTo(fin))
+    if (!tmp.renameTo(fin)) {
+      if (exists(sfDir, name)) { rm(tmp); return } // someone else won
       throw new IllegalStateException(s"fixture rename failed: $tmp -> $fin")
+    }
   }
 }

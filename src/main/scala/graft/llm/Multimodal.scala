@@ -150,11 +150,13 @@ object Multimodal {
           col("f_min"), col("f_max")))
   }
 
-  /** UNIT COUPLING (r6 advice): this SQL slices frames by CHARACTER
-    * offsets (`substring` + `unicode` code points) while the Scala path
-    * slices the UTF-8 BYTE payload and the frame count divides
-    * `octet_length` (bytes). The two agree iff the corpus is pure
-    * ASCII (byte i == char i, code point == byte value) — an invariant
+  /** UNIT COUPLING (r6/r7 advice): this SQL is single-unit — frame
+    * count AND slices both derive from CHARACTERS (`length` // 64,
+    * `substring` + `unicode` code points; r7 advice closed the
+    * internal inconsistency where n_frames divided `octet_length`
+    * bytes while slices took chars). The Scala path slices the UTF-8
+    * BYTE payload; the two engines agree iff the corpus is pure ASCII
+    * (byte i == char i, code point == byte value) — an invariant
     * `llm_multimodal_decode` relies on identically and MultimodalSpec
     * asserts against the fixture corpus ("corpus is pure ASCII").
     * A non-ASCII corpus needs both engines re-derived from ONE unit
@@ -164,7 +166,7 @@ object Multimodal {
       "substring(text, CAST(i AS INT) * 64 + 1, 64), ''), x -> unicode(x))"
     s"""WITH f AS (
        |  SELECT doc_id, text,
-       |    octet_length(encode(text)) // 64 AS n_frames
+       |    length(text) // 64 AS n_frames
        |  FROM documents)
        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
        |  round(CAST(CAST(CAST(list_aggregate($pts, 'sum') AS DOUBLE)
