@@ -27,7 +27,7 @@ import graft.functions.WordShingles
   */
 object Dedup {
 
-  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private[graft] def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
   /** Normalized text: collapse whitespace, trim, lowercase — mirrored
     * exactly in the oracle (regexp_replace with 'g'!). */
@@ -87,7 +87,16 @@ object Dedup {
     * frame — exposed so PropertySpec can assert LSH == brute on
     * GENERATED corpora (tiny vocab ⇒ hot shingles, planted dups,
     * adversarial short docs), not just the fixed fixtures. */
-  private[graft] def nearDedupPairs(spark: SparkSession, d: DataFrame): DataFrame = {
+  private[graft] def nearDedupPairs(spark: SparkSession, d: DataFrame): DataFrame =
+    ordered(nearDedupPairsRaw(spark, d))
+
+  /** UNSORTED, localCheckpoint'ed near-dup pair set — the production
+    * pair source for the derived ops ([[dedupApply]], [[dupClusters]]),
+    * which re-join or anti-join it and must not inherit a pointless
+    * global sort (or, worse, the brute twin's all-pairs self-join:
+    * until r8 both derived keys rode [[bruteJaccardPairs]], 10–12 s
+    * each at sf1 vs the banded path's near-linear candidates). */
+  private[graft] def nearDedupPairsRaw(spark: SparkSession, d: DataFrame): DataFrame = {
     // cache: the shingle set feeds both the signature build and the
     // exact-Jaccard verify within ONE result computation. Materialize
     // the (small) pair result eagerly, then release the cache — a long
@@ -114,7 +123,11 @@ object Dedup {
     // blocked self-join (see bandPairs) — a boilerplate-heavy corpus
     // puts thousands of docs in one band bucket, and a naive bucket
     // self-join would hand one join group O(m²) pair rows.
-    val cand = bandPairs(bands)
+    // localCheckpoint (tiny): verifyJaccard reads the candidate set
+    // twice (once to derive the candidate DOC ID filter, once as the
+    // pair probe) — unmaterialized, each read would re-run the blocked
+    // band join.
+    val cand = bandPairs(bands).localCheckpoint()
 
     // checkpoint the UNSORTED pair set (tiny — tens of rows), then sort:
     // round 2 checkpointed through ordered()'s global sort, which
@@ -123,7 +136,7 @@ object Dedup {
     // release needs only the pairs to be materialized, not their order.
     val out = verifyJaccard(cand, sh, JaccardThreshold).localCheckpoint()
     sh.unpersist()
-    ordered(out)
+    out
   }
 
   /** (doc_id, band_idx, band_hash) LSH index of a (doc_id, shingle)
@@ -196,12 +209,27 @@ object Dedup {
     bandPairsKeyed(bands).select(col("doc_a"), col("doc_b")).distinct()
 
   /** Exact Jaccard for a pair list, given the (doc_id, shingle) set.
-    * Returns UNSORTED pairs — callers order (or feed downstream ops). */
-  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    * Returns UNSORTED pairs — callers order (or feed downstream ops).
+    *
+    * The shingle table is first cut to CANDIDATE DOCS ONLY via a
+    * broadcast semi join on the pair set's doc ids (r8): LSH leaves
+    * ~0.5% of docs in any candidate pair, so without the cut the two
+    * intersection joins shuffle the FULL corpus shingle table to score
+    * a few hundred pairs — measured 1.26 s → ~0.4 s at sf0.1, and the
+    * gap widens with corpus size (candidates grow near-linearly but
+    * the un-cut shuffle grows with total shingle volume). Per-doc
+    * shingle sets survive the cut whole, so n_a/n_b/intersections are
+    * unchanged — output is provably identical. `pairs` must be
+    * materialized by the caller (it is read twice). */
+  private[graft] def verifyJaccard(pairs: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
+    val candIds = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shc = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val sz = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     val jac = inter
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
@@ -223,9 +251,12 @@ object Dedup {
     ordered(jaccardPairsBrute(spark, dir))
 
   /** The brute pair set, UNSORTED and localCheckpoint'ed (lineage
-    * truncated, shingle cache released). Shared by the keyed query and
-    * the derived ops (`dedupApply`, `dupClusters`), which would
-    * otherwise inherit a pointless global sort in their upstream. */
+    * truncated, shingle cache released). Since r8 this feeds ONLY the
+    * `llm_ngram_jaccard` ground-truth key — the derived ops
+    * (`dedupApply`, `dupClusters`) ride the banded production path
+    * ([[nearDedupPairsRaw]]), closing the r6 audit note that marked
+    * the brute twin verification-only while two production keys still
+    * called it. */
   private def jaccardPairsBrute(spark: SparkSession, dir: String): DataFrame =
     bruteJaccardPairs(spark, docs(spark, dir))
 
@@ -654,11 +685,16 @@ object Dedup {
 
   /** Apply the near-dedup: the cleaned corpus after dropping every doc
     * that near-duplicates a smaller-id partner (min-id-wins, the usual
-    * training-corpus convention). Edges here come from the exact
-    * (brute) pair set so the oracle is SQL-expressible; at 100 TB the
-    * edge list comes from the LSH path, which ScalaTest proves equal. */
+    * training-corpus convention). Edges come from the PRODUCTION
+    * banded LSH path (r8 — previously the brute self-join, 9.9 s at
+    * sf1 and quadratic-risk beyond): LSH == brute on these corpora is
+    * pinned at sf0.001+sf0.01 in LlmSpec and on generated adversarial
+    * corpora in PropertySpec, so the brute-replaying oracle SQL stays
+    * the honest gate — a recall regression in the banded path turns
+    * THIS row red too, not just `llm_near_dedup`'s. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairsBrute(spark, dir).select(col("doc_b").as("drop_id"))
+    val pairs = nearDedupPairsRaw(spark, docs(spark, dir))
+      .select(col("doc_b").as("drop_id"))
     ordered(
       docs(spark, dir)
         .join(pairs, col("doc_id") === col("drop_id"), "left_anti")
@@ -696,10 +732,12 @@ object Dedup {
     * closure (fine at test scale; the iterative join IS the 100 TB
     * formulation). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // jaccardPairsBrute is already localCheckpoint'ed (materialized,
+    // the banded pair set is already localCheckpoint'ed (materialized,
     // lineage-free), so components() can re-join it every propagation
     // round without an extra cache — each round reads the same blocks.
-    val pairs = jaccardPairsBrute(spark, dir)
+    // Production edge source (r8): the banded LSH path, not the brute
+    // twin — same LSH==brute licensing as dedupApply.
+    val pairs = nearDedupPairsRaw(spark, docs(spark, dir))
       .select(col("doc_a"), col("doc_b"))
     ordered(components(pairs))
   }
