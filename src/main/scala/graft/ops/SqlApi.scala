@@ -634,8 +634,37 @@ object SqlApi {
        |GROUP BY c_count
        |${O.OrderAll}"""
 
+  /** SQL pipe syntax (Spark 4): the same relational algebra written as
+    * a linear `|>` dataflow — `FROM … |> WHERE … |> EXTEND … |>
+    * AGGREGATE … GROUP BY …` — matching how the DataFrame API and this
+    * engine's users actually think about a pipeline. Catalyst parses
+    * pipe operators into the IDENTICAL logical plan as the nested-ANSI
+    * spelling (each `|>` stage is sugar over the child plan), so every
+    * optimization PlanSpec pins — pushdown through EXTEND, partial
+    * aggregation — applies unchanged; the oracle is the nested-ANSI
+    * equivalent and must hash-match exactly. */
+  def sqlPipe(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    ordered(spark.sql(
+      s"""FROM graft_lineitem
+         ||> WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+         ||> EXTEND CAST(l_extendedprice AS DECIMAL(12,2))
+         |     * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS net
+         ||> AGGREGATE COUNT(*) AS n_items, CAST(SUM(net) AS DOUBLE) AS revenue
+         |     GROUP BY l_returnflag, l_linestatus""".stripMargin))
+  }
+
+  private val sqlPipeSql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       |  CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sql_recursive" -> Q(sqlRecursive _, sqlRecursiveSql),
+    "sql_pipe" -> Q(sqlPipe _, sqlPipeSql),
     "sql_tpch_q13" -> Q(sqlTpchQ13 _, sqlTpchQ13Sql),
     "sql_tpch_q2" -> Q(sqlTpchQ2 _, sqlTpchQ2Sql),
     "sql_tpch_q19" -> Q(sqlTpchQ19 _, sqlTpchQ19Sql),

@@ -434,6 +434,99 @@ object Windows {
        |  ON s.user_id = d.user_id AND s.day = d.day
        |${O.OrderAll}"""
 
+  /** Linear interpolation across gaps — the numeric complement of
+    * `ts_gapfill`'s LOCF: a missing day gets the straight line between
+    * its nearest observed neighbors, weighted by day distance. LOCF is
+    * right for state-like series (a price holds until re-quoted);
+    * interpolation is right for flow-like series (a sensor that kept
+    * moving through the outage). Edge days with only one neighbor fall
+    * back to that neighbor (constant extrapolation).
+    *
+    * Determinism: the interpolated value is
+    * prev + (next − prev) · (Δprev / Δspan) in IEEE doubles — both
+    * engines evaluate the identical expression tree over identical
+    * inputs (day_value is an exact-decimal sum), and round6 absorbs
+    * any last-ulp divergence in the division.
+    *
+    * 100 TB: identical shape to `ts_gapfill` — one shuffle on user_id,
+    * two sorted passes (backward + forward frames over the same sort),
+    * O(1) state per row. The forward-looking frame needs no second
+    * shuffle: Spark reuses the partitioning and re-sorts within
+    * partitions only. */
+  def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .filter(col("user_id") % 25 === 0)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(dsum(col("value")).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val back = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("day_value").isNotNull, col("day"))
+    val joined = spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(back).as("pv"),
+        last(obsDay, ignoreNulls = true).over(back).as("pd"),
+        first(col("day_value"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+    val interp = when(col("day_value").isNotNull, col("day_value"))
+      .when(col("pv").isNull, col("nv"))
+      .when(col("nv").isNull, col("pv"))
+      .otherwise(col("pv") + (col("nv") - col("pv")) *
+        (datediff(col("day"), col("pd")).cast("double") /
+          datediff(col("nd"), col("pd")).cast("double")))
+    ordered(joined.select(
+      col("user_id"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      round6(interp).as("value_interp"),
+      col("day_value").isNull.as("is_interp")))
+  }
+
+  private val tsInterpolateSql =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |    ${O.dsum("value")} AS day_value
+       |  FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT user_id,
+       |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+       |        FROM daily GROUP BY user_id)),
+       |marked AS (
+       |  SELECT s.user_id, s.day, d.day_value,
+       |    last_value(d.day_value IGNORE NULLS) OVER (
+       |      PARTITION BY s.user_id ORDER BY s.day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |    last_value(CASE WHEN d.day_value IS NOT NULL THEN s.day END
+       |      IGNORE NULLS) OVER (
+       |      PARTITION BY s.user_id ORDER BY s.day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+       |    first_value(d.day_value IGNORE NULLS) OVER (
+       |      PARTITION BY s.user_id ORDER BY s.day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |    first_value(CASE WHEN d.day_value IS NOT NULL THEN s.day END
+       |      IGNORE NULLS) OVER (
+       |      PARTITION BY s.user_id ORDER BY s.day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+       |  FROM spine s LEFT JOIN daily d
+       |    ON s.user_id = d.user_id AND s.day = d.day)
+       |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       |  round(CASE
+       |    WHEN day_value IS NOT NULL THEN day_value
+       |    WHEN pv IS NULL THEN nv
+       |    WHEN nv IS NULL THEN pv
+       |    ELSE pv + (nv - pv) *
+       |      (CAST(date_diff('day', pd, day) AS DOUBLE) /
+       |       CAST(date_diff('day', pd, nd) AS DOUBLE))
+       |  END, 6) AS value_interp,
+       |  day_value IS NULL AS is_interp
+       |FROM marked
+       |${O.OrderAll}"""
+
   /** Rolling z-score anomaly detection: each event scored against the
     * trailing-20-event mean/stddev of its own user's series — the
     * streaming-friendly outlier signal (state = one bounded frame, no
@@ -603,6 +696,7 @@ object Windows {
     "win_pareto" -> Q(winPareto _, winParetoSql),
     "win_streak" -> Q(winStreak _, winStreakSql),
     "ts_gapfill" -> Q(tsGapfill _, tsGapfillSql),
+    "ts_interpolate" -> Q(tsInterpolate _, tsInterpolateSql),
     "win_anomaly" -> Q(winAnomaly _, winAnomalySql),
     "win_funnel" -> Q(winFunnel _, winFunnelSql),
     "win_event_pattern" -> Q(winEventPattern _, winEventPatternSql),

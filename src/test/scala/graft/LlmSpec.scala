@@ -393,6 +393,41 @@ class LlmSpec extends AnyFunSuite {
       "an 8-token shared run must produce a shared fingerprint")
   }
 
+  test("PQ simsearch: ADC shortlist + exact rerank recovers the exact top-5") {
+    val exact = llm.Similarity.simsearch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = llm.Similarity.simsearchPqTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // 8×256 codebooks + 50-deep shortlist: rerank is exact, so recall
+    // only loses what ADC ranks below position 50
+    assert(recall >= 0.7, f"PQ recall $recall%.2f collapsed — codebooks broken?")
+    assert(pq.size <= exact.size)
+    info(f"PQ recall $recall%.2f (shortlist 50, rerank exact)")
+  }
+
+  test("PQ index persists: fresh session serves from codes parquet, no retraining") {
+    llm.Similarity.ensurePqIndex(spark, Sf)
+    assert(core.Fixtures.exists(Sf, llm.Similarity.PqCodebooksName) &&
+      core.Fixtures.exists(Sf, llm.Similarity.PqCodesName))
+    val first = llm.Similarity.simsearchPqTopK(spark, Sf).collect().toSeq
+    val builds = llm.Similarity.pqTrainCount.get()
+    llm.Similarity.clearPqMemo()
+    val second = llm.Similarity.simsearchPqTopK(spark, Sf).collect().toSeq
+    assert(llm.Similarity.pqTrainCount.get() === builds,
+      "rebuilt-from-disk PQ index must serve queries with no retraining")
+    assert(second === first)
+    // the codes table IS the compression story: 8 small ints per vector
+    val codes = spark.read.parquet(
+      core.Fixtures.path(Sf, llm.Similarity.PqCodesName))
+    val badWidth = codes
+      .filter(size(col("codes")) =!= 8).count()
+    assert(badWidth === 0, "every vector must encode to exactly 8 codes")
+    val outOfRange = codes
+      .filter(exists(col("codes"), c => c < 0 || c > 255)).count()
+    assert(outOfRange === 0, "codes must fit one byte (K=256)")
+  }
+
   test("span_dedup: spans are exactly 8 tokens, ≥2 docs each, capped at 100") {
     val out = llm.Dedup.spanDedup(spark, Sf).collect()
     assert(out.nonEmpty && out.length <= 100)

@@ -372,6 +372,68 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_interpolate: observed days exact; gap days lie on the neighbor segment") {
+    val rows = ops.Windows.tsInterpolate(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(2)))
+    assert(rows.exists(_.getAs[Boolean]("is_interp")), "fixture must have gaps")
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byDay = rs.sortBy(_.getString(1))
+      // every interpolated value is bounded by its bracketing observations
+      // (linear interpolation never overshoots), observed values pass through
+      var i = 0
+      while (i < byDay.length) {
+        val r = byDay(i)
+        if (r.getAs[Boolean]("is_interp")) {
+          val prev = byDay.take(i).reverse.find(!_.getAs[Boolean]("is_interp"))
+          val next = byDay.drop(i + 1).find(!_.getAs[Boolean]("is_interp"))
+          (prev, next) match {
+            case (Some(p), Some(n)) =>
+              val lo = math.min(p.getDouble(2), n.getDouble(2)) - 1e-6
+              val hi = math.max(p.getDouble(2), n.getDouble(2)) + 1e-6
+              assert(r.getDouble(2) >= lo && r.getDouble(2) <= hi,
+                s"interpolated value escaped its bracket: $r")
+            case (Some(p), None) =>
+              assert(math.abs(r.getDouble(2) - p.getDouble(2)) <= 1e-6)
+            case (None, Some(n)) =>
+              assert(math.abs(r.getDouble(2) - n.getDouble(2)) <= 1e-6)
+            case _ => fail("an all-gap user cannot exist (spine is min..max)")
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  test("fn_variant: typed extraction agrees with the JSON-path twin; round-trip minifies") {
+    val v = ops.Scalars.fnVariant(spark, Sf).collect()
+    val j = ops.Scalars.fnJson(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(v.nonEmpty)
+    v.foreach { r =>
+      assert(r.getInt(1) === j(r.getLong(0)),
+        "variant_get and get_json_object must extract the same int")
+      assert(r.isNullAt(2), "try_variant_get on a missing path is NULL, not error")
+      assert(r.getString(3) === "OBJECT<k: BIGINT>")
+      val json = r.getString(4)
+      assert(!json.contains(" ") && json == s"""{"k":${r.getInt(1)}}""",
+        s"to_json(variant) must be canonical minified text, got $json")
+    }
+  }
+
+  test("sql_pipe: the |> spelling computes exactly what the nested-ANSI spelling does") {
+    val pipe = ops.SqlApi.sqlPipe(spark, Sf).collect().toSeq
+    val ansi = Determinism.ordered(spark.sql(
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+         |    AS revenue
+         |FROM graft_lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin)).collect().toSeq
+    assert(pipe.nonEmpty && pipe === ansi,
+      "pipe syntax must be pure sugar over the same algebra")
+  }
+
   test("win_anomaly: warm-up rows unscored; flag agrees with rounded z") {
     val rows = ops.Windows.winAnomaly(spark, Sf).collect()
     val byUser = rows.groupBy(_.getLong(0))
