@@ -54,7 +54,10 @@ object PlanDump {
     "sql_tpch_q13" -> "ON-residual pushed into the scan under a LeftOuter join + two-stage aggregate cascade",
     "join_nullsafe" -> "null-safe <=> key stays a hashed equi-join (broadcast) OVER per-side aggregates: count factorizes below the join, pair rows never materialize",
     "llm_curation_e2e" -> "curation cascade: columnar gate, one dedup hash exchange, one group exchange",
-    "llm_semdedup" -> "semdedup: adaptive sign-plane cell id (broadcast 1-row corpus count), pair join equi-keyed on cid")
+    "llm_semdedup" -> "semdedup: adaptive sign-plane cell id (broadcast 1-row corpus count), pair join equi-keyed on cid",
+    "llm_simsearch_pq" -> "PQ: ADC pass scans ONLY <vec_id,codes> (32x I/O cut), map-side WindowGroupLimit shortlist, broadcast exact rerank",
+    "ts_interpolate" -> "dual ignoreNulls frames (prev/next neighbor) share ONE Window node: one user_id shuffle, one sort",
+    "sql_pipe" -> "|> stages compile to the ANSI twin's plan: WHERE pushed to the scan, AGGREGATE combines map-side")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -76,6 +79,10 @@ object PlanDump {
       val df = key match {
         case "sample_bottomk" => ops.Relational.bottomKRanked(
           core.Tables.load(spark, "/root/testdata/sf0.001", "orders"), 100)
+        // the keyed PQ query is the bound-summary row; the search plan
+        // worth documenting is the top-k pipeline itself
+        case "llm_simsearch_pq" =>
+          llm.Similarity.simsearchPqTopK(spark, "/root/testdata/sf0.001")
         case _ => SparkEntry.queries(key)(spark, "/root/testdata/sf0.001")
       }
       sb.append(s"\n## $key\n\n_${why}_\n\n```\n")

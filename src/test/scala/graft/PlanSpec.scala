@@ -476,4 +476,94 @@ class PlanSpec extends AnyFunSuite {
       s"threshold must reference the once-computed scalar:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  // ---- round 9: remaining TpchSuite pins + the new keys' shapes ----
+
+  test("sql_tpch_q1: one pruned scan, map-side partial aggregation into 6 groups") {
+    val p = plan("sql_tpch_q1")
+    assert("partial_sum".r.findAllIn(p).nonEmpty && p.contains("HashAggregate"),
+      s"Q1 must combine map-side:\n$p")
+    // the date cutoff is the only predicate and reaches the scan
+    assert(p.matches("(?s).*PushedFilters: \\[.*LessThanOrEqual\\(l_shipdate.*"),
+      s"date cutoff not pushed:\n$p")
+    // 7 of 16 lineitem columns read — the aggregate's inputs, nothing else
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_tax:double,l_returnflag:strin"),
+      s"column pruning lost:\n$p")
+  }
+
+  test("sql_tpch_q7: every dim broadcast (fact never shuffles pre-agg); region filter pushed") {
+    val p = plan("sql_tpch_q7")
+    // 7 joins in the chain, all broadcast — the only exchanges the fact
+    // sees are the agg shuffle and the presentation sort
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 7,
+      s"expected all 7 dim joins broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the disjunctive region pair derives a pushable per-side IN-superset
+    assert(p.contains("Or(EqualTo(r_name,ASIA),EqualTo(r_name,EUROPE))"),
+      s"derived region superset not pushed to the region scan:\n$p")
+  }
+
+  test("sql_tpch_q8: per-group ratio rides ONE grouped aggregate (CASE-sum + total together)") {
+    val p = plan("sql_tpch_q8")
+    // numerator and denominator are functions of the SAME HashAggregate —
+    // a respelling with two aggregation passes + join would double-scan
+    assert(p.matches("(?s).*HashAggregate\\(keys=\\[o_year#\\d+L\\], functions=\\[sum\\(CASE WHEN .*sum\\(volume#\\d+\\).*"),
+      s"ratio must be one grouped aggregate over CASE-sums:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs === 2, s"expected exactly partial+final, got $aggs:\n$p")
+  }
+
+  test("sql_tpch_q9: LIKE '%gear%' reaches the part scan as StringContains") {
+    val p = plan("sql_tpch_q9")
+    assert(p.contains("StringContains(p_name,gear)"),
+      s"LIKE not pushed to the part scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sql_tpch_q15: MAX revenue is a once-computed scalar subquery, not a per-row re-scan") {
+    val p = plan("sql_tpch_q15")
+    // equality against the max compares to `Subquery subquery#N` — one
+    // SinglePartition max over the grouped CTE, evaluated once
+    assert(p.matches("(?s).*Filter \\(isnotnull\\(total_rev#\\d+\\) AND \\(total_rev#\\d+ = Subquery subquery#\\d+.*"),
+      s"max must be a scalar subquery:\n$p")
+    // both the main CTE and the subquery's copy push the quarter band
+    // into their lineitem scans (the honest cost: two pushed scans, not
+    // a reused exchange — Spark materializes scalar subqueries separately)
+    assert("GreaterThanOrEqual\\(l_shipdate,1997-01-01".r.findAllIn(p).size === 2,
+      s"the quarter band must reach both lineitem scans:\n$p")
+  }
+
+  test("sql_pipe: |> stages compile to the pushed-filter + partial-agg plan of the ANSI twin") {
+    val p = plan("sql_pipe")
+    assert(p.matches("(?s).*PushedFilters: \\[.*GreaterThanOrEqual\\(l_shipdate,1998-06-01.*"),
+      s"pipe WHERE stage not pushed to the scan:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"pipe AGGREGATE stage must combine map-side:\n$p")
+  }
+
+  test("ts_interpolate: backward+forward frames share ONE Window node (one sort, one shuffle)") {
+    val p = plan("ts_interpolate")
+    // all four ignoreNulls frame functions (pv/pd/nv/nd) collapse into a
+    // single Window operator over the user_id partitioning
+    assert("Window \\[".r.findAllIn(p).size === 1,
+      s"expected the dual frames to share one Window node:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("llm_simsearch_pq: ADC scan reads ONLY the codes table; shortlist is a map-side heap") {
+    val p = llm.Similarity.simsearchPqTopK(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the first pass scans <vec_id, codes> — never the float vectors
+    // (the 32x I/O cut that is the whole point of PQ)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>"),
+      s"ADC pass must scan the compressed codes only:\n$p")
+    // shortlist is Partial+Final WindowGroupLimit: 50-row heaps per
+    // partition, never a full per-probe sort of the corpus
+    assert(p.contains("row_number(), 50, Partial"),
+      s"shortlist must be a map-side WindowGroupLimit heap:\n$p")
+    // rerank joins ride broadcasts of the tiny shortlist/probe sides
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ rerank must stay equi-join shaped:\n$p")
+  }
 }
