@@ -1062,25 +1062,16 @@ object Similarity {
         .map(_._2.sortBy(_._2).map(_._3))
     })
 
-  /** ADC top-[[PqShortlist]] + exact rerank to top-5 — the full PQ
-    * query pipeline. Asymmetric distance: each probe precomputes a
-    * PqM×PqK lookup table of subspace dots against the codebooks
-    * (driver-side, KBs, rides the UDF closure = broadcast), so scoring
-    * a corpus vector is PqM table lookups over its byte codes — the
-    * scan never touches a float vector. The shortlist (10×[[PqShortlist]]
-    * rows) then joins back to the raw embeddings for EXACT cosine
-    * rerank. At 100 TB: first pass reads the 8-byte-per-vector codes
-    * table (32× less I/O than raw), zero shuffle until the
-    * per-probe TakeOrdered; rerank touches [[PqShortlist]] vectors per
-    * probe regardless of corpus size. */
-  private[graft] def simsearchPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    DotProduct.register(spark)
-    val cbs = trainedPq(spark, dir)
-    ensurePqIndex(spark, dir)
-    val codes = spark.read.parquet(graft.core.Fixtures.path(dir, PqCodesName))
+  /** Per-probe ADC machinery for the 10 fixed probes: the PqM×PqK
+    * lookup tables of subspace dots (driver-computed from the
+    * unit-normalized probe vectors — KBs, rides the UDF closure =
+    * broadcast) plus the scoring UDF (PqM table lookups per corpus
+    * row) and the literal probe-id array for the zero-shuffle explode.
+    * Shared by the pure-PQ and IVF-PQ query paths. */
+  private def adcScorer(spark: SparkSession, dir: String,
+      cbs: Array[Array[Array[Double]]])
+      : (org.apache.spark.sql.expressions.UserDefinedFunction, Column) = {
     val sub = cbs(0)(0).length
-    // 10 fixed probes, driver-collected (bounded — same class as the
-    // IVF centroid read), unit-normalized, expanded to ADC LUTs
     val probeVecs = emb(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
@@ -1103,13 +1094,41 @@ object Similarity {
       while (m < codes.length) { s += lut(m)(codes(m)); m += 1 }
       s
     }
-    val probeIds = array(probeVecs.map(p => lit(p._1)).toIndexedSeq: _*)
+    (adc, array(probeVecs.map(p => lit(p._1)).toIndexedSeq: _*))
+  }
+
+  /** ADC top-[[PqShortlist]] + exact rerank to top-5 — the full PQ
+    * query pipeline. Asymmetric distance: each probe precomputes a
+    * PqM×PqK lookup table of subspace dots against the codebooks
+    * (driver-side, KBs, rides the UDF closure = broadcast), so scoring
+    * a corpus vector is PqM table lookups over its byte codes — the
+    * scan never touches a float vector. The shortlist (10×[[PqShortlist]]
+    * rows) then joins back to the raw embeddings for EXACT cosine
+    * rerank. At 100 TB: first pass reads the 8-byte-per-vector codes
+    * table (32× less I/O than raw), zero shuffle until the
+    * per-probe TakeOrdered; rerank touches [[PqShortlist]] vectors per
+    * probe regardless of corpus size. */
+  private[graft] def simsearchPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark)
+    val cbs = trainedPq(spark, dir)
+    ensurePqIndex(spark, dir)
+    val codes = spark.read.parquet(graft.core.Fixtures.path(dir, PqCodesName))
+    val (adc, probeIds) = adcScorer(spark, dir, cbs)
     // ADC scan: explode the 10-probe literal over the codes table —
     // zero shuffle, no join; then per-probe shortlist
     val scored = codes
       .select(col("vec_id"), col("codes"), explode(probeIds).as("probe_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc", adc(col("probe_id"), col("codes")))
+    adcShortlistRerank(spark, dir, scored)
+  }
+
+  /** Shared tail of both PQ query paths: per-probe ADC shortlist
+    * ([[PqShortlist]]-deep, map-side WindowGroupLimit heaps) → exact
+    * cosine rerank of the ≤ probes×[[PqShortlist]] candidates → top-5.
+    * `scored` must carry (probe_id, vec_id, adc). */
+  private def adcShortlistRerank(spark: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
     val wShort = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     val shortlist = scored
@@ -1175,9 +1194,75 @@ object Similarity {
        |FROM exact WHERE rn <= 5
        |${O.OrderAll}"""
 
+  /** IVF-PQ — the composition faiss actually ships as its workhorse
+    * (`IVFx,PQy`): IVF's coarse cells prune WHICH vectors to score
+    * (4-of-16 cells ≈ quarter of the corpus), PQ's codes make scoring
+    * the survivors nearly free (8 table lookups each), and the exact
+    * rerank recovers precision on the [[PqShortlist]]-deep shortlist.
+    * Candidates come from the cell equi-join (broadcast probe list,
+    * same as `llm_simsearch_ivf`), codes attach via a vec_id equi-join
+    * against the PQ index. At 100 TB you store the codes INSIDE the
+    * cell layout (one cid-partitioned table carrying vec_id + codes,
+    * raw vectors in cold storage) so the attach join disappears; here
+    * the two indexes stay independent artifacts and the join documents
+    * the seam. Everything downstream of candidate generation is the
+    * shared PQ tail. */
+  private[graft] def simsearchIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark)
+    val cents = trainedCentroids(spark, dir)
+    val cbs = trainedPq(spark, dir)
+    ensurePqIndex(spark, dir)
+    val codes = spark.read.parquet(graft.core.Fixtures.path(dir, PqCodesName))
+    val indexed = indexedCells(spark, dir)
+    val (adc, _) = adcScorer(spark, dir, cbs)
+    val probes = indexed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"),
+        explode(nearestCentroids(cents, IvfProbes)(col("embedding"))).as("cid"))
+    val scored = indexed.select(col("vec_id"), col("cid"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(codes, Seq("vec_id"))
+      .withColumn("adc", adc(col("probe_id"), col("codes")))
+    adcShortlistRerank(spark, dir, scored)
+  }
+
+  /** Keyed IVF-PQ query: recall vs the exact twin (bounded below by
+    * neither parent alone — pinned against BOTH in LlmSpec) plus the
+    * IVF pruning bound; booleans oracle-pinned TRUE. */
+  def simsearchIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(simsearch(spark, dir))
+    val ivfpq = pairs(simsearchIvfPqTopK(spark, dir))
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    val n = emb(spark, dir).count()
+    val cand = simsearchIvfCandidates(spark, dir).count()
+    val frac = cand.toDouble / (10.0 * (n - 1))
+    spark.range(1).select(
+      lit(10L).as("n_probes"), lit(5L).as("k"),
+      lit(exact.size.toLong).as("n_exact_pairs"),
+      lit(recall >= PqRecallBound).as("recall_ge_bound"),
+      lit(frac <= IvfScoredFracBound).as("scored_frac_le_bound"))
+  }
+
+  private val simsearchIvfPqSql =
+    s"""WITH exact AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY round($oracleCos, 6) DESC, c.vec_id ASC) AS rn
+       |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 10)
+       |SELECT CAST(10 AS BIGINT) AS n_probes, CAST(5 AS BIGINT) AS k,
+       |  COUNT(*) AS n_exact_pairs,
+       |  TRUE AS recall_ge_bound, TRUE AS scored_frac_le_bound
+       |FROM exact WHERE rn <= 5
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "llm_semdedup" -> Q(semDedup _, semDedupSql),
     "llm_simsearch_pq" -> Q(simsearchPq _, simsearchPqSql),
+    "llm_simsearch_ivfpq" -> Q(simsearchIvfPq _, simsearchIvfPqSql),
     "llm_quantize_int8" -> Q(quantizeInt8 _, quantizeInt8Sql),
     "llm_simsearch" -> Q(simsearch _, simsearchSql),
     "llm_simsearch_lsh" -> Q(simsearchLsh _, simsearchLshSql),

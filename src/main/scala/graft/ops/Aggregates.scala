@@ -47,8 +47,8 @@ object Aggregates {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${O.dsum("l_quantity")} AS sum_qty,
        |  ${O.dsum("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM(${O.revenue}) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM(${O.revenue} * ${O.onePlus("l_tax")}) AS DOUBLE) AS sum_charge,
+       |  ${O.dsumExpr(O.revenue)} AS sum_disc_price,
+       |  ${O.dsumExpr(s"${O.revenue} * ${O.onePlus("l_tax")}")} AS sum_charge,
        |  ${O.davg("l_quantity")} AS avg_qty,
        |  ${O.davg("l_extendedprice")} AS avg_price,
        |  ${O.davg("l_discount")} AS avg_disc,
@@ -624,7 +624,44 @@ object Aggregates {
        |GROUP BY f.cohort, day_off
        |${O.OrderAll}"""
 
+  /** Deterministic mode (most frequent value, lowest wins ties): the
+    * per-group quantity mode with its frequency. `mode(e, true)` pins
+    * Spark's tie behavior to "lowest value" so the oracle can replay it
+    * relationally (count → rank by (n DESC, v ASC) → first). Without
+    * the flag the result is whichever tie the hash table surfaces —
+    * unverifiable and non-reproducible across runs.
+    *
+    * 100 TB: exact mode needs the full (group, value) count table —
+    * two-level map-combined aggregation whose shuffle grows with
+    * DISTINCT values per group (here quantities 1..50: tiny). For
+    * unbounded value domains the scale answer is `agg_heavy_hitters`'
+    * Misra–Gries sketch: the mode is its top entry, with an error
+    * bound instead of an exact count. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          mode(col("l_quantity"), deterministic = true).as("qty_mode"),
+          count(lit(1)).as("n_rows")))
+
+  private val aggModeSql =
+    s"""WITH c AS (
+       |  SELECT l_returnflag, l_quantity AS v, COUNT(*) AS n
+       |  FROM lineitem GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT l_returnflag, v,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY n DESC, v ASC) AS rk
+       |  FROM c),
+       |tot AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
+       |SELECT t.l_returnflag, r.v AS qty_mode, t.n_rows
+       |FROM tot t JOIN ranked r
+       |  ON r.l_returnflag = t.l_returnflag AND r.rk = 1
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "agg_mode" -> Q(aggMode _, aggModeSql),
     "agg_retention" -> Q(aggRetention _, aggRetentionSql),
     "agg_count_min" -> Q(aggCountMin _, aggCountMinSql),
     "agg_heavy_hitters" -> Q(aggHeavyHitters _, aggHeavyHittersSql),

@@ -80,7 +80,7 @@ object Relational {
           count(lit(1)).as("n_items")))
 
   private val joinBroadcastSql =
-    s"""SELECT p_brand, CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue,
+    s"""SELECT p_brand, ${O.dsumExpr(O.revenue)} AS revenue,
        |  COUNT(*) AS n_items
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_brand
@@ -463,7 +463,7 @@ object Relational {
   }
 
   private val joinStarSql =
-    s"""SELECT r_name, p_type, CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue,
+    s"""SELECT r_name, p_type, ${O.dsumExpr(O.revenue)} AS revenue,
        |  COUNT(*) AS n_items, COUNT(DISTINCT s_suppkey) AS n_suppliers
        |FROM lineitem
        |JOIN part ON l_partkey = p_partkey
@@ -532,7 +532,7 @@ object Relational {
 
   private val topkGroupedSql =
     s"""WITH rev AS (
-       |  SELECT p_brand, p_partkey, CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue
+       |  SELECT p_brand, p_partkey, ${O.dsumExpr(O.revenue)} AS revenue
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
        |  GROUP BY p_brand, p_partkey)
        |SELECT * FROM (

@@ -186,7 +186,7 @@ object ScaleJoins {
 
   private val joinShuffleHashSql =
     s"""SELECT o_orderpriority, COUNT(*) AS n_items,
-       |  CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue
+       |  ${O.dsumExpr(O.revenue)} AS revenue
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority
        |${O.OrderAll}"""

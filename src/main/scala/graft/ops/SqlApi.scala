@@ -35,7 +35,7 @@ object SqlApi {
 
   private val sqlTpchQ3Sql =
     s"""SELECT l_orderkey,
-       |  CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue,
+       |  ${O.dsumExpr(O.revenue)} AS revenue,
        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
        |  o_orderpriority
        |FROM customer
@@ -135,7 +135,7 @@ object SqlApi {
 
   private val sqlTpchQ5Sql =
     s"""SELECT n_name,
-       |  CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue,
+       |  ${O.dsumExpr(O.revenue)} AS revenue,
        |  COUNT(*) AS n_items
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
@@ -486,10 +486,10 @@ object SqlApi {
   }
 
   private val sqlTpchQ14Sql =
-    s"""SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'STANDARD%'
-       |    THEN ${O.revenue}
-       |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-       |  / CAST(SUM(${O.revenue}) AS DOUBLE) AS promo_revenue_pct,
+    s"""SELECT ${O.dbl(
+         s"100.0 * SUM(CASE WHEN p_type LIKE 'STANDARD%' THEN ${O.revenue} " +
+           "ELSE CAST(0 AS DECIMAL(12,2)) END)")}
+       |  / ${O.dsumExpr(O.revenue)} AS promo_revenue_pct,
        |  COUNT(*) AS n_lines
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
@@ -583,7 +583,7 @@ object SqlApi {
   }
 
   private val sqlTpchQ19Sql =
-    s"""SELECT CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue,
+    s"""SELECT ${O.dsumExpr(O.revenue)} AS revenue,
        |  COUNT(*) AS n_lines
        |FROM lineitem JOIN part ON
        |  (p_partkey = l_partkey AND p_brand = 'Brand#12'
@@ -656,7 +656,7 @@ object SqlApi {
 
   private val sqlPipeSql =
     s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-       |  CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue
+       |  ${O.dsumExpr(O.revenue)} AS revenue
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
        |GROUP BY l_returnflag, l_linestatus

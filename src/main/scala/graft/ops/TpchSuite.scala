@@ -68,8 +68,8 @@ object TpchSuite {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${O.dsum("l_quantity")} AS sum_qty,
        |  ${O.dsum("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM(${O.revenue}) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM(${O.revenue} * ${O.onePlus("l_tax")}) AS DOUBLE)
+       |  ${O.dsumExpr(O.revenue)} AS sum_disc_price,
+       |  ${O.dsumExpr(s"${O.revenue} * ${O.onePlus("l_tax")}")}
        |    AS sum_charge,
        |  ${O.dsum("l_quantity")} / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
        |  ${O.dsum("l_extendedprice")} / CAST(COUNT(*) AS DOUBLE) AS avg_price,
@@ -104,8 +104,9 @@ object TpchSuite {
   }
 
   private val sqlTpchQ6Sql =
-    s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-       |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    s"""SELECT ${O.dsumExpr(
+         s"${O.dec("l_extendedprice")} * CAST(l_discount AS DECIMAL(4,2))")}
+       |    AS revenue,
        |  COUNT(*) AS n_lines
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -157,7 +158,7 @@ object TpchSuite {
 
   private val sqlTpchQ7Sql =
     s"""SELECT supp_region, cust_region, l_year,
-       |  CAST(SUM(volume) AS DOUBLE) AS revenue,
+       |  ${O.dsumExpr("volume")} AS revenue,
        |  COUNT(*) AS n_lines
        |FROM (
        |  SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
@@ -218,9 +219,10 @@ object TpchSuite {
 
   private val sqlTpchQ8Sql =
     s"""SELECT o_year,
-       |  CAST(SUM(CASE WHEN supp_region = 'EUROPE' THEN volume
-       |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-       |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       |  ${O.dsumExpr(
+         "CASE WHEN supp_region = 'EUROPE' THEN volume " +
+           "ELSE CAST(0 AS DECIMAL(12,2)) END")}
+       |    / ${O.dsumExpr("volume")} AS mkt_share,
        |  COUNT(*) AS n_lines
        |FROM (
        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -275,7 +277,7 @@ object TpchSuite {
 
   private val sqlTpchQ9Sql =
     s"""SELECT nation, o_year,
-       |  CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+       |  ${O.dsumExpr("amount")} AS sum_profit,
        |  COUNT(*) AS n_lines
        |FROM (
        |  SELECT n_name AS nation,
@@ -327,7 +329,7 @@ object TpchSuite {
   private val sqlTpchQ10Sql =
     s"""SELECT * FROM (
        |  SELECT c_custkey, c_name,
-       |    CAST(SUM(${O.revenue}) AS DOUBLE) AS revenue,
+       |    ${O.dsumExpr(O.revenue)} AS revenue,
        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
        |    n_name, c_mktsegment
        |  FROM customer
@@ -414,7 +416,7 @@ object TpchSuite {
        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
        |  GROUP BY l_suppkey)
-       |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+       |SELECT s_suppkey, s_name, ${O.dbl("total_rev")} AS total_rev
        |FROM supplier
        |JOIN revenue ON s_suppkey = supplier_no
        |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)

@@ -428,6 +428,64 @@ class LlmSpec extends AnyFunSuite {
     assert(outOfRange === 0, "codes must fit one byte (K=256)")
   }
 
+  test("IVF-PQ: composed recall within both parents' regime; candidates are IVF's") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(llm.Similarity.simsearch(spark, Sf))
+    val ivf = pairs(llm.Similarity.simsearchIvfTopK(spark, Sf))
+    val ivfpq = pairs(llm.Similarity.simsearchIvfPqTopK(spark, Sf))
+    val rIvf = (exact & ivf).size.toDouble / exact.size
+    val rIvfPq = (exact & ivfpq).size.toDouble / exact.size
+    // the exact rerank recovers everything ADC ranks into the 50-deep
+    // shortlist, so composing PQ can cost at most what ADC misses —
+    // bounded here as "within 0.2 of plain IVF", measured ~equal
+    assert(rIvfPq >= rIvf - 0.2,
+      f"IVF-PQ recall $rIvfPq%.2f collapsed vs IVF's $rIvf%.2f")
+    assert(rIvfPq >= 0.5, f"IVF-PQ recall $rIvfPq%.2f below floor")
+    info(f"recall: IVF $rIvf%.2f, IVF-PQ $rIvfPq%.2f")
+  }
+
+  test("PQ ADC error is bounded by the quantization error (Cauchy–Schwarz)") {
+    // on the REAL persisted artifacts: for unit q and unit x,
+    // |dot(q,x) − ADC(q,codes(x))| = |dot(q, x − recon(x))| ≤ ‖x − recon(x)‖
+    // — the ADC approximation can never be worse than the codebook's
+    // reconstruction error. A broken encoder (wrong subspace slicing,
+    // transposed codebooks) violates this immediately.
+    llm.Similarity.ensurePqIndex(spark, Sf)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    val cbs = spark.read.parquet(core.Fixtures.path(Sf, llm.Similarity.PqCodebooksName))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1).map(_._2.sortBy(_._2).map(_._3))
+    val sub = cbs(0)(0).length
+    val codes = spark.read.parquet(core.Fixtures.path(Sf, llm.Similarity.PqCodesName))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val vecs = core.Tables.load(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> unit(r.getSeq[Float](1).map(_.toDouble).toArray))
+    val q = vecs.find(_._1 == 0L).get._2
+    var maxViolation = 0.0
+    var reconSum = 0.0
+    vecs.foreach { case (id, x) =>
+      val recon = codes(id).zipWithIndex.flatMap { case (c, m) => cbs(m)(c) }
+      val exact = q.zip(x).map { case (a, b) => a * b }.sum
+      val adc = (0 until cbs.length).map { m =>
+        (0 until sub).map(j => q(m * sub + j) * cbs(m)(codes(id)(m))(j)).sum
+      }.sum
+      val reconErr = math.sqrt(x.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum)
+      maxViolation = math.max(maxViolation, math.abs(exact - adc) - reconErr)
+      reconSum += reconErr
+    }
+    assert(maxViolation <= 1e-9,
+      f"ADC error exceeded the reconstruction bound by $maxViolation%.2e")
+    val meanRecon = reconSum / vecs.length
+    assert(meanRecon < 0.9 && meanRecon > 0.0,
+      f"codebooks must compress usefully (lossy but informative), got $meanRecon%.3f")
+    info(f"mean reconstruction error $meanRecon%.3f over ${vecs.length} vectors")
+  }
+
   test("span_dedup: spans are exactly 8 tokens, ≥2 docs each, capped at 100") {
     val out = llm.Dedup.spanDedup(spark, Sf).collect()
     assert(out.nonEmpty && out.length <= 100)

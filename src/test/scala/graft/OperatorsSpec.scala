@@ -372,6 +372,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_mode: the mode's frequency is maximal and ties resolve to the lowest value") {
+    val rows = ops.Aggregates.aggMode(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val li = core.Tables.load(spark, Sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val m = r.getDouble(1)
+      val counts = li.filter(_._1 == flag).groupBy(_._2).view.mapValues(_.length)
+      val maxN = counts.values.max
+      assert(counts(m) === maxN, s"$flag: mode $m has count ${counts(m)}, max is $maxN")
+      // deterministic=true pins ties to the LOWEST value
+      val winners = counts.filter(_._2 == maxN).keys
+      assert(m === winners.min, s"$flag: tie must resolve to ${winners.min}, got $m")
+    }
+  }
+
   test("ts_interpolate: observed days exact; gap days lie on the neighbor segment") {
     val rows = ops.Windows.tsInterpolate(spark, Sf).collect()
     assert(rows.nonEmpty && rows.forall(!_.isNullAt(2)))
