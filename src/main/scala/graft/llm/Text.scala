@@ -675,7 +675,75 @@ object Text {
        |GROUP BY doc_id, n_grams
        |${O.OrderAll}"""
 
+  /** Token-level Shannon entropy per document — the information-density
+    * score of the text-quality family (low-entropy docs are boilerplate,
+    * keyword stuffing, or template spam; entropy filters sit beside
+    * repetition/quality gates in every pretraining curation stack, e.g.
+    * the C4/Gopher rule families). H = −Σ p·log₂p over the doc's token
+    * frequency distribution, plus the normalized H / log₂(distinct)
+    * (1.0 = uniform usage, → 0 = one token dominates).
+    *
+    * Determinism: p = c/n is an exact-rational double (both engines
+    * divide the same two BIGINTs, correctly rounded); log₂ is the one
+    * transcendental — per-term last-ulp libm divergence is absorbed by
+    * round6 of the summed score (the `llm_simsearch` convention).
+    * Per-doc term sums run in Spark partition order vs DuckDB hash
+    * order, but each term's p·log₂p is identical bits and a ≤100-term
+    * sum's order error is ≪ 1e-9, far inside round6.
+    *
+    * 100 TB: explode → ONE shuffle on (doc_id, token) for term counts,
+    * then the per-doc totals and the entropy sum both ride doc_id —
+    * Spark reuses the (doc_id, token) hash partitioning for the doc_id
+    * re-aggregation (every (doc_id,·) key already lives in one
+    * partition), so no second exchange of the big side. Token counts,
+    * not raw tokens, cross the wire: map-side combine collapses
+    * repeated tokens before the shuffle. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val tc = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("clog"))
+    // H = log2(n) − (Σ c·log2 c)/n  (algebraically = −Σ p·log2 p, but
+    // needs only per-term c — no second pass to attach n to each term)
+    // H ≥ 0 mathematically; greatest(·, 0) clamps the ≤1-ulp negative
+    // the cancellation can leave AND normalizes −0.0 → 0.0 (the two
+    // engines may disagree on which side of zero the ulp lands, and a
+    // −0.0 vs 0.0 bit difference poisons the hash)
+    val h = greatest(log2(col("n").cast("double")) -
+      col("clog") / col("n").cast("double"), lit(0.0))
+    ordered(perDoc.select(
+      col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+      round6(h).as("entropy_bits"),
+      when(col("n_distinct") > 1,
+        round6(h / log2(col("n_distinct").cast("double"))))
+        .as("entropy_norm")))
+  }
+
+  private val entropySql =
+    s"""WITH tc AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, token, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_distinct,
+       |    SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clog
+       |  FROM cnt GROUP BY 1)
+       |SELECT doc_id, n AS n_tokens, n_distinct,
+       |  round(greatest(log2(CAST(n AS DOUBLE)) - clog / CAST(n AS DOUBLE),
+       |                 0.0), 6) AS entropy_bits,
+       |  CASE WHEN n_distinct > 1 THEN
+       |    round(greatest(log2(CAST(n AS DOUBLE)) - clog / CAST(n AS DOUBLE),
+       |                   0.0) / log2(CAST(n_distinct AS DOUBLE)), 6)
+       |  END AS entropy_norm
+       |FROM per_doc
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_entropy" -> Q(entropy _, entropySql),
     "llm_winnow" -> Q(winnow _, winnowSql),
     "llm_bm25" -> Q(bm25 _, bm25Sql),
     "llm_ppl_buckets" -> Q(pplBuckets _, pplBucketsSql),

@@ -64,17 +64,24 @@ object Graph {
     r
   }
 
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** The symmetric parts-co-ordered edge list (both directions present,
+    * no self-loops) on a deterministic 1/`mod` order slice —
+    * materialized once (localCheckpoint) because every iterative
+    * consumer re-joins it each round. */
+  private[graft] def coOrderEdges(spark: SparkSession, dir: String, mod: Int): DataFrame = {
     val op = t(spark, dir, "lineitem")
-      .filter(col("l_orderkey") % 16 === 0)
+      .filter(col("l_orderkey") % mod === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    // symmetric (both directions present), no self-loops
-    val e = op.as("x").join(op.as("y"),
+    op.as("x").join(op.as("y"),
         col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst"))
       .distinct()
       .localCheckpoint()
+  }
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir, 16)
     ordered(pageRankIterations(e, 8)
       .select(col("v").as("part"), col("r").as("rank_fp")))
   }
@@ -106,7 +113,98 @@ object Graph {
        |${O.OrderAll}"""
   }
 
+  /** Multi-source BFS, hop-capped at [[BfsHops]]: distance from every
+    * node to its nearest "hub" (seed = part id ≡ 0 mod 100 — a
+    * deterministic ~1% seed set, the nearest-distribution-center /
+    * nearest-labeled-example query shape). Pure frontier iteration:
+    * round r joins the d = r−1 frontier against the static edge list
+    * and re-minimizes — the canonical bulk-synchronous BFS every
+    * distributed graph engine (Pregel, GraphX, GraphFrames) compiles
+    * to, spelled directly in DataFrame ops.
+    *
+    * The hop cap is a SEMANTIC part of the operator (bounded-radius
+    * reachability), not a test convenience: it makes the work per
+    * round O(frontier ⋈ edges) with a hard bound, keeps the oracle's
+    * recursive CTE terminating on both engines, and is what production
+    * "within k hops" queries actually ask. Distances are exact ints —
+    * no float anywhere — so any engine, any partitioning, any run
+    * produces identical rows. Each round localCheckpoints: the plan
+    * stays one join deep instead of growing an 8-join lineage.
+    *
+    * 100 TB: per round ONE equi-join frontier⋈edges (frontier shrinks
+    * geometrically on small-world graphs; AQE right-sizes each round
+    * because the checkpoint re-plans) + ONE min re-aggregation on the
+    * vertex id — the same per-round shape as [[pageRankIterations]]
+    * and `llm_dup_clusters`' components. Unreached nodes are absent
+    * (not NULL-distance) — the frontier never carries the whole graph. */
+  private[graft] val BfsHops = 6
+
+  /** The iteration core over any symmetric (src, dst) edge list plus a
+    * (v) seed set — exposed for PropertySpec chains/rings where the
+    * cap genuinely truncates. Returns (v, d), d = min hops ≤ cap. */
+  private[graft] def bfsIterations(e: DataFrame, seeds: DataFrame, cap: Int): DataFrame = {
+    var dist = seeds.select(col("v"), lit(0).as("d")).localCheckpoint()
+    for (r <- 1 to cap) {
+      val cand = e.join(dist.filter(col("d") === r - 1), e("src") === dist("v"))
+        .select(col("dst").as("v"), lit(r).as("d"))
+      dist = dist.unionByName(cand)
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir, 16)
+    val seeds = e.select(col("src").as("v")).distinct()
+      .filter(col("v") % 100 === 0)
+    ordered(bfsIterations(e, seeds, BfsHops)
+      .select(col("v").as("part"), col("d").as("dist")))
+  }
+
+  private val bfsSql =
+    s"""WITH RECURSIVE op AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_orderkey % 16 = 0),
+       |e AS (
+       |  SELECT DISTINCT x.p AS src, y.p AS dst
+       |  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+       |bfs(v, d) AS (
+       |  SELECT DISTINCT src AS v, 0 AS d FROM e WHERE src % 100 = 0
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.v
+       |  WHERE b.d < $BfsHops)
+       |SELECT v AS part, MIN(d) AS dist FROM bfs GROUP BY v
+       |${O.OrderAll}"""
+
+  /** Degree distribution — the first diagnostic anyone runs on a graph
+    * before choosing a join strategy (it is literally the input to the
+    * skew/salting decision `join_salted` encodes). One hash agg for
+    * per-node degree, one more for the histogram; both map-side
+    * combinable, nothing else moves. At 100 TB this is the cheap probe
+    * you run FIRST so the expensive triangle/CC/PageRank jobs can pick
+    * degree-ordered or salted shapes. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir, 16)
+    ordered(
+      e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes")))
+  }
+
+  private val degreeHistogramSql =
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_orderkey % 16 = 0),
+       |e AS (
+       |  SELECT DISTINCT x.p AS src, y.p AS dst
+       |  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
+       |deg AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src)
+       |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
-    "graph_pagerank" -> Q(pageRank _, pageRankSql)
+    "graph_pagerank" -> Q(pageRank _, pageRankSql),
+    "graph_bfs" -> Q(bfs _, bfsSql),
+    "graph_degree" -> Q(degreeHistogram _, degreeHistogramSql)
   )
 }

@@ -609,6 +609,28 @@ object Relational {
        |SELECT c_custkey AS o_custkey FROM customer
        |${O.OrderAll}"""
 
+  /** Bag-semantics intersect: min(multiplicity) occurrences survive per
+    * key — the multiset counterpart of `set_intersect`, completing the
+    * §2.7 family (UNION / INTERSECT / EXCEPT each in both DISTINCT and
+    * ALL flavors). A reconciliation between two fact extracts keeps as
+    * many copies of a key as BOTH extracts agree on. Spark plans
+    * `intersectAll` as count-per-key aggregation + generate — one
+    * shuffle per side on the compared columns, no join explosion; at
+    * 100 TB the shape is two hash aggs + an equi-join on the full row,
+    * identical to `set_except_all`'s. */
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "orders").select(col("o_custkey"))
+        .intersectAll(
+          t(spark, dir, "lineitem")
+            .select(col("l_suppkey").as("o_custkey"))))
+
+  private val setIntersectAllSql =
+    s"""SELECT o_custkey FROM orders
+       |INTERSECT ALL
+       |SELECT l_suppkey AS o_custkey FROM lineitem
+       |${O.OrderAll}"""
+
   /** As-of join with a TOLERANCE bound (pandas `merge_asof(tolerance=)`):
     * the latest view at most 30 minutes before each purchase — matches
     * older than the bound are discarded, the left row survives with
@@ -728,9 +750,66 @@ object Relational {
        |  FROM orders ORDER BY 2, 1 LIMIT 100)
        |${O.OrderAll}"""
 
+  /** WEIGHTED sample without replacement — completing the sampling
+    * family (exact-quota strata / uniform bottom-k / weighted): each
+    * lineitem is drawn with probability increasing in its integer
+    * weight (l_quantity ∈ 1..50) via hash replication: conceptually
+    * the row enters the uniform bottom-k lottery w times, and its
+    * ticket is the MINIMUM of w per-replica hashes — a row with twice
+    * the weight holds twice the tickets, which is the min-wise
+    * estimator behind weighted KMV / priority sampling (Duffield,
+    * Lund, Thorup 2007; the exponential-rank A-ES scheme computes the
+    * same order statistic in closed form but needs `ln(u)/w` floats
+    * the oracle cannot replay bit-for-bit; the integer replica-min is
+    * the cross-engine-exact spelling, and the weighting law itself is
+    * pinned by a PropertySpec frequency test).
+    *
+    * The replica min is computed ROW-LOCALLY as
+    * `array_min(transform(sequence(1, w), h))` — a ≤50-element array
+    * per row inside whole-stage codegen, NO explode and NO groupBy: at
+    * 100 TB the naive explode-then-regroup spelling shuffles w× the
+    * input; this one shuffles nothing at all, because the global
+    * bottom-k then compiles to TakeOrderedAndProject (per-partition
+    * k-row heaps, driver merge — `sample_bottomk`'s shape). Per-replica
+    * hashes are seeded md5 over (key, replica) — the engine-portable
+    * family the whole §2.6 suite uses, and genuinely INDEPENDENT
+    * draws: a linear congruential h(key, i) was measured (PropertySpec
+    * frequency law) to under-weight heavy rows, because over i it is
+    * an arithmetic progression whose min tracks the key's base hash,
+    * not the replica count. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("w"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("string").as("key"))
+    ordered(
+      li.select(col("l_orderkey"), col("l_linenumber"), col("w"),
+          array_min(transform(
+            sequence(lit(1L), col("w")),
+            i => md5(concat(lit("ws"), col("key"), lit(":"), i.cast("string")))))
+            .as("ticket"))
+        .orderBy(col("ticket"), col("l_orderkey"), col("l_linenumber"))
+        .limit(k))
+  }
+
+  private val sampleWeightedSql =
+    s"""SELECT l_orderkey, l_linenumber, w, ticket FROM (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(l_quantity AS BIGINT) AS w,
+       |    list_min(list_transform(
+       |      generate_series(1, CAST(l_quantity AS BIGINT)),
+       |      i -> md5('ws' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)
+       |                || ':' || CAST(i AS VARCHAR)))) AS ticket
+       |  FROM lineitem
+       |  ORDER BY 4, 1, 2 LIMIT 50)
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "sample_stratified" -> Q(sampleStratified _, sampleStratifiedSql),
     "sample_bottomk" -> Q(sampleBottomK _, sampleBottomKSql),
+    "sample_weighted" -> Q(sampleWeighted _, sampleWeightedSql),
+    "set_intersect_all" -> Q(setIntersectAll _, setIntersectAllSql),
     "set_except_all" -> Q(setExceptAll _, setExceptAllSql),
     "project_derive" -> Q(projectDerive _, projectDeriveSql),
     "filter_pred" -> Q(filterPred _, filterPredSql),

@@ -692,7 +692,129 @@ object Windows {
        |FROM rev JOIN customer ON o_custkey = c_custkey
        |${O.OrderAll}"""
 
+  /** OHLC downsampling — time-series resampling to candle grain (the
+    * tick→bar step of every market/metrics pipeline): per user per UTC
+    * day, open/high/low/close of `value` plus exact volume. high/low/
+    * count/volume are plain commutative aggregates; open and close are
+    * `min_by`/`max_by` over a zero-padded `(epoch_µs, event_id)` string
+    * key — a total order even under equal timestamps, so both engines
+    * pick the identical row (struct-ordering `min_by` exists only on
+    * the Spark side; the padded-string key is the cross-engine total
+    * order, same family as `sample_stratified`'s md5 ranking).
+    *
+    * Deliberately a pure groupBy, NOT a window: all six candle fields
+    * are mergeable aggregates, so the plan is one partial agg (map-side
+    * combine collapses each input partition to ≤ |users × days| rows)
+    * + one shuffle of the COMBINED candles + one final agg. The
+    * row_number-over-window spelling sorts every raw tick inside a
+    * user partition — at 100 TB that is a full sort of the fact table
+    * versus this plan's shuffle of only the pre-aggregated bars. */
+  def tsDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val ordKey = format_string("%020d%010d",
+      unix_micros(col("ts")), col("event_id"))
+    ordered(
+      t(spark, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          min_by(col("value"), ordKey).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ordKey).as("close"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("volume"))
+        .withColumn("day", dateStr(col("day"))))
+  }
+
+  private val tsDownsampleSql = {
+    val ordKey =
+      "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0')"
+    s"""SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       |  min_by("value", $ordKey) AS open,
+       |  max("value") AS high,
+       |  min("value") AS low,
+       |  max_by("value", $ordKey) AS close,
+       |  COUNT(*) AS n_events,
+       |  ${O.dsum("\"value\"")} AS volume
+       |FROM events GROUP BY 1, 2
+       |${O.OrderAll}"""
+  }
+
+  /** Rolling least-squares trend — the regression window every
+    * monitoring/forecast pipeline runs (is this metric drifting, and
+    * how fast?): per user, over the trailing 20 events, the OLS slope
+    * of value-in-cents against hours-since-epoch. ALL five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) are window sums of exact BIGINTs
+    * — x = epoch-hours (≤ 10⁶, so x² ≤ 10¹², and 20-row sums stay
+    * ≪ 2⁶³), y = cents via `floor(value·100 + 0.5)` (the corpus is
+    * 2-decimal money; ·100 and floor are IEEE-exact on both engines) —
+    * so slope numerator and denominator are identical integers on any
+    * engine/partitioning, and the single final double division is
+    * correctly rounded identically. Windowed SUM(double) would hit
+    * partition-order (Spark) vs segment-tree (DuckDB) summation-order
+    * divergence; integer sufficient statistics make the whole frame
+    * algebra order-free. Collinear frames (all 20 events in one hour,
+    * denominator 0) surface as NULL, not a division error.
+    *
+    * 100 TB: one shuffle on user_id + one sorted pass; the five sums
+    * share ONE window frame, so Spark evaluates them in a single
+    * WindowExec over a single sort — O(1) state per row, no
+    * re-aggregation per column. */
+  def winRegression(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-19, Window.currentRow)
+    val base = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("ts_us"),
+        // `div`, not `/`: bigint `/` is DOUBLE division in Spark, and
+        // epoch-µs exceeds 2^53 so the double round-trip is lossy
+        expr("unix_micros(ts) div 3600000000").as("x"),
+        floor(col("value") * 100 + 0.5).as("y"))
+      // xy/xx PRE-computed: a window sum over a derived expression makes
+      // ExtractWindowExpressions interleave Project+Window nodes (three
+      // WindowExecs observed); over plain columns all five sums collapse
+      // into ONE Window node — pinned in PlanSpec
+      .withColumn("xy", col("x") * col("y"))
+      .withColumn("xx", col("x") * col("x"))
+    val stats = base
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("xy")).over(w))
+      .withColumn("sxx", sum(col("xx")).over(w))
+    ordered(stats.select(
+      col("user_id"), col("event_id"), col("ts_us"), col("n"),
+      when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+        round6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+        .as("slope_cents_per_hour")))
+  }
+
+  private val winRegressionSql =
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    epoch_us(ts) // 3600000000 AS x,
+       |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS y,
+       |    ts
+       |  FROM events),
+       |stats AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    COUNT(*) OVER w AS n,
+       |    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+       |    SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       |SELECT user_id, event_id, ts_us, n,
+       |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+       |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |          / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       |  END AS slope_cents_per_hour
+       |FROM stats
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "ts_downsample" -> Q(tsDownsample _, tsDownsampleSql),
+    "win_regression" -> Q(winRegression _, winRegressionSql),
     "win_pareto" -> Q(winPareto _, winParetoSql),
     "win_streak" -> Q(winStreak _, winStreakSql),
     "ts_gapfill" -> Q(tsGapfill _, tsGapfillSql),

@@ -495,4 +495,38 @@ class LlmSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("llm_entropy: bounds hold and every score matches a sequential reference") {
+    import TestSpark.Sf
+    val texts = graft.core.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.llm.Text.entropy(spark, Sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val (id, n, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val h = r.getDouble(3)
+      val counts = texts(id).split(" ", -1).groupBy(identity).map(_._2.length)
+      assert(n == counts.sum && nd == counts.size)
+      // exact reference via the same log2(n) − Σc·log2(c)/n algebra
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val clog = counts.map(c => c.toDouble * log2(c.toDouble)).sum
+      val ref = math.max(log2(n.toDouble) - clog / n.toDouble, 0.0)
+      assert(math.abs(h - round6(ref)) <= 1e-6, s"doc $id: $h vs $ref")
+      // bounds: 0 ≤ H ≤ log2(distinct); norm ∈ (0,1] iff distinct > 1
+      assert(h >= 0.0 && h <= log2(nd.toDouble) + 1e-6)
+      if (nd == 1) assert(h == 0.0 && r.isNullAt(4))
+      else {
+        val norm = r.getDouble(4)
+        assert(norm >= 0.0 && norm <= 1.0 + 1e-9)
+        assert(math.abs(norm - round6(ref / log2(nd.toDouble))) <= 1e-6)
+      }
+    }
+    // a uniform (all-distinct) doc has norm exactly 1 — assert the law
+    // holds for at least one corpus doc or vacuously for none
+    val uniform = got.filter(r => r.getLong(1) == r.getLong(2) && r.getLong(1) > 1)
+    uniform.foreach(r => assert(r.getDouble(4) == 1.0))
+  }
 }

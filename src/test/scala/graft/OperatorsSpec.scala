@@ -588,4 +588,76 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val"))
     }
   }
+
+  test("win_regression: every slope matches a sequential trailing-20 OLS reference") {
+    val events = graft.core.Tables.load(spark, Sf, "events")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ref = events.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 19), i + 1)
+        val xs = frame.map(_._3 / 3600000000L)
+        val ys = frame.map(r => math.floor(r._4 * 100 + 0.5).toLong)
+        val n = frame.length.toLong
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        val sxx = xs.map(x => x * x).sum
+        val den = n * sxx - sx * sx
+        val slope = if (den == 0) None
+          else Some(BigDecimal((n * sxy - sx * sy).toDouble / den.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        (sorted(i)._1, sorted(i)._2) -> slope
+      }
+    }.toMap
+    val got = ops.Windows.winRegression(spark, Sf).collect()
+    assert(got.length == events.length)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val slope = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      assert(slope == ref(k), s"slope mismatch at $k: got $slope want ${ref(k)}")
+    }
+  }
+
+  test("ts_downsample: candles match a sequential per-day reference, volume exact") {
+    val events = graft.core.Tables.load(spark, Sf, "events")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val ref = events.groupBy(e => (e._1, e._4)).map { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val vol = rows.map(r => BigDecimal(r._5).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      k -> (sorted.head._5, rows.map(_._5).max, rows.map(_._5).min,
+        sorted.last._5, rows.length.toLong, vol.toDouble)
+    }
+    val got = ops.Windows.tsDownsample(spark, Sf).collect()
+    assert(got.length == ref.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      val want = ref(k)
+      assert((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6), r.getDouble(7)) == want, s"candle mismatch at $k")
+    }
+  }
+
+  test("graph_degree: histogram mass equals the directed edge count; graph is regular-degree symmetric") {
+    val e = ops.Graph.coOrderEdges(spark, Sf, 16)
+    val nEdges = e.count()
+    val hist = ops.Graph.degreeHistogram(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // Σ degree·n_nodes = directed (symmetric) edge count, nodes consistent
+    assert(hist.map { case (d, n) => d * n }.sum == nEdges)
+    assert(hist.map(_._2).sum == e.select("src").distinct().count())
+  }
+
+  test("set_intersect_all keeps min(multiplicity) per key") {
+    val a = Seq(1, 1, 1, 2, 3).toDF("k")
+    val b = Seq(1, 1, 2, 2, 4).toDF("k")
+    val got = a.intersectAll(b).groupBy("k").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 2L, 2 -> 1L))
+  }
 }

@@ -566,4 +566,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"PQ rerank must stay equi-join shaped:\n$p")
   }
+
+  test("ts_downsample: candles are pure mergeable aggregates — no Window, map-side combine") {
+    // the scale claim: bars (not ticks) cross the shuffle; a
+    // row_number-over-window respelling would full-sort the fact table
+    val p = plan("ts_downsample")
+    assert(!p.contains("Window"), s"OHLC must not need a window sort:\n$p")
+    assert(p.contains("partial_min_by") || "HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("win_regression: five frame sums share ONE Window node over one sort") {
+    val p = plan("win_regression")
+    val nWin = "\\bWindow \\[".r.findAllIn(p).size
+    assert(nWin == 1, s"expected a single WindowExec, got $nWin:\n$p")
+    // one user_id shuffle + the presentation sort's range exchange only
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nHash == 1, s"expected one user_id exchange, got $nHash:\n$p")
+  }
+
+  test("sample_weighted: row-local replica-min + TakeOrdered heap, zero shuffle") {
+    // the replica lottery must never explode or re-group: the only
+    // wide ops allowed are the k-row TakeOrdered heap merge and the
+    // presentation sort
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k must be a TakeOrdered heap:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Generate"),
+      s"replica-min must stay row-local (no explode, no regroup):\n$p")
+  }
 }

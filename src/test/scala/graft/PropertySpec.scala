@@ -620,4 +620,65 @@ class PropertySpec extends AnyFunSuite {
         s"SQL ladder diverges from the Scala twin at n=$n")
     }
   }
+
+  test("property: hop-capped BFS equals brute shortest hops, truncation included") {
+    // adversarial shapes: chains longer than the cap (truncation must
+    // bite), multi-component graphs with seedless components (absent
+    // from output), seeds in dense cores vs leaves
+    val genCase: Gen[(List[(Long, Long)], List[Long])] = for {
+      raw <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+      chain = (0L to 9L).sliding(2).map(p => (p(0) + 20L, p(1) + 20L)).toList
+      seeds <- Gen.someOf(0L, 3L, 7L, 20L).map(_.toList)
+    } yield (raw.filter(e => e._1 != e._2).take(20) ++ chain, seeds)
+    check("bfs-law", Prop.forAllNoShrink(genCase) { case (edges, seedIds) =>
+      val sym = edges.flatMap(e => Seq(e, e.swap)).distinct
+      val nodes = sym.map(_._1).distinct
+      val seeds = seedIds.filter(nodes.contains)
+      val cap = 3 // below the 10-chain's diameter so truncation is real
+      // brute reference: multi-source BFS over the adjacency map
+      val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (d <- 1 to cap) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filterNot(dist.contains)
+        dist = dist ++ frontier.map(_ -> d)
+      }
+      val got = ops.Graph.bfsIterations(
+          sym.toDF("src", "dst"), seeds.toDF("v"), cap)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got == dist
+    })
+  }
+
+  test("property: weighted-sample ticket is the exact replica-min; heavy keys win more") {
+    // the ticket law: array_min(transform(sequence)) must equal a
+    // sequential Scala fold over the same seeded md5 draws — and across
+    // many (key, w) draws, weight-w keys must win the bottom-k lottery
+    // roughly ∝ w (the priority-sampling property the operator claims)
+    val genRows: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 5000L), Gen.choose(1L, 50L)))
+        .map(_.distinctBy(_._1).take(60)).suchThat(_.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def refTicket(key: Long, w: Long): String =
+      (1L to w).map(i => md5hex(s"ws$key:$i")).min
+    check("weighted-ticket", Prop.forAllNoShrink(genRows) { rows =>
+      val got = rows.toDF("key", "w")
+        .selectExpr("key", "w",
+          "array_min(transform(sequence(1L, w), i -> md5(concat('ws', CAST(key AS STRING), ':', CAST(i AS STRING))))) AS ticket")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+      rows.forall { case (k, w) => got((k, w)) == refTicket(k, w) }
+    })
+    // frequency flavor on the real operator: the weighted sample's mean
+    // weight must exceed the corpus mean (heavy rows overrepresented) —
+    // deterministic given the fixed hash family and corpus
+    val sel = ops.Relational.sampleWeighted(spark, TestSpark.Sf)
+      .agg(avg(col("w"))).head().getDouble(0)
+    val corpus = graft.core.Tables.load(spark, TestSpark.Sf, "lineitem")
+      .agg(avg(col("l_quantity"))).head().getDouble(0)
+    assert(sel > corpus,
+      s"weighted sample mean weight $sel not above corpus mean $corpus")
+  }
 }
