@@ -57,7 +57,11 @@ object PlanDump {
     "llm_semdedup" -> "semdedup: adaptive sign-plane cell id (broadcast 1-row corpus count), pair join equi-keyed on cid",
     "llm_simsearch_pq" -> "PQ: ADC pass scans ONLY <vec_id,codes> (32x I/O cut), map-side WindowGroupLimit shortlist, broadcast exact rerank",
     "ts_interpolate" -> "dual ignoreNulls frames (prev/next neighbor) share ONE Window node: one user_id shuffle, one sort",
-    "sql_pipe" -> "|> stages compile to the ANSI twin's plan: WHERE pushed to the scan, AGGREGATE combines map-side")
+    "sql_pipe" -> "|> stages compile to the ANSI twin's plan: WHERE pushed to the scan, AGGREGATE combines map-side",
+    "sample_weighted" -> "weighted sample: row-local md5 replica-min (no explode, no regroup) + TakeOrderedAndProject heap",
+    "ts_downsample" -> "OHLC candles: pure mergeable aggregates (min_by/max_by over a total-order key), map-side combine, no Window",
+    "win_regression" -> "rolling OLS: five integer sufficient-statistic sums share ONE Window node over one user_id sort",
+    "graph_degree" -> "degree histogram: two map-side-combinable hash aggs over the edge list")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
