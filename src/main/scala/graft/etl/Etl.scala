@@ -1038,7 +1038,83 @@ object Etl {
        |  ON c.c_custkey = u.c_custkey
        |${O.OrderAll}"""
 
+  /** Right-to-erasure purge (GDPR/CCPA delete): given a tombstone set
+    * of customer keys (here the deterministic slice c_custkey % 97 = 0,
+    * standing in for a deletion-request table), cascade the delete
+    * through the FK chain — customer rows, their orders, those orders'
+    * lineitems — and emit the per-table audit the DPO signs off on:
+    * rows_before / rows_purged / rows_after, plus an `orphans_after`
+    * proof column (rows in the purged child table still referencing a
+    * purged parent — must be 0) so a green row certifies the cascade
+    * was complete, not just attempted.
+    *
+    * 100 TB: the tombstone set is tiny → BROADCAST anti/semi joins on
+    * customer and orders (no fact shuffle). The purged-orderkey set is
+    * NOT broadcastable at scale (it grows with the fact table), so the
+    * lineitem cascade is a shuffle semi-join on l_orderkey — exactly
+    * the key lineitem is naturally bucketed/partitioned by, so with a
+    * bucketed layout (`join_bucketed`) even that join is
+    * exchange-free. Purges land as partition rewrites (`etl_backfill`'s
+    * dynamic overwrite), never row-level updates. */
+  def retentionPurge(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    val tomb = customer.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"))
+    val deadOrders = orders.join(broadcast(tomb),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val keptOrders = orders.join(broadcast(tomb),
+      col("o_custkey") === col("c_custkey"), "left_anti")
+    val deadLine = lineitem.join(deadOrders.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val keptLine = lineitem.join(deadOrders.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    // cascade-completeness proof: kept children referencing a purged
+    // parent (must be 0 per table for the purge to be lawful)
+    val orphanOrders = keptOrders.join(broadcast(tomb),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val orphanLine = keptLine.join(deadOrders.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    val counts = n(customer, "c_all").crossJoin(n(tomb, "c_dead"))
+      .crossJoin(n(orders, "o_all")).crossJoin(n(deadOrders, "o_dead"))
+      .crossJoin(n(lineitem, "l_all")).crossJoin(n(deadLine, "l_dead"))
+      .crossJoin(n(orphanOrders, "o_orph")).crossJoin(n(orphanLine, "l_orph"))
+    def row(tbl: String, all: String, dead: String,
+        orph: org.apache.spark.sql.Column) =
+      counts.select(lit(tbl).as("table_name"), col(all).as("rows_before"),
+        col(dead).as("rows_purged"), (col(all) - col(dead)).as("rows_after"),
+        orph.as("orphans_after"))
+    ordered(
+      row("customer", "c_all", "c_dead", lit(0L))
+        .unionByName(row("orders", "o_all", "o_dead", col("o_orph")))
+        .unionByName(row("lineitem", "l_all", "l_dead", col("l_orph"))))
+  }
+
+  private val retentionPurgeSql =
+    s"""WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+       |dead_o AS (SELECT o_orderkey, o_custkey FROM orders
+       |  WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+       |n AS (SELECT
+       |  (SELECT COUNT(*) FROM customer) AS c_all,
+       |  (SELECT COUNT(*) FROM tomb) AS c_dead,
+       |  (SELECT COUNT(*) FROM orders) AS o_all,
+       |  (SELECT COUNT(*) FROM dead_o) AS o_dead,
+       |  (SELECT COUNT(*) FROM lineitem) AS l_all,
+       |  (SELECT COUNT(*) FROM lineitem
+       |   WHERE l_orderkey IN (SELECT o_orderkey FROM dead_o)) AS l_dead)
+       |SELECT 'customer' AS table_name, c_all AS rows_before,
+       |  c_dead AS rows_purged, c_all - c_dead AS rows_after,
+       |  0 AS orphans_after FROM n
+       |UNION ALL
+       |SELECT 'orders', o_all, o_dead, o_all - o_dead, 0 FROM n
+       |UNION ALL
+       |SELECT 'lineitem', l_all, l_dead, l_all - l_dead, 0 FROM n
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_retention_purge" -> Q(retentionPurge _, retentionPurgeSql),
     "etl_bitemporal" -> Q(bitemporal _, bitemporalSql),
     "etl_fk_check" -> Q(fkCheck _, fkCheckSql),
     "etl_late_dim" -> Q(lateArrivingDim _, lateArrivingDimSql),

@@ -933,7 +933,69 @@ object Dedup {
        |SELECT n_triangles, n_edges, n_nodes FROM tri, ec, nc
        |${O.OrderAll}"""
 
+  /** Edit-distance verification of the near-dup candidates: for every
+    * MinHash-LSH pair (the banded production path, ≡ brute by the
+    * PropertySpec law), the exact Levenshtein distance between the two
+    * texts plus the normalized similarity 1 − lev/max(len). This is
+    * the second-stage verifier real curation stacks run when shingle
+    * Jaccard alone is too coarse (it is order-insensitive; edit
+    * distance catches reorderings Jaccard forgives). lev is an exact
+    * integer on both engines and the similarity an exact small-int
+    * rational — bit-identical, no rounding.
+    *
+    * 100 TB: Levenshtein is O(len²) per pair — affordable ONLY because
+    * it runs on the LSH-verified candidate pairs (≈ duplicate count,
+    * linear-ish in corpus), never all pairs; with unbounded documents
+    * you'd cap both sides at a fixed prefix (the comparison stays a
+    * valid lower bound on distance) — this corpus bounds n_chars, so
+    * the full text is compared. The two text joins are equi-joins on
+    * doc_id against the tiny pair set → broadcast, zero fact shuffle. */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = nearDedupPairsRaw(spark, d).select(col("doc_a"), col("doc_b"))
+    ordered(
+      pairs
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+          Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          Seq("doc_b"))
+        .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+        .withColumn("edit_sim",
+          lit(1.0) - col("lev").cast("double") /
+            greatest(length(col("ta")), length(col("tb"))).cast("double"))
+        .select(col("doc_a"), col("doc_b"), col("lev"), col("edit_sim")))
+  }
+
+  private val editDistanceSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       |  UNION
+       |  SELECT doc_id, text AS s FROM documents WHERE len(string_split(text, ' ')) <= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8)
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       |  1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+       |      / CAST(greatest(len(da.text), len(db.text)) AS DOUBLE) AS edit_sim
+       |FROM cand
+       |JOIN documents da ON da.doc_id = doc_a
+       |JOIN documents db ON db.doc_id = doc_b
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_edit_distance" -> Q(editDistance _, editDistanceSql),
     "graph_triangles" -> Q(triangles _, trianglesSql),
     "llm_dedup_apply" -> Q(dedupApply _, dedupApplySql),
     "llm_dup_clusters" -> Q(dupClusters _, dupClustersSql),

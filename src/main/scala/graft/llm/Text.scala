@@ -742,7 +742,74 @@ object Text {
        |FROM per_doc
        |${O.OrderAll}"""
 
+  /** Hashed-linear quality-classifier INFERENCE (the fastText-shaped
+    * scoring pass of CCNet/DCLM-style curation): each token hashes
+    * into one of 64 feature buckets, each bucket carries an integer
+    * weight in [−1000, 1000] (milli-units), a document's decision
+    * score is Σweights / (1000·n_tokens), and a three-way quality
+    * label falls out of fixed thresholds. In production the weights
+    * arrive as a trained model broadcast to every executor; here they
+    * are a deterministic mix of the bucket id (Knuth multiplicative
+    * constant) so the DuckDB oracle can recompute them exactly — the
+    * INFERENCE plumbing (tokenize → hash → weight lookup → per-doc
+    * reduce) is the operator under test, and it is the identical plan
+    * either way. The bucket hash uses only length/first/last-char
+    * arithmetic — the portable subset both engines evaluate
+    * identically (xxhash64 exists only on one side).
+    *
+    * Determinism: the per-doc sum is a BIGINT (exact, order-free);
+    * the single final division is correctly rounded identically on
+    * both engines; the label thresholds compare those identical bits.
+    *
+    * 100 TB: pure map (explode + arithmetic, whole-stage codegen) +
+    * one per-doc partial/final aggregate — no join, no weight table
+    * shuffle (the "model" rides the expression; a real 10⁶-bucket
+    * model rides a broadcast map_from_arrays lookup, same plan). */
+  def classifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val bucket = (lit(37L) * length(col("tok"))
+      + lit(17L) * ascii(substring(col("tok"), 1, 1))
+      + ascii(substring(col("tok"), -1, 1))) % 64
+    val weight = (bucket * lit(2654435761L)) % 2001L - 1000L
+    ordered(
+      tok.select(col("doc_id"), weight.as("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score_units"))
+        .withColumn("score",
+          col("score_units").cast("double") /
+            (lit(1000.0) * col("n_tok").cast("double")))
+        .withColumn("quality_label",
+          when(col("score") >= 0.05, "high")
+            .when(col("score") >= -0.05, "mid")
+            .otherwise("low")))
+  }
+
+  private val classifierScoreSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    ((37 * len(tok) + 17 * ascii(substr(tok, 1, 1))
+       |      + ascii(substr(tok, -1, 1))) % 64) * 2654435761 % 2001 - 1000 AS w
+       |  FROM tok WHERE len(tok) > 0),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(w) AS BIGINT) AS score_units
+       |  FROM w GROUP BY doc_id)
+       |SELECT doc_id, n_tok, score_units,
+       |  CAST(score_units AS DOUBLE) / (1000.0 * CAST(n_tok AS DOUBLE)) AS score,
+       |  CASE
+       |    WHEN CAST(score_units AS DOUBLE) / (1000.0 * CAST(n_tok AS DOUBLE)) >= 0.05
+       |      THEN 'high'
+       |    WHEN CAST(score_units AS DOUBLE) / (1000.0 * CAST(n_tok AS DOUBLE)) >= -0.05
+       |      THEN 'mid'
+       |    ELSE 'low' END AS quality_label
+       |FROM s
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_classifier_score" -> Q(classifierScore _, classifierScoreSql),
     "llm_entropy" -> Q(entropy _, entropySql),
     "llm_winnow" -> Q(winnow _, winnowSql),
     "llm_bm25" -> Q(bm25 _, bm25Sql),

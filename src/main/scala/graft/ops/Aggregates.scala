@@ -660,7 +660,54 @@ object Aggregates {
        |  ON r.l_returnflag = t.l_returnflag AND r.rk = 1
        |${O.OrderAll}"""
 
+  /** Ordered string aggregation (LISTAGG / string_agg): per nation, the
+    * pipe-joined names of its top-5 suppliers by account balance, plus
+    * their count and exact balance sum. The group is BOUNDED FIRST (a
+    * per-nation top-5 via row_number, which Spark plans as a map-side
+    * WindowGroupLimit heap) and only then concatenated — listagg over
+    * an unbounded group is the classic driver-OOM/row-width bomb at
+    * 100 TB (one group's string grows with the table), while
+    * top-k-then-agg keeps every output cell ≤ k names at any scale.
+    * Determinism: Spark has no ordered listagg, so the ordered
+    * concatenation is array_join(array_sort(collect_list(struct(rk,
+    * name)))) — struct sort on the rank prefix is a total order, and
+    * collect_list's arrival order never surfaces. Oracle: string_agg
+    * (… ORDER BY rk), DuckDB's native ordered aggregate. */
+  def aggListagg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    val top = t(spark, dir, "supplier")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+    ordered(
+      top.join(t(spark, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_top"),
+          dsum(col("s_acctbal")).as("top_bal"),
+          array_join(
+            expr("transform(array_sort(collect_list(struct(rk, s_name)))," +
+              " x -> x.s_name)"), "|").as("top_names")))
+  }
+
+  private val aggListaggSql =
+    s"""WITH r AS (
+       |  SELECT s_nationkey, s_name, s_acctbal,
+       |    row_number() OVER (PARTITION BY s_nationkey
+       |      ORDER BY s_acctbal DESC, s_suppkey) AS rk
+       |  FROM supplier)
+       |SELECT n_name, COUNT(*) AS n_top,
+       |  ${O.dsum("s_acctbal")} AS top_bal,
+       |  string_agg(s_name, '|' ORDER BY rk) AS top_names
+       |FROM r JOIN nation ON n_nationkey = s_nationkey
+       |WHERE rk <= 5
+       |GROUP BY n_name
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "agg_listagg" -> Q(aggListagg _, aggListaggSql),
     "agg_mode" -> Q(aggMode _, aggModeSql),
     "agg_retention" -> Q(aggRetention _, aggRetentionSql),
     "agg_count_min" -> Q(aggCountMin _, aggCountMinSql),

@@ -202,9 +202,67 @@ object Graph {
        |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
        |${O.OrderAll}"""
 
+  /** Connected components of the SUPPORT-FILTERED co-order graph —
+    * community detection over "parts ordered together at least twice"
+    * (the support threshold is what makes co-purchase graphs sparse
+    * and their components meaningful; the raw graph is one hairball).
+    * Rides the same Shiloach–Vishkin hook+jump label propagation as
+    * `llm_dup_clusters` ([[graft.llm.Dedup.components]] — one
+    * definition, O(log diameter) rounds, localCheckpoint per round),
+    * proving the CC kernel is graph-agnostic, and adds the per-cluster
+    * size the analyst actually reads. Oracle: recursive-CTE transitive
+    * closure + min-reachable label — feasible exactly because the
+    * support filter bounds the edge set.
+    *
+    * 100 TB: support counting is one equi-join + one partial-agg
+    * (never a pair explosion beyond per-order baskets, which TPC-H
+    * bounds at 7); propagation is per-round frontier⋈edges equi-joins
+    * — the same shuffle shape as PageRank, O(log d) rounds. */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val op = t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("doc_a"), col("y.p").as("doc_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = graft.llm.Dedup.components(pairs)
+      .select(col("doc_id").as("part"), col("cluster_id"))
+    val sizes = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    ordered(comp.join(sizes, Seq("cluster_id"))
+      .select(col("part"), col("cluster_id"), col("cluster_size")))
+  }
+
+  private val connectedComponentsSql =
+    s"""WITH RECURSIVE op AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_orderkey % 16 = 0),
+       |pairs AS (
+       |  SELECT x.p AS a, y.p AS b
+       |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |comp AS (
+       |  SELECT src AS part, least(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT part, cluster_id, s.n AS cluster_size
+       |FROM comp
+       |JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY 1) s
+       |  USING (cluster_id)
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> Q(pageRank _, pageRankSql),
     "graph_bfs" -> Q(bfs _, bfsSql),
-    "graph_degree" -> Q(degreeHistogram _, degreeHistogramSql)
+    "graph_degree" -> Q(degreeHistogram _, degreeHistogramSql),
+    "graph_cc" -> Q(connectedComponents _, connectedComponentsSql)
   )
 }

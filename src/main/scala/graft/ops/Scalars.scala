@@ -502,7 +502,45 @@ object Scalars {
        |GROUP BY 1
        |${O.OrderAll}"""
 
+  /** Regular-expression suite over `documents.text` — the pattern
+    * layer under every log/crawl parser: match-count, first-match
+    * extraction, extract-all (flattened to one deterministic string),
+    * global backreference rewrite, and a boolean match gate. Patterns
+    * stay inside the RE2 ∩ java.util.regex common subset (character
+    * classes, `\b`, bounded quantifiers — no lookaround, no backrefs
+    * *inside* the pattern) so both engines compile the same automaton
+    * semantics; only the replacement-string syntax differs (`$1` Spark,
+    * `\1` DuckDB) and DuckDB needs the explicit `'g'` flag to match
+    * Spark's replace-all default.
+    *
+    * 100 TB: all five are codegen'd per-row expressions inside one
+    * WholeStageCodegen over the scan — zero shuffle, cost is the scan;
+    * Java regex compiles once per expression instance, not per row. */
+  def fnRegex(spark: SparkSession, dir: String): DataFrame =
+    ordered(
+      t(spark, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\b[a-z]*a[a-z]*\\b")).as("n_a_words"),
+        regexp_extract(col("text"), "\\b(s[a-z]{3,})\\b", 1).as("first_s_word"),
+        array_join(expr("regexp_extract_all(text, '\\\\b[a-z]+e\\\\b', 0)"), ",")
+          .as("e_words"),
+        regexp_replace(col("text"), "\\b(key) (value)\\b", "$2 $1")
+          .as("swapped"),
+        col("text").rlike("join[a-z ]*merge").as("has_join_merge")))
+
+  private val fnRegexSql =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '\\b[a-z]*a[a-z]*\\b')) AS n_a_words,
+       |  regexp_extract(text, '\\b(s[a-z]{3,})\\b', 1) AS first_s_word,
+       |  COALESCE(array_to_string(regexp_extract_all(text, '\\b[a-z]+e\\b'), ','),
+       |    '') AS e_words,
+       |  regexp_replace(text, '\\b(key) (value)\\b', '\\2 \\1', 'g') AS swapped,
+       |  regexp_matches(text, 'join[a-z ]*merge') AS has_join_merge
+       |FROM documents
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "fn_regex" -> Q(fnRegex _, fnRegexSql),
     "fn_struct" -> Q(fnStruct _, fnStructSql),
     "fn_url" -> Q(fnUrl _, fnUrlSql),
     "fn_bitwise" -> Q(fnBitwise _, fnBitwiseSql),

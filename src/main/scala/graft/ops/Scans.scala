@@ -94,6 +94,50 @@ object Scans {
        |FROM lineitem WHERE year(l_shipdate) = 1998
        |${O.OrderAll}"""
 
+  /** XML round-trip through Spark 4's built-in XML data source (the
+    * spark-xml connector was folded into core in 4.0): customer is
+    * written as `<customer>` row elements and read back with an
+    * EXPLICIT schema (inference on XML is a full extra pass AND can
+    * widen types — never at 100 TB), then aggregated per segment. The
+    * oracle computes the same aggregates from the source parquet, so a
+    * green row proves the round-trip lossless for long/int/double/
+    * string — doubles survive because the writer emits
+    * `Double.toString`'s shortest-exact form and the reader's
+    * `Double.parseDouble` is its exact inverse.
+    *
+    * 100 TB: XML is an ingest-edge format, not a storage format — one
+    * streaming StaxXmlParser pass per file split, then immediately
+    * land as parquet/orc. The aggregate here runs map-side partial →
+    * 5-group final, so the exchange is negligible; the real cost is
+    * the (unavoidable) text parse, which is why the round-trip demo
+    * writes the SMALL dimension, not lineitem. */
+  def scanXml(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "scan_xml")
+    Tables.load(spark, dir, "customer")
+      .write.mode("overwrite").format("xml").option("rowTag", "customer")
+      .save(path)
+    ordered(
+      spark.read.format("xml").option("rowTag", "customer")
+        .schema(Tables.customer).load(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("key_sum"),
+          min(col("c_name")).as("first_name"),
+          max(col("c_name")).as("last_name")))
+  }
+
+  private val scanXmlSql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n,
+       |  ${O.dsum("c_acctbal")} AS sum_bal,
+       |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       |  MIN(c_name) AS first_name,
+       |  MAX(c_name) AS last_name
+       |FROM customer
+       |GROUP BY c_mktsegment
+       |${O.OrderAll}"""
+
   /** ORC round-trip: the second columnar format Spark ships natively
     * (vectorized reader, predicate pushdown — same contract as
     * parquet). Oracle checks losslessness against the source table. */
@@ -396,6 +440,7 @@ object Scans {
     "sink_jdbc_upsert" -> Q(sinkJdbcUpsert _, sinkJdbcUpsertSql),
     "scan_parquet" -> Q(scanParquet _, scanParquetSql),
     "scan_orc" -> Q(scanOrc _, scanOrcSql),
+    "scan_xml" -> Q(scanXml _, scanXmlSql),
     "sink_zstd" -> Q(sinkZstd _, sinkZstdSql),
     "scan_csv" -> Q(scanCsv _, scanCsvSql),
     "scan_json" -> Q(scanJson _, scanJsonSql),

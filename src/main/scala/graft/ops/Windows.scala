@@ -812,7 +812,69 @@ object Windows {
        |FROM stats
        |${O.OrderAll}"""
 
+  /** Exponentially-weighted moving average (α = 1/2) of each user's
+    * event values — the standard smoother under monitoring dashboards
+    * and trend features. Spelled as a TRUNCATED EWMA over the trailing
+    * 16 observations with INTEGER weights 2^(15−k) on cents: the tail
+    * beyond 16 lags carries < 2⁻¹⁶ of the mass (≪ one cent of any
+    * realistic value), and the truncation is what makes the op exact
+    * and frame-bounded — numerator Σ 2^(15−k)·y_{t−k} and weight mass
+    * Σ 2^(15−k) are BIGINT sums (≤ 65535·maxcents ≪ 2⁶³), identical
+    * integers on any engine/partition order, with ONE final double
+    * division sequence mirrored verbatim on both sides. The untruncated
+    * recursive spelling (ewma_t = αy + (1−α)ewma_{t−1}) needs either
+    * running double products (order-divergent across engines) or
+    * per-row pow (overflows past ~10³ rows) — and its infinite-memory
+    * twin is a STREAMING op (`stream_stateful` holds exactly that
+    * per-key scalar state).
+    *
+    * 100 TB: the 16 lag() calls share one (partition, order) spec →
+    * ONE Window node, one shuffle on user_id, one sorted pass, O(16)
+    * state per row (pinned in PlanSpec alongside win_regression's
+    * same law). */
+  def winEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val base = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).as("y"))
+    val terms = (0 until 16).map { k =>
+      val weight = 1L << (15 - k)
+      val l = if (k == 0) col("y") else lag(col("y"), k).over(w)
+      (coalesce(l, lit(0L)) * lit(weight),
+        when(l.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    ordered(
+      base.select(col("user_id"), col("event_id"), col("ts_us"),
+        (num.cast("double") / den.cast("double") / lit(100.0)).as("ewma")))
+  }
+
+  private val winEwmaSql = {
+    val num = (0 until 16).map { k =>
+      val weight = 1L << (15 - k)
+      if (k == 0) s"y * $weight"
+      else s"COALESCE(lag(y, $k) OVER w, 0) * $weight"
+    }.mkString(" + ")
+    val den = (0 until 16).map { k =>
+      val weight = 1L << (15 - k)
+      if (k == 0) s"$weight"
+      else s"CASE WHEN lag(y, $k) OVER w IS NOT NULL THEN $weight ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS y
+       |  FROM events)
+       |SELECT user_id, event_id, ts_us,
+       |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 100.0 AS ewma
+       |FROM b
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |${O.OrderAll}"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_ewma" -> Q(winEwma _, winEwmaSql),
     "ts_downsample" -> Q(tsDownsample _, tsDownsampleSql),
     "win_regression" -> Q(winRegression _, winRegressionSql),
     "win_pareto" -> Q(winPareto _, winParetoSql),

@@ -529,4 +529,52 @@ class LlmSpec extends AnyFunSuite {
     val uniform = got.filter(r => r.getLong(1) == r.getLong(2) && r.getLong(1) > 1)
     uniform.foreach(r => assert(r.getDouble(4) == 1.0))
   }
+
+  test("llm_classifier_score: every score matches a sequential hashed-linear reference") {
+    import TestSpark.Sf
+    val texts = graft.core.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.llm.Text.classifierScore(spark, Sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ").filter(_.nonEmpty)
+      val units = toks.map { t =>
+        val b = (37L * t.length + 17L * t.head.toLong + t.last.toLong) % 64
+        b * 2654435761L % 2001L - 1000L
+      }.sum
+      val n = toks.length.toLong
+      assert(r.getLong(1) == n && r.getLong(2) == units)
+      val score = units.toDouble / (1000.0 * n.toDouble)
+      assert(r.getDouble(3) == score, s"doc ${r.getLong(0)}")
+      assert(math.abs(score) <= 1.0, "milli-weights bound |score| by 1")
+      val want = if (score >= 0.05) "high" else if (score >= -0.05) "mid" else "low"
+      assert(r.getString(4) == want)
+    }
+  }
+
+  test("llm_edit_distance: pairs are exactly the near-dup candidates; lev is a metric sample") {
+    import TestSpark.{spark => s, Sf}
+    val texts = graft.core.Tables.load(s, Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.llm.Dedup.editDistance(s, Sf).collect()
+    val nearPairs = graft.llm.Dedup
+      .nearDedupPairs(s, graft.core.Tables.load(s, Sf, "documents"))
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == nearPairs,
+      "verify stage must cover exactly the candidate pairs")
+    got.foreach { r =>
+      val (ta, tb) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      val lev = r.getLong(2)
+      val sim = r.getDouble(3)
+      assert((lev == 0L) == (ta == tb), "lev=0 iff texts identical")
+      // metric bounds: |len diff| ≤ lev ≤ max len; sim ∈ [0,1]
+      assert(lev >= math.abs(ta.length - tb.length).toLong)
+      assert(lev <= math.max(ta.length, tb.length).toLong)
+      assert(sim >= 0.0 && sim <= 1.0)
+      assert(sim == 1.0 - lev.toDouble / math.max(ta.length, tb.length).toDouble)
+    }
+  }
 }

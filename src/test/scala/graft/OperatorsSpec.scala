@@ -621,6 +621,102 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("win_ewma: every value matches a sequential truncated-EWMA reference") {
+    val events = graft.core.Tables.load(spark, Sf, "events")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ref = events.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val ys = sorted.map(r => math.floor(r._4 * 100 + 0.5).toLong)
+      sorted.indices.map { i =>
+        val lags = (0 until 16).filter(_ <= i)
+        val num = lags.map(k => ys(i - k) * (1L << (15 - k))).sum
+        val den = lags.map(k => 1L << (15 - k)).sum
+        (sorted(i)._1, sorted(i)._2) -> num.toDouble / den.toDouble / 100.0
+      }
+    }.toMap
+    val got = ops.Windows.winEwma(spark, Sf).collect()
+    assert(got.length == events.length)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(3) == ref(k),
+        s"ewma mismatch at $k: got ${r.getDouble(3)} want ${ref(k)}")
+    }
+  }
+
+  test("agg_listagg: every cell is bounded at 5 names, balance-sorted") {
+    val rows = ops.Aggregates.aggListagg(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTop = r.getLong(1)
+      val names = r.getString(3).split('|')
+      assert(nTop <= 5, s"group ${r.getString(0)} exceeds the top-5 bound")
+      assert(names.length.toLong == nTop,
+        s"listagg cell of ${r.getString(0)} disagrees with its count")
+      assert(names.distinct.length == names.length, "duplicate name in cell")
+    }
+  }
+
+  test("etl_retention_purge: counts reconcile, cascade leaves zero orphans") {
+    val rows = etl.Etl.retentionPurge(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    rows.foreach { case (t, (before, purged, after, orphans)) =>
+      assert(before == purged + after, s"$t counts don't reconcile")
+      assert(orphans == 0L, s"$t cascade left $orphans orphans")
+    }
+    // the tombstone slice really was purged (non-empty at this SF)
+    assert(rows("customer")._2 > 0, "tombstone set unexpectedly empty")
+    assert(rows("orders")._2 > 0, "no orders cascaded")
+  }
+
+  test("fn_regex: engine results match java.util.regex re-derivation") {
+    val docs = graft.core.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = ops.Scalars.fnRegex(spark, Sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val text = docs(r.getLong(0))
+      assert(r.getAs[Number](1).longValue ==
+        "\\b[a-z]*a[a-z]*\\b".r.findAllIn(text).size.toLong)
+      assert(r.getString(2) ==
+        "\\b(s[a-z]{3,})\\b".r.findFirstMatchIn(text).map(_.group(1)).getOrElse(""))
+      assert(r.getString(3) ==
+        "\\b[a-z]+e\\b".r.findAllIn(text).mkString(","))
+      assert(r.getString(4) == text.replaceAll("\\b(key) (value)\\b", "$2 $1"))
+      assert(r.getBoolean(5) ==
+        "join[a-z ]*merge".r.findFirstIn(text).isDefined)
+    }
+  }
+
+  test("graph_cc: every support-2 edge is intra-cluster; sizes partition the nodes") {
+    val out = ops.Graph.connectedComponents(spark, Sf).collect()
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sizes: per-cluster row counts must equal the emitted cluster_size
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      rows.foreach(r => assert(r.getLong(2) == rows.length.toLong))
+    }
+    // re-derive the support-filtered edge set and check endpoints agree
+    val li = graft.core.Tables.load(spark, Sf, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = li.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ps = basket.map(_._2).sorted.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).collect { case (e, hits) if hits.size >= 2 => e }.toSeq
+    assert(edges.nonEmpty, "fixture produced no support-2 edges")
+    edges.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"edge ($a,$b) split across clusters")
+    }
+    assert(cluster.keySet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
+  }
+
   test("ts_downsample: candles match a sequential per-day reference, volume exact") {
     val events = graft.core.Tables.load(spark, Sf, "events")
       .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),

@@ -585,6 +585,30 @@ class PlanSpec extends AnyFunSuite {
     assert(nHash == 1, s"expected one user_id exchange, got $nHash:\n$p")
   }
 
+  test("win_ewma: 16 lags share ONE Window node over one user_id shuffle") {
+    val p = plan("win_ewma")
+    val nWin = "\\bWindow \\[".r.findAllIn(p).size
+    assert(nWin == 1, s"expected a single WindowExec, got $nWin:\n$p")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nHash == 1, s"expected one user_id exchange, got $nHash:\n$p")
+  }
+
+  test("agg_listagg: the group is bounded by a map-side WindowGroupLimit heap") {
+    // the scale claim: top-5-then-concat, never concat-then-anything —
+    // the rank filter must compile to the partial/final group-limit
+    // heaps so only ≤5 rows per nation reach the sort and the agg
+    val p = plan("agg_listagg")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=5 must plan a WindowGroupLimit:\n$p")
+  }
+
+  test("llm_classifier_score: the model rides the expression — no join anywhere") {
+    val p = plan("llm_classifier_score")
+    assert(!p.contains("Join"), s"weight lookup must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final doc aggregation:\n$p")
+  }
+
   test("sample_weighted: row-local replica-min + TakeOrdered heap, zero shuffle") {
     // the replica lottery must never explode or re-group: the only
     // wide ops allowed are the k-row TakeOrdered heap merge and the
