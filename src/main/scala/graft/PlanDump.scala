@@ -61,7 +61,12 @@ object PlanDump {
     "sample_weighted" -> "weighted sample: row-local md5 replica-min (no explode, no regroup) + TakeOrderedAndProject heap",
     "ts_downsample" -> "OHLC candles: pure mergeable aggregates (min_by/max_by over a total-order key), map-side combine, no Window",
     "win_regression" -> "rolling OLS: five integer sufficient-statistic sums share ONE Window node over one user_id sort",
-    "graph_degree" -> "degree histogram: two map-side-combinable hash aggs over the edge list")
+    "graph_degree" -> "degree histogram: two map-side-combinable hash aggs over the edge list",
+    "win_ewma" -> "truncated EWMA: 16 integer-weight lags share ONE Window node over one user_id sort",
+    "agg_listagg" -> "bounded listagg: map-side WindowGroupLimit top-5 heap BEFORE the sorted-collect aggregation",
+    "llm_classifier_score" -> "hashed-linear inference: weights ride the codegen'd expression, explode + two-level doc agg, no join",
+    "etl_retention_purge" -> "GDPR cascade: tombstones broadcast into semi/anti joins; lineitem leg keyed on l_orderkey",
+    "fn_regex" -> "regex suite: five codegen'd per-row expressions inside one scan stage, zero shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

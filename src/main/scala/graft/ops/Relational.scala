@@ -783,12 +783,25 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("long").as("w"),
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("string").as("key"))
+    // min_ticket = the codegen'd twin of the HOF spelling
+    // array_min(transform(sequence(1,w), i -> md5('ws'||key||':'||i))):
+    // bit-identical draws (PropertySpec pins HOF == expression ==
+    // sequential reference), but one tight loop per row instead of four
+    // interpreted expression nodes + three allocations per draw —
+    // measured 13 s → <1 s at sf0.1 (600k rows × ~25 draws).
+    graft.functions.MinTicket.register(spark)
+    // CPU-heavy map over a small file: the scan splits by bytes
+    // (max(openCost, size/parallelism)), so a ~10 MB fixture yields ~3
+    // input partitions and the ~25-draw/row lottery runs on 3 of 32
+    // cores. Spread rows once (round-robin, ~10 MB over the wire) when
+    // the scan under-splits; at production scale the input has ≥ cores
+    // splits and this branch is a no-op — the general rule: a scan
+    // sized for I/O is not automatically sized for a compute-bound map.
+    val cores = spark.sparkContext.defaultParallelism
+    val spread = if (li.rdd.getNumPartitions < cores) li.repartition(cores) else li
     ordered(
-      li.select(col("l_orderkey"), col("l_linenumber"), col("w"),
-          array_min(transform(
-            sequence(lit(1L), col("w")),
-            i => md5(concat(lit("ws"), col("key"), lit(":"), i.cast("string")))))
-            .as("ticket"))
+      spread.select(col("l_orderkey"), col("l_linenumber"), col("w"),
+          expr("min_ticket(key, w)").as("ticket"))
         .orderBy(col("ticket"), col("l_orderkey"), col("l_linenumber"))
         .limit(k))
   }

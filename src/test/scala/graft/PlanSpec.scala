@@ -609,14 +609,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final doc aggregation:\n$p")
   }
 
-  test("sample_weighted: row-local replica-min + TakeOrdered heap, zero shuffle") {
+  test("sample_weighted: row-local replica-min + TakeOrdered heap, no explode/regroup") {
     // the replica lottery must never explode or re-group: the only
-    // wide ops allowed are the k-row TakeOrdered heap merge and the
-    // presentation sort
+    // wide ops allowed are the k-row TakeOrdered heap merge, the
+    // presentation sort, and the single round-robin spread that sizes
+    // the CPU-bound lottery map when the scan under-splits (roundrobin
+    // carries each row ONCE — never the w× amplification the pin bans)
     val p = plan("sample_weighted")
     assert(p.contains("TakeOrderedAndProject"),
       s"bottom-k must be a TakeOrdered heap:\n$p")
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Generate"),
       s"replica-min must stay row-local (no explode, no regroup):\n$p")
+    assert(p.contains("minticket"),
+      s"lottery must ride the codegen'd expression, not the HOF:\n$p")
   }
 }

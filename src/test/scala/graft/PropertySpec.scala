@@ -664,12 +664,19 @@ class PropertySpec extends AnyFunSuite {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def refTicket(key: Long, w: Long): String =
       (1L to w).map(i => md5hex(s"ws$key:$i")).min
+    graft.functions.MinTicket.register(spark)
     check("weighted-ticket", Prop.forAllNoShrink(genRows) { rows =>
       val got = rows.toDF("key", "w")
         .selectExpr("key", "w",
-          "array_min(transform(sequence(1L, w), i -> md5(concat('ws', CAST(key AS STRING), ':', CAST(i AS STRING))))) AS ticket")
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
-      rows.forall { case (k, w) => got((k, w)) == refTicket(k, w) }
+          "array_min(transform(sequence(1L, w), i -> md5(concat('ws', CAST(key AS STRING), ':', CAST(i AS STRING))))) AS ticket",
+          // the codegen'd production spelling must draw the SAME min
+          "min_ticket(CAST(key AS STRING), w) AS ticket2")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getString(3)))
+        .toMap
+      rows.forall { case (k, w) =>
+        got((k, w))._1 == refTicket(k, w) && got((k, w))._2 == refTicket(k, w)
+      }
     })
     // frequency flavor on the real operator: the weighted sample's mean
     // weight must exceed the corpus mean (heavy rows overrepresented) —
