@@ -1113,7 +1113,77 @@ object Etl {
        |SELECT 'lineitem', l_all, l_dead, l_all - l_dead, 0 FROM n
        |${O.OrderAll}"""
 
+  /** Conformed-dimension survivorship (the MDM golden-record merge):
+    * two overlapping source systems disagree about the same customer —
+    * a CRM extract (lowercased names, balances missing for a slice,
+    * some customers absent) and a billing extract (canonical names,
+    * fresh balances, only even keys) — and the golden record applies
+    * field-level survivorship rules (billing wins names and balances
+    * where present; CRM owns segmentation) with PROVENANCE columns
+    * recording which system each surviving field came from, plus the
+    * match class (both / crm_only / billing_only) every MDM audit
+    * wants. The deterministic key slices stand in for real extracts so
+    * the oracle can rebuild both sides exactly.
+    *
+    * 100 TB: conforming is ONE full-outer hash join on the natural key
+    * (both extracts shuffle once, co-partitioned on c_custkey);
+    * survivorship is row-local coalesce/CASE inside the join's
+    * project — no second pass, no per-field joins. With both extracts
+    * bucketed on the key the join is exchange-free. */
+  def survivorship(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val crm = c.filter(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey").as("key"),
+        lower(col("c_name")).as("crm_name"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("crm_bal"),
+        col("c_mktsegment").as("crm_seg"))
+    val billing = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"),
+        col("c_name").as("bill_name"),
+        col("c_acctbal").as("bill_bal"))
+    ordered(
+      crm.join(billing, Seq("key"), "full_outer")
+        .select(
+          col("key").as("c_custkey"),
+          coalesce(col("bill_name"), col("crm_name")).as("name"),
+          when(col("bill_name").isNotNull, "billing").otherwise("crm")
+            .as("name_src"),
+          coalesce(col("bill_bal"), col("crm_bal")).as("acctbal"),
+          when(col("bill_bal").isNotNull, "billing")
+            .when(col("crm_bal").isNotNull, "crm")
+            .otherwise("none").as("bal_src"),
+          col("crm_seg").as("mktsegment"),
+          when(col("crm_name").isNotNull && col("bill_name").isNotNull, "both")
+            .when(col("crm_name").isNotNull, "crm_only")
+            .otherwise("billing_only").as("match_class")))
+  }
+
+  private val survivorshipSql =
+    s"""WITH crm AS (
+       |  SELECT c_custkey AS key, lower(c_name) AS crm_name,
+       |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS crm_bal,
+       |    c_mktsegment AS crm_seg
+       |  FROM customer WHERE c_custkey % 7 <> 0),
+       |billing AS (
+       |  SELECT c_custkey AS key, c_name AS bill_name, c_acctbal AS bill_bal
+       |  FROM customer WHERE c_custkey % 2 = 0)
+       |SELECT COALESCE(crm.key, billing.key) AS c_custkey,
+       |  COALESCE(bill_name, crm_name) AS name,
+       |  CASE WHEN bill_name IS NOT NULL THEN 'billing' ELSE 'crm' END AS name_src,
+       |  COALESCE(bill_bal, crm_bal) AS acctbal,
+       |  CASE WHEN bill_bal IS NOT NULL THEN 'billing'
+       |    WHEN crm_bal IS NOT NULL THEN 'crm'
+       |    ELSE 'none' END AS bal_src,
+       |  crm_seg AS mktsegment,
+       |  CASE WHEN crm_name IS NOT NULL AND bill_name IS NOT NULL THEN 'both'
+       |    WHEN crm_name IS NOT NULL THEN 'crm_only'
+       |    ELSE 'billing_only' END AS match_class
+       |FROM crm FULL OUTER JOIN billing ON crm.key = billing.key
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_survivorship" -> Q(survivorship _, survivorshipSql),
     "etl_retention_purge" -> Q(retentionPurge _, retentionPurgeSql),
     "etl_bitemporal" -> Q(bitemporal _, bitemporalSql),
     "etl_fk_check" -> Q(fkCheck _, fkCheckSql),

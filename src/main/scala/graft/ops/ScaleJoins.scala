@@ -248,7 +248,70 @@ object ScaleJoins {
        |GROUP BY l_returnflag
        |${O.OrderAll}"""
 
+  /** Runtime bloom-filter join (Spark's InjectRuntimeFilter — the
+    * row-level sibling of `join_dpp`'s partition-level pruning): a
+    * selective filter on the dimension side is turned into a bloom
+    * filter BUILT AT RUNTIME from the dim's join keys and pushed into
+    * the fact scan as a `might_contain` data filter, so non-matching
+    * fact rows die at the scan instead of crossing the shuffle into
+    * the join. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~matching fraction — the
+    * optimizer's automated version of the manual semi-join prefilter.
+    *
+    * Injection is threshold-gated for real clusters (application side
+    * must look scan-heavy); the thresholds are lowered HERE so the
+    * test-scale plan exercises the same rule a 100 TB plan hits by
+    * default, and restored after the plan is forced (the rule runs in
+    * logical optimization, which `executedPlan` materializes eagerly —
+    * later keys plan under the default thresholds again; the merge
+    * hint keeps the join a shuffle join, since a broadcast join
+    * already row-filters and gets no bloom). PlanSpec pins the
+    * injected `might_contain` on the fact scan. */
+  def joinBloom(spark: SparkSession, dir: String): DataFrame = {
+    val BloomConf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val AppThresh =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    // InjectRuntimeFilter refuses when either side is broadcastable by
+    // size (a broadcast join already row-filters): at 100 TB a real
+    // semi-join dim exceeds the broadcast threshold naturally; at test
+    // scale the threshold is lowered for the plan-forcing window so
+    // the same code path fires.
+    val Abjt = "spark.sql.autoBroadcastJoinThreshold"
+    val prevOn = spark.conf.getOption(BloomConf)
+    val prevThresh = spark.conf.getOption(AppThresh)
+    val prevAbjt = spark.conf.getOption(Abjt)
+    spark.conf.set(BloomConf, "true")
+    spark.conf.set(AppThresh, "0")
+    spark.conf.set(Abjt, "-1")
+    try {
+      val fact = t(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      val dim = t(spark, dir, "part")
+        .filter(col("p_type") === "ECONOMY" && col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_retailprice"))
+      val out = ordered(
+        fact.join(dim.hint("merge"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_quantity")).as("sum_qty")))
+      out.queryExecution.executedPlan // force optimization under the confs
+      out
+    } finally {
+      prevOn.fold(spark.conf.unset(BloomConf))(spark.conf.set(BloomConf, _))
+      prevThresh.fold(spark.conf.unset(AppThresh))(spark.conf.set(AppThresh, _))
+      prevAbjt.fold(spark.conf.unset(Abjt))(spark.conf.set(Abjt, _))
+    }
+  }
+
+  private val joinBloomSql =
+    s"""SELECT p_partkey, COUNT(*) AS n_items, ${O.dsum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_type = 'ECONOMY' AND p_size <= 5
+       |GROUP BY p_partkey
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "join_bloom" -> Q(joinBloom _, joinBloomSql),
     "join_aqe_skew" -> Q(joinAqeSkew _, joinAqeSkewSql),
     "join_shuffle_hash" -> Q(joinShuffleHash _, joinShuffleHashSql),
     "join_bucketed" -> Q(joinBucketed _, joinBucketedSql),

@@ -873,7 +873,48 @@ object Windows {
        |${O.OrderAll}"""
   }
 
+  /** Rolling exact median — the robust companion of `win_ewma`'s mean
+    * smoother (a median survives the spikes `win_anomaly` flags):
+    * per user, the trailing-21-event median of value-in-cents. Exact
+    * integers in, one deterministic double out: both engines
+    * interpolate an even-count median as the mean of the two middle
+    * values — integers < 2⁵³ whose sum halves exactly in IEEE double —
+    * and the final /100 descale is the same correctly-rounded op on
+    * identical bits. (A windowed median of raw DOUBLES would be safe
+    * too — selection, not summation — but cents keep the middle-pair
+    * mean provably exact rather than luckily so.)
+    *
+    * 100 TB: one user_id shuffle + one sorted pass; median is a
+    * per-frame SELECTION (Spark buffers the 21-row frame per step —
+    * O(frame) state, not O(partition)). For quantiles over UNBOUNDED
+    * frames at scale the answer is the mergeable sketch
+    * (`agg_approx_percentile`), not a bigger buffer — this operator is
+    * deliberately the bounded-frame exact form. */
+  def winMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-20, Window.currentRow)
+    ordered(
+      t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("ts_us"),
+          floor(col("value") * 100 + 0.5).as("y"))
+        .withColumn("med", percentile(col("y"), lit(0.5)).over(w) / lit(100.0))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("med")))
+  }
+
+  private val winMedianSql =
+    s"""WITH b AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS y
+       |  FROM events)
+       |SELECT user_id, event_id, ts_us,
+       |  median(y) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) / 100.0 AS med
+       |FROM b
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "win_median" -> Q(winMedian _, winMedianSql),
     "win_ewma" -> Q(winEwma _, winEwmaSql),
     "ts_downsample" -> Q(tsDownsample _, tsDownsampleSql),
     "win_regression" -> Q(winRegression _, winRegressionSql),

@@ -717,6 +717,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cluster.keySet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
   }
 
+  test("win_median: every value matches a sequential trailing-21 median reference") {
+    val events = graft.core.Tables.load(spark, Sf, "events")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ref = events.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val ys = sorted.map(r => math.floor(r._4 * 100 + 0.5).toLong)
+      sorted.indices.map { i =>
+        val frame = ys.slice(math.max(0, i - 20), i + 1).sorted
+        val n = frame.length
+        val med =
+          if (n % 2 == 1) frame(n / 2).toDouble
+          else (frame(n / 2 - 1) + frame(n / 2)).toDouble / 2.0
+        (sorted(i)._1, sorted(i)._2) -> med / 100.0
+      }
+    }.toMap
+    val got = ops.Windows.winMedian(spark, Sf).collect()
+    assert(got.length == events.length)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(3) == ref(k),
+        s"median mismatch at $k: got ${r.getDouble(3)} want ${ref(k)}")
+    }
+  }
+
+  test("etl_survivorship: provenance classes partition the keys; billing wins where present") {
+    val rows = etl.Etl.survivorship(spark, Sf).collect()
+    val custs = graft.core.Tables.load(spark, Sf, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // every source key appears exactly once in the golden record
+    val expectKeys = custs.keySet.filter(k => k % 7 != 0 || k % 2 == 0)
+    assert(rows.map(_.getLong(0)).toSet == expectKeys)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val (srcName, srcBal) = custs(k)
+      val inCrm = k % 7 != 0
+      val inBilling = k % 2 == 0
+      val wantClass =
+        if (inCrm && inBilling) "both" else if (inCrm) "crm_only" else "billing_only"
+      assert(r.getString(6) == wantClass, s"key $k class")
+      // billing survivorship: canonical casing and fresh balance win
+      if (inBilling) {
+        assert(r.getString(1) == srcName && r.getString(2) == "billing")
+        assert(r.getDouble(3) == srcBal && r.getString(4) == "billing")
+      } else {
+        assert(r.getString(1) == srcName.toLowerCase && r.getString(2) == "crm")
+        if (k % 5 == 0) assert(r.isNullAt(3) && r.getString(4) == "none")
+        else assert(r.getDouble(3) == srcBal && r.getString(4) == "crm")
+      }
+    }
+  }
+
   test("ts_downsample: candles match a sequential per-day reference, volume exact") {
     val events = graft.core.Tables.load(spark, Sf, "events")
       .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),

@@ -585,6 +585,32 @@ class PlanSpec extends AnyFunSuite {
     assert(nHash == 1, s"expected one user_id exchange, got $nHash:\n$p")
   }
 
+  test("join_bloom: runtime bloom filter reaches the fact scan as might_contain") {
+    // the scale claim: non-matching fact rows die AT THE SCAN, before
+    // the shuffle — InjectRuntimeFilter must have fired despite test
+    // scale (the operator lowers the thresholds for its plan window)
+    val p = plan("join_bloom").toLowerCase
+    assert(p.contains("might_contain"),
+      s"expected an injected runtime bloom filter on the fact side:\n$p")
+  }
+
+  test("win_median: bounded-frame median runs in ONE Window node over one shuffle") {
+    val p = plan("win_median")
+    val nWin = "\\bWindow \\[".r.findAllIn(p).size
+    assert(nWin == 1, s"expected a single WindowExec, got $nWin:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected one user_id exchange:\n$p")
+  }
+
+  test("etl_survivorship: one full-outer join, survivorship rides its project") {
+    // field-level survivorship must not become per-field joins
+    val p = plan("etl_survivorship")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"conforming must be ONE join, got $joins:\n$p")
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+  }
+
   test("win_ewma: 16 lags share ONE Window node over one user_id shuffle") {
     val p = plan("win_ewma")
     val nWin = "\\bWindow \\[".r.findAllIn(p).size
