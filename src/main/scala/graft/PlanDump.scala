@@ -66,7 +66,10 @@ object PlanDump {
     "agg_listagg" -> "bounded listagg: map-side WindowGroupLimit top-5 heap BEFORE the sorted-collect aggregation",
     "llm_classifier_score" -> "hashed-linear inference: weights ride the codegen'd expression, explode + two-level doc agg, no join",
     "etl_retention_purge" -> "GDPR cascade: tombstones broadcast into semi/anti joins; lineitem leg keyed on l_orderkey",
-    "fn_regex" -> "regex suite: five codegen'd per-row expressions inside one scan stage, zero shuffle")
+    "fn_regex" -> "regex suite: five codegen'd per-row expressions inside one scan stage, zero shuffle",
+    "join_bloom" -> "runtime bloom filter: might_contain(bloom, xxhash64(key)) injected into the fact scan",
+    "win_median" -> "rolling exact median: one Window node, per-frame selection over integer cents",
+    "etl_survivorship" -> "golden-record merge: ONE full-outer join, survivorship coalesce/CASE rides its project")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
