@@ -808,7 +808,81 @@ object Text {
        |FROM s
        |${O.OrderAll}"""
 
+  /** PMI collocation mining — the association layer over raw bigram
+    * counts (`llm_bpe_pairs` counts; PMI asks which pairs co-occur
+    * MORE than their unigram frequencies predict — the classic
+    * phrase/collocation detector of corpus linguistics and the
+    * phrase-merging signal in tokenizer construction):
+    * pmi(a,b) = ln( (c_ab · N_uni²) / (N_bi · c_a · c_b) ), support
+    * ≥ 5, top-30 by (rounded pmi desc, pair). All counts are exact
+    * integers; the single ln is the one transcendental (round6, the
+    * same contract as `llm_lm_score`), and the product/quotient
+    * spelling is mirrored verbatim so both engines round identically
+    * on the way in.
+    *
+    * 100 TB: two map-side-combinable counts (unigrams, bigrams), the
+    * corpus scalars ride a broadcast 1-row cross join, top-30 is a
+    * TakeOrdered heap — no joins between the count tables beyond the
+    * two tiny key-lookups (unigram counts re-joined by token, each a
+    * shuffle of count rows, not token occurrences). */
+  def pmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val uni = toks
+      .select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val nBi = toks.select((size(col("tk")) - 1).as("m"))
+      .agg(sum(col("m")).as("n_bi"))
+    ordered(
+      bi
+        .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .select(col("a"), col("b"), col("c_ab"),
+          round6(log(
+            (col("c_ab").cast("double") * col("n_uni").cast("double")
+              * col("n_uni").cast("double"))
+              / (col("n_bi").cast("double") * col("c_a").cast("double")
+                * col("c_b").cast("double")))).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(30))
+  }
+
+  private val pmiSql =
+    s"""SELECT * FROM (
+       |WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS c FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+       |bi AS (
+       |  SELECT p['a'] AS a, p['b'] AS b, COUNT(*) AS c_ab FROM (
+       |    SELECT unnest(list_transform(
+       |      generate_series(1, len(tk) - 1),
+       |      i -> {'a': tk[i], 'b': tk[i + 1]})) AS p
+       |    FROM t) GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+       |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+       |n2 AS (SELECT CAST(SUM(len(tk) - 1) AS BIGINT) AS n_bi FROM t)
+       |SELECT a, b, c_ab,
+       |  round(ln((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)
+       |      * CAST(n_uni AS DOUBLE))
+       |    / (CAST(n_bi AS DOUBLE) * CAST(ca.c AS DOUBLE)
+       |      * CAST(cb.c AS DOUBLE))), 6) AS pmi
+       |FROM bi
+       |JOIN uni ca ON ca.w = a
+       |JOIN uni cb ON cb.w = b
+       |CROSS JOIN n1 CROSS JOIN n2
+       |ORDER BY pmi DESC, a, b LIMIT 30)
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "llm_pmi" -> Q(pmi _, pmiSql),
     "llm_classifier_score" -> Q(classifierScore _, classifierScoreSql),
     "llm_entropy" -> Q(entropy _, entropySql),
     "llm_winnow" -> Q(winnow _, winnowSql),

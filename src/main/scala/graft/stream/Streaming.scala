@@ -372,6 +372,71 @@ object Streaming {
     * per-user event count + last event type, state maintained per key in
     * the state store. Deterministic last-event pick by (ts, event_id)
     * regardless of iterator order. */
+  /** Streaming untruncated EWMA (α = 1/2) — the infinite-memory twin
+    * `win_ewma`'s doc points here for: the recursive smoother
+    * ewma_t = ½·v + ½·ewma_{t−1} needs exactly ONE double of per-key
+    * state, which is a streaming fold, not a window frame (the batch
+    * spelling needs either order-divergent running double products or
+    * overflow-bound pow tricks — hence batch ships the truncated
+    * form). The fold is ORDER-SENSITIVE, unlike every other stateful
+    * key here (statefulFrom deliberately uses order-free reducers):
+    * rows are sorted by (event-time, id) INSIDE each batch's group
+    * iterator, and cross-batch order comes from the time-ordered file
+    * source (a real deployment buffers behind the watermark to
+    * reorder, exactly like `stream_late_drop`'s eviction contract).
+    * Every event emits its smoothed value exactly once (update mode),
+    * so the sink needs no last-emission post-aggregation.
+    *
+    * Oracle: a recursive CTE replays the IDENTICAL sequential fold —
+    * both engines evaluate ½·v + ½·e with the same two roundings per
+    * step in the same order, so the doubles match bit-for-bit with no
+    * rounding fudge.
+    *
+    * 100 TB: per-key state is 3 scalars (ewma, last ts, last id) in
+    * the state store — key-count-bounded like `stream_tws`, never
+    * history-bounded; the sort is per-batch per-group, not global. */
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaFrom(spark, eventsStream(spark, dir))
+
+  private[graft] def ewmaFrom(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val src = events
+      .select(col("user_id"), epochUs(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    // state = (ewma, last event-time, last id); ts == MinValue ⇔ empty
+    val fn = (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+        state: GroupState[(Double, Long, Long)]) => {
+      var (e, ts, id) = state.getOption.getOrElse((0.0, Long.MinValue, Long.MinValue))
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, tsUs, evId, v) =>
+        e = if (ts == Long.MinValue) v else 0.5 * v + 0.5 * e
+        ts = tsUs
+        id = evId
+        (uid, evId, tsUs, e)
+      }
+      state.update((e, ts, id))
+      out.iterator
+    }
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "event_id", "ts_us", "ewma")
+    ordered(runToTable(spark, out, "update"))
+  }
+
+  private val ewmaSql =
+    s"""WITH RECURSIVE b AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, "value" AS v,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id, event_id, ts_us, rn, v AS ewma FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.user_id, b.event_id, b.ts_us, b.rn, 0.5 * b.v + 0.5 * r.ewma
+       |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+       |SELECT user_id, event_id, ts_us, ewma FROM r
+       |${O.OrderAll}"""
+
   def stateful(spark: SparkSession, dir: String): DataFrame =
     statefulFrom(spark, eventsStream(spark, dir))
 
@@ -837,6 +902,7 @@ object Streaming {
     "stream_sliding" -> Q(sliding _, slidingSql),
     "stream_session" -> Q(session _, sessionSql),
     "stream_dedup" -> Q(dedup _, dedupSql),
-    "stream_stateful" -> Q(stateful _, statefulSql)
+    "stream_stateful" -> Q(stateful _, statefulSql),
+    "stream_ewma" -> Q(ewma _, ewmaSql)
   )
 }

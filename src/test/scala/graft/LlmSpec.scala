@@ -553,6 +553,37 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_pmi: top-30 matches a sequential reference with identical double algebra") {
+    import TestSpark.Sf
+    val texts = graft.core.Tables.load(spark, Sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    var nBi = 0L
+    texts.foreach { t =>
+      val tk = t.split(" ", -1)
+      tk.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      tk.sliding(2).filter(_.length == 2).foreach { p =>
+        bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1
+      }
+      nBi += (tk.length - 1).toLong
+    }
+    val nUni = uni.values.sum
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = bi.toSeq.collect { case ((a, b), cab) if cab >= 5 =>
+      val pmi = round6(math.log(
+        (cab.toDouble * nUni.toDouble * nUni.toDouble)
+          / (nBi.toDouble * uni(a).toDouble * uni(b).toDouble)))
+      (a, b, cab, pmi)
+    }
+    val want = scored.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(30).toSet
+    val got = graft.llm.Text.pmi(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want, s"pmi top-30 disagrees:\n got=$got\nwant=$want")
+  }
+
   test("llm_edit_distance: pairs are exactly the near-dup candidates; lev is a metric sample") {
     import TestSpark.{spark => s, Sf}
     val texts = graft.core.Tables.load(s, Sf, "documents")

@@ -98,6 +98,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.collect().toSet === core.Determinism.ordered(batch).collect().toSet)
   }
 
+  test("stream_ewma: multi-batch fold equals single-batch; both match a sequential reference") {
+    // the order-sensitive fold must survive micro-batch splitting when
+    // the source is time-ordered (the contract the operator documents):
+    // state carries the fold across the 6 time-sliced batches
+    val single = stream.Streaming.ewma(spark, TestSpark.Sf).collect()
+    val multi = stream.Streaming.ewmaFrom(spark,
+      stream.Streaming.eventsStreamMultiBatch(spark, TestSpark.Sf)).collect()
+    assert(single.toSet === multi.toSet,
+      "micro-batch splitting changed the fold")
+    // bit-exact sequential reference: same two roundings per step
+    val ref = core.Tables.load(spark, TestSpark.Sf, "events")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .iterator
+      .flatMap { case (_, rows) =>
+        var e = 0.0
+        var first = true
+        rows.sortBy(r => (r._3, r._2)).toSeq.map { case (uid, id, _, v) =>
+          e = if (first) v else 0.5 * v + 0.5 * e
+          first = false
+          (uid, id) -> e
+        }
+      }.toMap
+    assert(single.length == ref.size)
+    single.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(3) == ref(k), s"ewma mismatch at $k")
+    }
+  }
+
   test("streaming misra-gries state stays bounded at k entries across batches") {
     // the headline claim of stream_heavy_hitters: the per-shard state a
     // stateful processor carries forever is the SKETCH, never the key
