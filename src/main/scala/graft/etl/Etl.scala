@@ -1046,7 +1046,12 @@ object Etl {
     * rows_before / rows_purged / rows_after, plus an `orphans_after`
     * proof column (rows in the purged child table still referencing a
     * purged parent — must be 0) so a green row certifies the cascade
-    * was complete, not just attempted.
+    * was complete, not just attempted. The orphan counts are derived
+    * independently of the purge joins — kept rows re-tested against
+    * the tombstone PREDICATE (orders directly, lineitem through its
+    * parent order) — so the column measures the cascade, not the
+    * anti-join identity (r7 advice: `(X anti S) semi S` is zero by
+    * construction and would certify nothing).
     *
     * 100 TB: the tombstone set is tiny → BROADCAST anti/semi joins on
     * customer and orders (no fact shuffle). The purged-orderkey set is
@@ -1071,11 +1076,19 @@ object Etl {
     val keptLine = lineitem.join(deadOrders.select(col("o_orderkey")),
       col("l_orderkey") === col("o_orderkey"), "left_anti")
     // cascade-completeness proof: kept children referencing a purged
-    // parent (must be 0 per table for the purge to be lawful)
-    val orphanOrders = keptOrders.join(broadcast(tomb),
-      col("o_custkey") === col("c_custkey"), "left_semi")
-    val orphanLine = keptLine.join(deadOrders.select(col("o_orderkey")),
-      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // parent (must be 0 per table for the purge to be lawful). Derived
+    // INDEPENDENTLY of the purge joins (r7 advice: `(X anti S) semi S`
+    // is empty by the anti-join identity and certifies nothing): kept
+    // orders re-test the tombstone PREDICATE on their own column —
+    // catching a wrong tomb derivation or broken anti join — and kept
+    // lineitems walk the parent chain through the orders table to the
+    // predicate, catching an incomplete cascade (deadOrders built from
+    // the wrong key would pass the tautological spelling, not this).
+    val orphanOrders = keptOrders.filter(col("o_custkey") % 97 === 0)
+    val orphanLine = keptLine
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") % 97 === 0)
     def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
     val counts = n(customer, "c_all").crossJoin(n(tomb, "c_dead"))
       .crossJoin(n(orders, "o_all")).crossJoin(n(deadOrders, "o_dead"))

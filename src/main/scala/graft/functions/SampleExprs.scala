@@ -2,9 +2,9 @@ package graft.functions
 
 import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd replica-min ticket for the weighted bottom-k lottery
@@ -25,11 +25,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * Digest minima compare as raw unsigned bytes, which orders exactly
   * like the lowercase-hex strings the HOF compares (hex encoding is
   * monotone in the byte value), so only the winner is ever hexed.
-  * `w < 1` yields NULL — the empty lottery, matching
-  * `list_min([]) = NULL` on the oracle side.
+  *
+  * PRECONDITION: the equivalence to the Spark HOF holds for `w ≥ 1`
+  * only. At `w < 1` this returns NULL — the empty-lottery semantics
+  * of DuckDB's `list_min([])` — whereas the Spark HOF spelling would
+  * NOT be empty there: `sequence(1, 0)` is the DESCENDING `[1, 0]`,
+  * so `array_min` yields a non-null ticket for w = 0. All producers
+  * pass positive weights (TPC-H quantities ≥ 1; PropertySpec
+  * generates w ∈ [1, 50] and pins the three spellings equal on that
+  * domain), and NULL at w < 1 fails loudly downstream rather than
+  * sampling a row with zero weight. Input types are declared so a
+  * mistyped weight is an ANALYSIS error, not a runtime
+  * ClassCastException (r7 advice).
   */
 case class MinTicket(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // inferred Seq[DataType] (AbstractDataType is private[sql]; Seq is
+  // covariant, so this conforms to the trait's Seq[AbstractDataType])
+  override def inputTypes = Seq(StringType, LongType)
 
   override def dataType: DataType = StringType
 

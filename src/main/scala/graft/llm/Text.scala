@@ -831,7 +831,14 @@ object Text {
     val uni = toks
       .select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val bi = toks
+    // single-token docs first: Spark's sequence(1, 0) is the DESCENDING
+    // [1, 0], so the unguarded transform would evaluate tk[1]/tk[-1]
+    // and throw INVALID_ARRAY_INDEX under ANSI mode (DuckDB's
+    // generate_series(1, 0) is empty — the engines diverge exactly
+    // there). Ops must be total over arbitrary corpora (same guard
+    // discipline as Curation.repetition); a 1-token doc simply has no
+    // bigrams, which the filter states directly.
+    val bi = toks.filter(size(col("tk")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))"))
         .as("p"))

@@ -261,21 +261,54 @@ object ScaleJoins {
     * Injection is threshold-gated for real clusters (application side
     * must look scan-heavy); the thresholds are lowered HERE so the
     * test-scale plan exercises the same rule a 100 TB plan hits by
-    * default, and restored after the plan is forced (the rule runs in
-    * logical optimization, which `executedPlan` materializes eagerly —
-    * later keys plan under the default thresholds again; the merge
-    * hint keeps the join a shuffle join, since a broadcast join
-    * already row-filters and gets no bloom). PlanSpec pins the
-    * injected `might_contain` on the fact scan. */
-  def joinBloom(spark: SparkSession, dir: String): DataFrame = {
+    * default, and restored after. Because a consumer's later
+    * transformation (`.count()`, `.coalesce(1).write`) builds a NEW
+    * QueryExecution that would re-optimize under the RESTORED confs
+    * (r7 advice — forcing `executedPlan` alone pins nothing for
+    * downstream actions), the query is EXECUTED inside the conf
+    * window via an eager localCheckpoint: the bloom-injected plan is
+    * what actually runs, and every consumer reads the materialized
+    * result. The conf mutation is session-wide for the window's
+    * duration — safe here because Bench/Verify run keys sequentially
+    * on one session; a concurrent deployment would scope it per
+    * thread with SQLConf.withExistingConf. PlanSpec pins the injected
+    * `might_contain` on the fact scan via [[joinBloomPlan]], which
+    * plans inside the same window. */
+  def joinBloom(spark: SparkSession, dir: String): DataFrame =
+    withBloomConfs(spark) {
+      // eager: executes the bloom plan while the confs are in force
+      joinBloomQuery(spark, dir).localCheckpoint(true)
+    }
+
+  /** The executed plan string of the bloom join, materialized INSIDE
+    * the conf window — what PlanSpec asserts `might_contain` on. */
+  private[graft] def joinBloomPlan(spark: SparkSession, dir: String): String =
+    withBloomConfs(spark) {
+      joinBloomQuery(spark, dir).queryExecution.executedPlan.toString
+    }
+
+  private def joinBloomQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fact = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"))
+    val dim = t(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY" && col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_retailprice"))
+    ordered(
+      fact.join(dim.hint("merge"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty")))
+  }
+
+  private def withBloomConfs[T](spark: SparkSession)(body: => T): T = {
     val BloomConf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
     val AppThresh =
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
     // InjectRuntimeFilter refuses when either side is broadcastable by
     // size (a broadcast join already row-filters): at 100 TB a real
     // semi-join dim exceeds the broadcast threshold naturally; at test
-    // scale the threshold is lowered for the plan-forcing window so
-    // the same code path fires.
+    // scale the threshold is lowered for the window so the same code
+    // path fires.
     val Abjt = "spark.sql.autoBroadcastJoinThreshold"
     val prevOn = spark.conf.getOption(BloomConf)
     val prevThresh = spark.conf.getOption(AppThresh)
@@ -283,20 +316,8 @@ object ScaleJoins {
     spark.conf.set(BloomConf, "true")
     spark.conf.set(AppThresh, "0")
     spark.conf.set(Abjt, "-1")
-    try {
-      val fact = t(spark, dir, "lineitem")
-        .select(col("l_partkey"), col("l_quantity"))
-      val dim = t(spark, dir, "part")
-        .filter(col("p_type") === "ECONOMY" && col("p_size") <= 5)
-        .select(col("p_partkey"), col("p_retailprice"))
-      val out = ordered(
-        fact.join(dim.hint("merge"), col("l_partkey") === col("p_partkey"))
-          .groupBy(col("p_partkey"))
-          .agg(count(lit(1)).as("n_items"),
-            dsum(col("l_quantity")).as("sum_qty")))
-      out.queryExecution.executedPlan // force optimization under the confs
-      out
-    } finally {
+    try body
+    finally {
       prevOn.fold(spark.conf.unset(BloomConf))(spark.conf.set(BloomConf, _))
       prevThresh.fold(spark.conf.unset(AppThresh))(spark.conf.set(AppThresh, _))
       prevAbjt.fold(spark.conf.unset(Abjt))(spark.conf.set(Abjt, _))

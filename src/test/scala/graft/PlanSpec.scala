@@ -588,10 +588,18 @@ class PlanSpec extends AnyFunSuite {
   test("join_bloom: runtime bloom filter reaches the fact scan as might_contain") {
     // the scale claim: non-matching fact rows die AT THE SCAN, before
     // the shuffle — InjectRuntimeFilter must have fired despite test
-    // scale (the operator lowers the thresholds for its plan window)
-    val p = plan("join_bloom").toLowerCase
+    // scale. The keyed query now EXECUTES inside its conf window and
+    // returns the checkpointed result (so consumers can't silently
+    // re-optimize without the filter — r7 advice); the inner plan is
+    // asserted via the window-scoped accessor.
+    val p = ops.ScaleJoins.joinBloomPlan(spark, Sf).toLowerCase
     assert(p.contains("might_contain"),
       s"expected an injected runtime bloom filter on the fact side:\n$p")
+    // and the keyed query's own plan must be the materialized scan —
+    // proof the bloom-planned result is what downstream actions read
+    val keyed = plan("join_bloom")
+    assert(keyed.contains("Scan ExistingRDD"),
+      s"expected the checkpointed result, got:\n$keyed")
   }
 
   test("win_median: bounded-frame median runs in ONE Window node over one shuffle") {
