@@ -46,20 +46,43 @@ import org.apache.spark.sql.functions._
   * Scale posture: one columnar pass per table, no shuffle (explode is
   * map-side); at a real 100 TB this is exactly the shape you'd run —
   * `factor` map tasks per input split, write-partitioned by replica.
-  */
+  *
+  * LEVEL-2 amplification (sf10 = ScaleUp(sf1) — r8): the level-1 text
+  * map cannot compose with itself — re-mapping an already-mapped LAST
+  * char sends every level-1 shard's token to the SAME image
+  * (`xb`,`xc` → `xq`), collapsing the shards into exact duplicates.
+  * `level = 2` therefore maps the SECOND-TO-LAST char with a
+  * different alphabet ([[Letters2]], chosen programmatically against
+  * the sf1 vocabulary: per-letter injective, ZERO fixed points, image
+  * disjoint from the existing vocab and from the stoplist — strictly
+  * cleaner than level 1's rare fixed points like `agg` under the `g`
+  * replica). The embedding sign-flip seed is level-tagged so a
+  * level-2 flip never inverts a level-1 flip (same seed would make
+  * shard (r,1)∘(1,s) reproduce identity vectors — instant cross-shard
+  * duplicates). Level-1 output at sf1 is byte-identical to what this
+  * file always produced. */
 object ScaleUp {
   private val Stop = Seq(
     "the", "a", "of", "and", "el", "la", "de", "y",
     "der", "die", "das", "und")
   // replica 1..9 suffix letters; index 0 (identity shard) unused
   private val Letters = "bcghjkmpq"
+  // level-2 replica letters, applied at the second-to-last position:
+  // none is a stopword's penultimate char (no mapped token can become
+  // a stopword), none appears as ANY sf1-vocab token's penultimate
+  // (zero fixed points), and the per-letter map is injective on the
+  // sf1 vocab with image disjoint from it (verified programmatically;
+  // ScaleUpSpec re-verifies on the actual corpus)
+  private val Letters2 = "bfjkpqvwx"
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val level = if (args.length > 3) args(3).toInt else 1
     require(factor >= 1 && factor <= 10,
       s"factor must be in [1,10] (have ${Letters.length + 1} disjoint shard alphabets), got $factor")
+    require(level == 1 || level == 2, s"level must be 1 or 2, got $level")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions",
@@ -67,11 +90,12 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, factor)
+    run(spark, src, dst, factor, level)
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+      level: Int = 1): Unit = {
     // via Tables.load: explicit fail-fast schemas + the ns→µs events
     // timestamp normalization (the output stores plain µs)
     def read(t: String) = core.Tables.load(spark, src, t)
@@ -130,26 +154,45 @@ object ScaleUp {
       shift("event_id", nEvt), col("ts"), shift("user_id", nUser),
       col("event_type"), col("value"), col("props")))
 
-    // length-preserving per-shard word map (see scaladoc)
+    // length-preserving per-shard word map (see scaladoc): level 1
+    // replaces the LAST char, level 2 the SECOND-TO-LAST (1-char
+    // tokens degenerate to the replica letter at either level — the
+    // only 1-char tokens in any shipped corpus are stopwords, which
+    // pass through untouched)
     val shardText = array_join(
-      transform(split(col("text"), " "), w =>
-        when(col("r") === 0 || w.isin(Stop: _*), w)
-          .otherwise(concat(
-            w.substr(lit(1), length(w) - 1),
-            element_at(lit(Letters.map(_.toString).toArray), col("r"))))),
+      transform(split(col("text"), " "), w => {
+        val letters =
+          if (level == 1) Letters.map(_.toString).toArray
+          else Letters2.map(_.toString).toArray
+        val letter = element_at(lit(letters), col("r"))
+        val mapped =
+          if (level == 1) concat(w.substr(lit(1), length(w) - 1), letter)
+          else when(length(w) <= 1, letter)
+            .otherwise(concat(
+              w.substr(lit(1), length(w) - 2), letter,
+              w.substr(length(w), lit(1))))
+        when(col("r") === 0 || w.isin(Stop: _*), w).otherwise(mapped)
+      }),
       " ")
     write("documents")(amplify(read("documents")).select(
       shift("doc_id", nDoc), shardText.as("text"),
       col("lang"), col("source"), col("n_chars")))
 
-    // orthogonal per-shard transform: deterministic ±1 per (r, dim)
+    // orthogonal per-shard transform: deterministic ±1 per (r, dim).
+    // The seed is LEVEL-TAGGED (level 1 keeps its historical literal so
+    // sf1 reproduces byte-identically): with a shared seed, a level-2
+    // flip with the same r would exactly invert a level-1 flip and
+    // shard (r,·)∘(·,r) would reproduce the identity shard's vectors —
+    // cross-shard exact duplicates, the very artifact ScaleUp exists
+    // to avoid.
+    val signSeed = if (level == 1) "graft_shard_sign" else "graft_shard_sign_L2"
     write("embeddings")(amplify(read("embeddings")).select(
       // DOC stride, not the embeddings row count: llm_multimodal joins
       // doc_id = vec_id and the alignment must survive sharding
       shift("vec_id", nDoc),
       transform(col("embedding"), (x, i) =>
         when(col("r") === 0 ||
-          pmod(xxhash64(lit("graft_shard_sign"), col("r") * 64 + i), lit(2)) === 0, x)
+          pmod(xxhash64(lit(signSeed), col("r") * 64 + i), lit(2)) === 0, x)
           .otherwise(-x)).cast("array<float>").as("embedding"),
       col("label")))
   }

@@ -769,10 +769,10 @@ object Etl {
     * Cost note: k EXACT count_distincts in one aggregate make Catalyst
     * rewrite via Expand — the scan stays single but the aggregate input
     * multiplies ×(k+1), keyed by the distinct values themselves. That
-    * is the audit-grade spelling; the 100 TB profiling default swaps
-    * each count_distinct for approx_count_distinct (mergeable HLL,
-    * no Expand, no value-keyed shuffle — `agg_approx_distinct`'s
-    * machinery) and keeps this exact form for reconciliation runs. */
+    * is the audit-grade spelling, kept for reconciliation runs at
+    * bounded SF; the 100 TB profiling default is the sketch sibling
+    * `etl_dq_profile_approx` ([[dqProfileApprox]] — mergeable HLL per
+    * column, no Expand, no value-keyed shuffle). */
   def dqProfile(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq[(String, Boolean)](
       ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
@@ -804,6 +804,75 @@ object Etl {
       s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
          |  COUNT(DISTINCT $c) AS n_distinct,
          |  ${mm("MIN")} AS min_val, ${mm("MAX")} AS max_val FROM orders"""
+    }
+    s"""${row("o_orderkey", true)}
+       |UNION ALL ${row("o_custkey", true)}
+       |UNION ALL ${row("o_orderstatus", false)}
+       |UNION ALL ${row("o_totalprice", true)}
+       |UNION ALL ${row("o_orderpriority", false)}
+       |${O.OrderAll}"""
+  }
+
+  /** The 100 TB spelling of the whole-table profile (r7 verdict task:
+    * `etl_dq_profile`'s k exact count_distincts plan an Expand — input
+    * ×(k+1) before the exchange, 16.7 s at sf1 — which is the
+    * audit-grade reconciliation form, not the daily profiler): null
+    * counts, min/max, and PER-COLUMN HLL SKETCHES all ride ONE scan
+    * and one ordinary partial-merge aggregate — no Expand, no
+    * value-keyed shuffle, and the sketches are mergeable across
+    * partitions/days/tenants (`agg_sketch_merge`'s property). Values
+    * are sketched through their string cast (Spark's DataSketches agg
+    * takes int/long/string/binary; long/double → string is injective,
+    * so distinct counts are preserved exactly).
+    *
+    * The emitted `n_distinct` is the EXACT count and
+    * `approx_in_bound` pins |HLL − exact| ≤ 8 % of exact (5× the
+    * lgK=12 standard error ~1.6 % — the `agg_approx_distinct`
+    * oracle convention): the exact twins are the verification
+    * harness, computed as k SEPARATE single-column two-level
+    * distinct aggregates over column-pruned scans precisely so the
+    * production aggregate's plan stays Expand-free (PlanSpec pins
+    * that). At 100 TB you ship only the sketch pass; the twins are
+    * what lets the driver gate the estimate today. */
+  def dqProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq[(String, Boolean)](
+      ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+      ("o_totalprice", true), ("o_orderpriority", false))
+    val o = t(spark, dir, "orders")
+    val aggs = cols.flatMap { case (c, numeric) =>
+      val v = if (numeric)
+        col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      else col(c).cast("string")
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        hll_sketch_estimate(hll_sketch_agg(col(c).cast("string")))
+          .as(s"${c}__approx"),
+        min(v).cast("string").as(s"${c}__min"),
+        max(v).cast("string").as(s"${c}__max"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val exacts = cols.map { case (c, _) =>
+      o.select(col(c)).agg(count_distinct(col(c)).as(s"${c}__exact"))
+    }.reduce(_.crossJoin(_))
+    val stackExpr = cols.map { case (c, _) =>
+      s"'$c', ${c}__nulls, ${c}__exact, ${c}__min, ${c}__max, " +
+        s"abs(${c}__approx - ${c}__exact) <= 0.08 * ${c}__exact"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    ordered(
+      one.crossJoin(exacts).select(expr(
+        s"$stackExpr AS (col_name, n_nulls, n_distinct, min_val, " +
+          "max_val, approx_in_bound)")))
+  }
+
+  private val dqProfileApproxSql = {
+    def row(c: String, numeric: Boolean) = {
+      def mm(f: String) =
+        if (numeric) s"CAST($f(CAST($c AS DECIMAL(18,2))) AS VARCHAR)"
+        else s"$f(CAST($c AS VARCHAR))"
+      s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  ${mm("MIN")} AS min_val, ${mm("MAX")} AS max_val,
+         |  TRUE AS approx_in_bound FROM orders"""
     }
     s"""${row("o_orderkey", true)}
        |UNION ALL ${row("o_custkey", true)}
@@ -1203,6 +1272,7 @@ object Etl {
     "etl_late_dim" -> Q(lateArrivingDim _, lateArrivingDimSql),
     "etl_scd4" -> Q(scd4 _, scd4Sql),
     "etl_dq_profile" -> Q(dqProfile _, dqProfileSql),
+    "etl_dq_profile_approx" -> Q(dqProfileApprox _, dqProfileApproxSql),
     "etl_partition_evolution" -> Q(partitionEvolution _, partitionEvolutionSql),
     "etl_snapshot_diff" -> Q(snapshotDiff _, snapshotDiffSql),
     "etl_scd3" -> Q(scd3 _, scd3Sql),

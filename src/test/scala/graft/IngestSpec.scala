@@ -71,6 +71,31 @@ class IngestSpec extends AnyFunSuite {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("jdbc scale knobs: partitioned read fans out, fetchsize + writer cap set") {
+    // the README.md:2 "SQL Server at scale" realism knobs (r7 verdict
+    // task #7): the read side must fan out into numPartitions range
+    // connections with a bounded per-roundtrip fetchsize; the write
+    // side must cap concurrent connections at what the server
+    // tolerates, not at Spark's parallelism.
+    val dir = java.nio.file.Files.createTempDirectory("graft_knobs").toString
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val sink = new sinks.JdbcSink(url, "u", "p", numPartitions = 2)
+    assert(sink.options("t")("numPartitions") == "2",
+      "writer-connection cap must reach the JDBC options")
+    assert(sink.options("t")("batchsize") == "10000",
+      "batched inserts, never per-row")
+    val base = (1L to 100L).map(i => (i, s"n$i")).toDF("k", "name")
+    sink.write(base, "t", org.apache.spark.sql.SaveMode.Overwrite)
+    val src = new sources.JdbcSource(url, "u", "p", fetchSize = 500)
+    assert(src.options("t")("fetchsize") == "500",
+      "fetchsize must reach the JDBC options")
+    val back = src.readPartitioned(spark, "t", "k", 1L, 101L, numPartitions = 4)
+    assert(back.rdd.getNumPartitions == 4,
+      s"expected 4 range partitions, got ${back.rdd.getNumPartitions}")
+    assert(back.count() == 100, "range split must cover all rows exactly once")
+  }
+
   test("merge dialects: ANSI vs T-SQL spellings, key-only degenerate") {
     val cols = Seq("k", "name", "bal")
     val ansi = sinks.AnsiMergeDialect.mergeSql("t", "t_stage", cols, Seq("k"))

@@ -585,6 +585,60 @@ class PlanSpec extends AnyFunSuite {
     assert(nHash == 1, s"expected one user_id exchange, got $nHash:\n$p")
   }
 
+  test("etl_dq_profile_approx: sketch profile plans NO Expand") {
+    // the key's whole reason to exist: k mergeable HLL sketches ride
+    // one ordinary partial-merge aggregate. The exact twin's k
+    // count_distincts force the Expand rewrite (input ×(k+1) before
+    // the exchange) — that shape must never leak into the approx key
+    // (the exact-twin harness aggs are separate single-distinct
+    // column-pruned passes precisely to keep it out).
+    val p = plan("etl_dq_profile_approx")
+    assert(!p.contains("Expand"), s"sketch profile must not Expand:\n$p")
+    // and the exact sibling documents the shape being avoided
+    assert(plan("etl_dq_profile").contains("Expand"),
+      "exact profile is the Expand spelling (scaladoc'd) — if Catalyst " +
+        "stopped rewriting via Expand, update both scaladocs")
+  }
+
+  test("inventory sweep: every non-equi join in every registered plan has a bounded side") {
+    import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // A join with NO equi component executes as CartesianProduct /
+    // BroadcastNestedLoopJoin — O(|L|·|R|) row visits. Lawful only
+    // when one side is PROVABLY bounded in the plan itself
+    // (maxRows: a grouping-less aggregate's 1-row scalar, a LIMIT,
+    // a local relation) — the audit-scalar crossJoin(broadcast(agg))
+    // idiom and the sliced brute twin. Everything else is the named
+    // 100 TB killer and fails here, for all registered keys at once
+    // (PlanSpec's named pins cover the expensive tail; this is the
+    // universal negative guarantee — r7 verdict task #5).
+    import org.apache.spark.sql.catalyst.planning.ExtractSingleColumnNullAwareAntiJoin
+    val Bounded = 5000L // = Similarity.BruteSliceRows, the largest lawful slice
+    val allow = Map(
+      // deliberate whole-relation cartesian: the demo of the operator
+      // itself (5-row region × 25-row nation, both unbounded-by-plan
+      // but dimension tables by contract — justified in-code)
+      "join_cross" -> "cartesian IS the operator; dims are contract-tiny")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { k =>
+      val lp = SparkEntry.queries(k)(spark, Sf).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case j: Join
+            if !ExtractEquiJoinKeys.unapply(j).exists(_._2.nonEmpty) &&
+              !Seq(j.left, j.right).exists(_.maxRows.exists(_ <= Bounded)) &&
+              // NOT IN's single-column null-aware anti join is
+              // logically non-equi (cond = key=key OR isnull) but
+              // plans as a hash join — sql_tpch_q16's named pin
+              // asserts the BroadcastHashJoin; lawful here
+              ExtractSingleColumnNullAwareAntiJoin.unapply(j).isEmpty =>
+          j.joinType.toString
+      }
+      if (bad.nonEmpty && !allow.contains(k)) Some(s"$k(${bad.mkString(",")})")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded non-equi joins in: ${offenders.mkString("; ")}")
+  }
+
   test("join_bloom: runtime bloom filter reaches the fact scan as might_contain") {
     // the scale claim: non-matching fact rows die AT THE SCAN, before
     // the shuffle — InjectRuntimeFilter must have fired despite test

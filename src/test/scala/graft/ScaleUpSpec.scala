@@ -105,6 +105,64 @@ class ScaleUpSpec extends AnyFunSuite {
     }
   }
 
+  // ——— level-2 composition (sf10 = ScaleUp(sf1, level = 2) — r8):
+  // the level-1 map cannot compose with itself (re-mapping the last
+  // char collapses shards into exact duplicates), so level 2 maps the
+  // SECOND-TO-LAST char with a disjoint alphabet. These pins verify
+  // the composed corpus keeps every property the single level had. ———
+
+  private lazy val out2: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scaleup2").toString
+    ScaleUp.run(spark, out, dir, factor, level = 2)
+    dir
+  }
+  private def dst2(t: String) = core.Tables.load(spark, out2, t)
+
+  test("level-2: duplicate structure stays isomorphic through BOTH levels") {
+    def dups(df: org.apache.spark.sql.DataFrame) =
+      df.count() - df.select("text").distinct.count()
+    // exact-dup count ×factor² — any cross-shard text collision at
+    // either level (fixed points, colliding images, a re-mapped last
+    // char) breaks this equality
+    assert(dups(dst2("documents")) === dups(src("documents")) * factor * factor,
+      "level-2 cross-shard text collisions (or lost intra-shard dups)")
+  }
+
+  test("level-2: token map is injective with zero fixed points on the real vocab") {
+    val stop = Seq("the", "a", "of", "and", "el", "la", "de", "y",
+      "der", "die", "das", "und")
+    def vocabNs(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(!col("w").isin(stop: _*)).distinct().count()
+    // per-letter injectivity + image-disjointness (from each other AND
+    // from the level-1 vocab) + zero fixed points ⇔ every level-1
+    // non-stopword token has exactly `factor` distinct images
+    assert(vocabNs(dst2("documents")) === vocabNs(dst("documents")) * factor,
+      "level-2 images collide (non-injective, fixed point, or vocab overlap)")
+    // gate invariance carries through the composition: the level-2 map
+    // is also length-preserving and stopword-transparent
+    assert(dst2("documents").filter(col("n_chars") =!= length(col("text")))
+      .count() === 0)
+  }
+
+  test("level-2: embeddings decorrelate from their level-1 source, norms exact") {
+    val nDoc1 = dst("documents").agg(max("doc_id")).head.getLong(0) + 1
+    val v1 = dst("embeddings").orderBy("vec_id").limit(8)
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    val v2 = dst2("embeddings")
+      .filter(col("vec_id") >= nDoc1 && col("vec_id") < nDoc1 + 8)
+      .orderBy("vec_id").collect().map(r => r.getSeq[Float](1).toArray)
+    for ((a, b) <- v1.zip(v2)) {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(dot / (na * nb)) < 0.7,
+        "level-2 shard copy still correlated with its level-1 source — " +
+          "the sign seed must be level-tagged")
+      assert(math.abs(na - nb) < 1e-6, "norm not preserved at level 2")
+    }
+  }
+
   test("cross-shard text similarity is negligible (no spurious near-dups)") {
     // a doc vs its shard-1 image: shared 3-shingles can only be
     // all-stopword trigrams — Jaccard must sit far below any threshold

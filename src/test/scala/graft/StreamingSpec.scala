@@ -209,6 +209,35 @@ class StreamingSpec extends AnyFunSuite {
       s"dedup state must be ≤ $nIds (one row per id), got $peak")
   }
 
+  test("stream_ewma: state rows = distinct users, not input rows") {
+    val ev = core.Tables.load(spark, TestSpark.Sf, "events")
+    val nRows = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    stream.Streaming.ewma(spark, TestSpark.Sf).collect()
+    val peak = stream.Streaming.lastStateRowsPeak
+    // the fold keeps (ewma, last ts, last id) per KEY — an
+    // exact-history respelling (per-event state) would hold nRows
+    assert(peak >= 1 && peak <= nUsers,
+      s"per-key fold state must be ≤ $nUsers rows, got $peak")
+    assert(peak < nRows, s"state ($peak) grew with input ($nRows rows)")
+  }
+
+  test("stream_session: state rows bounded by sessions, never by events") {
+    val nRows = core.Tables.load(spark, TestSpark.Sf, "events").count()
+    val nSessions = stream.Streaming.session(spark, TestSpark.Sf).count()
+    val peak = stream.Streaming.lastStateRowsPeak
+    // complete mode evicts nothing, so state = one row per session
+    // window seen so far; the time-ordered single-source feed keeps
+    // merges in-batch, so the peak never exceeds the final session
+    // count (cross-batch unmerged pieces would show up here). The
+    // scale claim is that state is SESSION-bounded, not EVENT-bounded
+    // — on an unbounded stream the watermark evicts closed sessions
+    // and the bound becomes open sessions only.
+    assert(peak >= 1 && peak <= nSessions,
+      s"session state must be ≤ $nSessions windows, got $peak")
+    assert(peak < nRows, s"state ($peak) grew with input ($nRows rows)")
+  }
+
   test("foreachBatch sink appends once per micro-batch and reruns are idempotent") {
     val first = stream.Streaming.foreachBatchSink(spark, TestSpark.Sf).collect().toSeq
     assert(stream.Streaming.lastBatchId >= stream.Streaming.MbSlices - 1,
