@@ -43,10 +43,18 @@ object ScaleStats {
       val csh = llm.Dedup.shinglesOf(spark, cc).localCheckpoint()
       val contCand = llm.Dedup.prefixCandidates(csh, 9, 10)
         .distinct().count()
-      val shareBlocked = csh.select(col("doc_id").as("a"), col("shingle"))
-        .join(csh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct().count()
+      // the df-blocked BASELINE the prefix filter replaces is itself
+      // quadratic-ish (pairs sharing ≥1 shingle) — the point of
+      // measuring it. Counting it stops being affordable right around
+      // where it stops being informative (the ratio is established at
+      // sf0.01–sf1); above 100k docs report -1 instead of running a
+      // ~1G-pair join for a denominator nobody needs (r8, sf10 rung).
+      val shareBlocked =
+        if (nDocs > 100000L) -1L
+        else csh.select(col("doc_id").as("a"), col("shingle"))
+          .join(csh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct().count()
 
       // embedding dedup (SRP-LSH): banded candidates vs n·(n−1)/2 —
       // at FIXED 8-bit depth (the quadratic-in-disguise regime: a
@@ -58,10 +66,17 @@ object ScaleStats {
         core.Tables.load(spark, dir, "embeddings"))
       val nVec = e.count()
       val adaptiveBits = llm.Similarity.srpBitsFor(nVec)
-      val cosCandFixed = llm.Similarity.cosineBandCandidates(
-        e, llm.Similarity.DedupBandBits, llm.Similarity.DedupBands).count()
+      // the fixed-8-bit count is the QUADRATIC CONTROL (bands·n²/2⁹ by
+      // chance collisions — the regime the adaptive depth fixed); its
+      // slope is established at sf0.01–sf1, and above 50k vectors the
+      // control itself is a ~0.5G-pair join. Report -1 there (r8).
+      val cosCandFixed =
+        if (nVec > 50000L) -1L
+        else llm.Similarity.cosineBandCandidates(
+          e, llm.Similarity.DedupBandBits, llm.Similarity.DedupBands).count()
       val cosCandAdaptive =
-        if (adaptiveBits == llm.Similarity.DedupBandBits) cosCandFixed
+        if (adaptiveBits == llm.Similarity.DedupBandBits && cosCandFixed >= 0)
+          cosCandFixed
         else llm.Similarity.cosineBandCandidates(
           e, adaptiveBits, llm.Similarity.DedupBands).count()
 
