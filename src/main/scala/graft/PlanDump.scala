@@ -69,7 +69,8 @@ object PlanDump {
     "fn_regex" -> "regex suite: five codegen'd per-row expressions inside one scan stage, zero shuffle",
     "join_bloom" -> "runtime bloom filter: might_contain(bloom, xxhash64(key)) injected into the fact scan",
     "win_median" -> "rolling exact median: one Window node, per-frame selection over integer cents",
-    "etl_survivorship" -> "golden-record merge: ONE full-outer join, survivorship coalesce/CASE rides its project")
+    "etl_survivorship" -> "golden-record merge: ONE full-outer join, survivorship coalesce/CASE rides its project",
+    "etl_dq_profile_approx" -> "sketch profile: per-column HLLs in ONE partial-merge aggregate (no Expand); exact twins ride separate column-pruned single-distinct aggs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
