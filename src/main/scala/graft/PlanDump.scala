@@ -70,7 +70,8 @@ object PlanDump {
     "join_bloom" -> "runtime bloom filter: might_contain(bloom, xxhash64(key)) injected into the fact scan",
     "win_median" -> "rolling exact median: one Window node, per-frame selection over integer cents",
     "etl_survivorship" -> "golden-record merge: ONE full-outer join, survivorship coalesce/CASE rides its project",
-    "etl_dq_profile_approx" -> "sketch profile: per-column HLLs in ONE partial-merge aggregate (no Expand); exact twins ride separate column-pruned single-distinct aggs")
+    "etl_dq_profile_approx" -> "sketch profile: per-column HLLs in ONE partial-merge aggregate (no Expand); exact twins ride separate column-pruned single-distinct aggs",
+    "llm_dedup_incremental" -> "incremental dedup: batch probes the STORED corpus band index on (band,hash,gx) equi keys — block-capped at build time; candidate-only exact verify, corpus never re-shingled")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -168,6 +168,132 @@ object Dedup {
     spark.read.parquet(graft.core.Fixtures.path(dir, name))
   }
 
+  /** Deterministic batch membership for the incremental-dedup demo:
+    * doc_id % 10 == 7 plays "today's crawl batch" (~10 % of docs);
+    * the rest is the already-deduped stored corpus. */
+  private[graft] def isIncrementalBatch: Column = col("doc_id") % 10 === 7
+
+  /** STORED corpus LSH index — the artifact an incremental dedup
+    * probes instead of re-mining the corpus: the corpus docs'
+    * (band_idx, band_hash, doc_id) MinHash band rows, PLUS the
+    * block-capping metadata computed once at build time (`gx` = the
+    * doc's [[BandBucketCap]]-sized block within its bucket, `num_g` =
+    * the bucket's block count). Storing the block layout IN the index
+    * is what makes every later probe skew-safe for free: a probe
+    * explodes over the stored `num_g` and joins on (band, hash, gx),
+    * so a hot bucket (boilerplate pages) is ≤ Cap corpus rows per
+    * join group — no re-ranking window, no m×n join group. Same
+    * build-once / parameter-keyed / no-retrain lifecycle as the
+    * IVF/PQ index fixtures. */
+  private[graft] def corpusBandIndexFixture(
+      spark: SparkSession, dir: String): DataFrame = {
+    val name = s"neardup_index_p${NumPerms}_r${BandRows}_c$BandBucketCap.parquet"
+    graft.core.Fixtures.buildAtomic(dir, name) { tmp =>
+      val corpus = docs(spark, dir).filter(!isIncrementalBatch)
+      val bands = minhashBands(shinglesOf(spark, corpus))
+      val bucket = Window.partitionBy(col("band_idx"), col("band_hash"))
+      bands
+        .withColumn("gx",
+          ((row_number().over(bucket.orderBy(col("doc_id"))) - 1) / BandBucketCap)
+            .cast("long"))
+        .withColumn("num_g",
+          ((count(lit(1)).over(bucket) + BandBucketCap - 1) / BandBucketCap)
+            .cast("long"))
+        .write.parquet(tmp)
+    }
+    spark.read.parquet(graft.core.Fixtures.path(dir, name))
+  }
+
+  /** INCREMENTAL near-dedup — the lifecycle a production corpus
+    * actually runs (a 100 TB corpus is never re-deduped from scratch;
+    * each crawl batch is deduped AGAINST it): today's batch
+    * (deterministic ~10 % slice) is gated against the stored corpus
+    * LSH index ([[corpusBandIndexFixture]]) plus itself, and the
+    * survivors are what gets appended. Work is proportional to the
+    * BATCH — the corpus contributes only its stored band rows (read,
+    * never re-shingled) and the few candidate docs that share a
+    * bucket with a batch doc (re-shingled for the exact verify).
+    *
+    * Shape: batch shingles → batch band signature → two candidate
+    * sources, both equi-joins: (1) batch probes the stored index on
+    * (band, hash, gx) — corpus side block-capped AT BUILD TIME, so a
+    * hot bucket is ≤ [[BandBucketCap]] corpus rows per join group
+    * (the symmetric batch-side second-level capping is the same
+    * [[bandPairsKeyed]] construction, left as the documented
+    * extension — the batch is the small side by design); (2) the
+    * batch self-joins through the capped [[bandPairs]]. Only
+    * candidates pay the exact-Jaccard verify. Drop rules: a batch doc
+    * near-duplicating ANY corpus doc drops (the stored corpus always
+    * wins — its ids are already published), and within the batch
+    * min-id-wins, exactly [[dedupApply]]'s convention. The oracle
+    * replays both rules over brute all-pairs Jaccard, so LSH recall
+    * is hash-gated here too. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val batch = d.filter(isIncrementalBatch)
+    val index = corpusBandIndexFixture(spark, dir)
+    val batchSh = shinglesOf(spark, batch).cache()
+    val batchBands = minhashBands(batchSh)
+    // probe: only buckets the index knows, exploded over the stored
+    // block count — (band, hash, gx) equi join, ≤ Cap rows per group
+    val numG = index
+      .select(col("band_idx"), col("band_hash"), col("num_g")).distinct()
+    val probe = batchBands.join(numG, Seq("band_idx", "band_hash"))
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"),
+        explode(sequence(lit(0L), col("num_g") - 1)).as("gx"))
+    val bc = probe
+      .join(index.select(col("band_idx"), col("band_hash"), col("gx"),
+        col("doc_id").as("doc_a")), Seq("band_idx", "band_hash", "gx"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val bb = bandPairs(batchBands)
+    val cand = bc.unionByName(bb).distinct().localCheckpoint()
+    // verify: batch shingles are in hand; only candidate CORPUS docs
+    // are re-shingled (a bounded set — in production these doc reads
+    // are the index's payload column)
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val corpusCandSh = shinglesOf(spark,
+      d.filter(!isIncrementalBatch)
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    val pairs =
+      verifyJaccard(cand, batchSh.unionByName(corpusCandSh), JaccardThreshold)
+    val drops = pairs.select(col("doc_b").as("drop_id")).distinct()
+    val out = ordered(
+      batch.join(drops, col("doc_id") === col("drop_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+    batchSh.unpersist()
+    out
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       |  UNION
+       |  SELECT doc_id, text AS s FROM documents WHERE len(string_split(text, ' ')) <= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
+       |drops AS (
+       |  SELECT DISTINCT d FROM (
+       |    SELECT doc_b AS d, doc_a AS o FROM jac
+       |    UNION ALL
+       |    SELECT doc_a AS d, doc_b AS o FROM jac) p
+       |  WHERE d % 10 = 7 AND (o % 10 <> 7 OR o < d))
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT d FROM drops)
+       |${O.OrderAll}"""
+
   /** (doc_id, band_idx, band_hash) LSH index of a (doc_id, shingle)
     * set — the signature+banding stage of [[nearDedupPairs]], one
     * definition shared with [[graft.ScaleStats]]' candidate counting.
@@ -1031,6 +1157,7 @@ object Dedup {
     "llm_edit_distance" -> Q(editDistance _, editDistanceSql),
     "graph_triangles" -> Q(triangles _, trianglesSql),
     "llm_dedup_apply" -> Q(dedupApply _, dedupApplySql),
+    "llm_dedup_incremental" -> Q(dedupIncremental _, dedupIncrementalSql),
     "llm_dup_clusters" -> Q(dupClusters _, dupClustersSql),
     "llm_exact_dedup" -> Q(exactDedup _, exactDedupSql),
     "llm_near_dedup" -> Q(nearDedup _, ngramJaccardSql),

@@ -33,6 +33,35 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: survivors equal the brute drop-rule replay; index persists") {
+    for (sf <- Seq(Sf, "/root/testdata/sf0.01")) {
+      val d = llm.Dedup.docs(spark, sf)
+      // brute replay of BOTH drop rules over all-pairs jaccard: a batch
+      // doc drops if it pairs with any corpus doc (corpus always wins)
+      // or with a smaller-id batch doc (min-id-wins within the batch)
+      val jac = llm.Dedup.bruteJaccardPairs(spark, d)
+        .select(col("doc_a"), col("doc_b"))
+      val dropped = jac
+        .select(col("doc_b").as("d"), col("doc_a").as("o"))
+        .unionByName(jac.select(col("doc_a").as("d"), col("doc_b").as("o")))
+        .filter(col("d") % 10 === 7 && (col("o") % 10 =!= 7 || col("o") < col("d")))
+        .select(col("d")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val expected = d.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet -- dropped
+      val got = llm.Dedup.dedupIncremental(spark, sf)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"incremental survivors diverge at $sf")
+      assert(dropped.nonEmpty || sf == Sf,
+        "sf0.01 should exercise at least one drop or the law is vacuous")
+    }
+    // the stored index is a build-once artifact: a second call must
+    // read the parquet, not re-mine the corpus (same contract as the
+    // IVF/PQ fixtures — exists() green means _SUCCESS was published)
+    assert(graft.core.Fixtures.exists(Sf,
+      s"neardup_index_p64_r4_c${llm.Dedup.BandBucketCap}.parquet"))
+  }
+
   test("band join: blocked self-join equals naive pairs with bounded fan-out") {
     // planted skew: one hot band bucket with 300 docs (what a
     // boilerplate-heavy corpus does to MinHash bands) plus a small tail
