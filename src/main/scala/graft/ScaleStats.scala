@@ -36,6 +36,15 @@ object ScaleStats {
       val sh = llm.Dedup.shinglesOf(spark, d)
       val nearCand = llm.Dedup.bandPairs(llm.Dedup.minhashBands(sh)).count()
 
+      // incremental dedup: candidates a ~10 % batch raises against the
+      // stored corpus band index + itself — the work that must track
+      // the BATCH, not the corpus (the full-corpus twin is nearCand).
+      // Same candidate definition the keyed query verifies.
+      val incrCand = llm.Dedup.incrementalCandidates(
+        llm.Dedup.minhashBands(
+          llm.Dedup.shinglesOf(spark, d.filter(llm.Dedup.isIncrementalBatch))),
+        llm.Dedup.corpusBandIndexFixture(spark, dir)).count()
+
       // containment (PPJoin prefix filter) over the keyed corpus:
       // distinct prefix candidates vs the df-blocked all-pairs the
       // filter replaces (pairs sharing ≥1 shingle)
@@ -96,6 +105,7 @@ object ScaleStats {
       println(
         s"""{"dir":"$dir","n_docs":$nDocs,""" +
           s""""neardup_band_candidates":$nearCand,""" +
+          s""""incremental_candidates":$incrCand,""" +
           s""""containment_prefix_candidates":$contCand,""" +
           s""""containment_sharing_pairs":$shareBlocked,""" +
           s""""n_vectors":$nVec,"all_pairs":${nVec * (nVec - 1) / 2},""" +

@@ -190,18 +190,24 @@ object Dedup {
     val name = s"neardup_index_p${NumPerms}_r${BandRows}_c$BandBucketCap.parquet"
     graft.core.Fixtures.buildAtomic(dir, name) { tmp =>
       val corpus = docs(spark, dir).filter(!isIncrementalBatch)
-      val bands = minhashBands(shinglesOf(spark, corpus))
-      val bucket = Window.partitionBy(col("band_idx"), col("band_hash"))
-      bands
-        .withColumn("gx",
-          ((row_number().over(bucket.orderBy(col("doc_id"))) - 1) / BandBucketCap)
-            .cast("long"))
-        .withColumn("num_g",
-          ((count(lit(1)).over(bucket) + BandBucketCap - 1) / BandBucketCap)
-            .cast("long"))
-        .write.parquet(tmp)
+      indexBlockLayout(minhashBands(shinglesOf(spark, corpus))).write.parquet(tmp)
     }
     spark.read.parquet(graft.core.Fixtures.path(dir, name))
+  }
+
+  /** The index's block layout: each (band, hash) bucket's docs cut
+    * into [[BandBucketCap]]-sized `gx` blocks, `num_g` = the bucket's
+    * block count. One definition shared by [[corpusBandIndexFixture]]
+    * and the probe-law spec. */
+  private[graft] def indexBlockLayout(bands: DataFrame): DataFrame = {
+    val bucket = Window.partitionBy(col("band_idx"), col("band_hash"))
+    bands
+      .withColumn("gx",
+        ((row_number().over(bucket.orderBy(col("doc_id"))) - 1) / BandBucketCap)
+          .cast("long"))
+      .withColumn("num_g",
+        ((count(lit(1)).over(bucket) + BandBucketCap - 1) / BandBucketCap)
+          .cast("long"))
   }
 
   /** INCREMENTAL near-dedup — the lifecycle a production corpus
@@ -228,12 +234,12 @@ object Dedup {
     * min-id-wins, exactly [[dedupApply]]'s convention. The oracle
     * replays both rules over brute all-pairs Jaccard, so LSH recall
     * is hash-gated here too. */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val batch = d.filter(isIncrementalBatch)
-    val index = corpusBandIndexFixture(spark, dir)
-    val batchSh = shinglesOf(spark, batch).cache()
-    val batchBands = minhashBands(batchSh)
+  /** Candidate stage of [[dedupIncremental]] — (doc_a, doc_b) pairs a
+    * batch band signature raises against the stored index plus itself.
+    * Factored out so [[graft.ScaleStats]] counts EXACTLY what the
+    * keyed query verifies (nothing re-derived). */
+  private[graft] def incrementalCandidates(
+      batchBands: DataFrame, index: DataFrame): DataFrame = {
     // probe: only buckets the index knows, exploded over the stored
     // block count — (band, hash, gx) equi join, ≤ Cap rows per group
     val numG = index
@@ -245,8 +251,16 @@ object Dedup {
       .join(index.select(col("band_idx"), col("band_hash"), col("gx"),
         col("doc_id").as("doc_a")), Seq("band_idx", "band_hash", "gx"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val bb = bandPairs(batchBands)
-    val cand = bc.unionByName(bb).distinct().localCheckpoint()
+    bc.unionByName(bandPairs(batchBands)).distinct()
+  }
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val batch = d.filter(isIncrementalBatch)
+    val index = corpusBandIndexFixture(spark, dir)
+    val batchSh = shinglesOf(spark, batch).cache()
+    val batchBands = minhashBands(batchSh)
+    val cand = incrementalCandidates(batchBands, index).localCheckpoint()
     // verify: batch shingles are in hand; only candidate CORPUS docs
     // are re-shingled (a bounded set — in production these doc reads
     // are the index's payload column)

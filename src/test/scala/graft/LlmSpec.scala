@@ -62,6 +62,45 @@ class LlmSpec extends AnyFunSuite {
       s"neardup_index_p64_r4_c${llm.Dedup.BandBucketCap}.parquet"))
   }
 
+  test("incremental probe: capped index join equals the naive bucket join, groups bounded") {
+    // planted skew: a hot corpus bucket with 300 docs (boilerplate
+    // pages) the batch also hits — the case the stored block layout
+    // exists for — plus tails on both sides, some buckets unshared
+    val corpusBands = ((0L until 300L).map(i => (i, 0, 777L)) ++
+      (300L until 330L).map(i => (i, 1, i % 5))).toDF("doc_id", "band_idx", "band_hash")
+    val batchBands = ((1000L until 1020L).map(i => (i, 0, 777L)) ++
+      (1020L until 1040L).map(i => (i, 1, i % 7))).toDF("doc_id", "band_idx", "band_hash")
+    val index = llm.Dedup.indexBlockLayout(corpusBands)
+    // law 1: the (band,hash,gx) probe finds EXACTLY the naive bucket
+    // join's pairs (capping redistributes work, never drops a pair)
+    val naiveProbe = corpusBands.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_a"))
+      .join(batchBands.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_b")), Seq("band_idx", "band_hash"))
+      .select(col("doc_a"), col("doc_b"))
+    val naiveSelf = batchBands.as("x").join(batchBands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val naive = naiveProbe.unionByName(naiveSelf).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = llm.Dedup.incrementalCandidates(batchBands, index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive, "block-capped probe must not change the candidate set")
+    assert(naive.nonEmpty)
+    // law 2: the stored layout bounds every probe join group — ≤ Cap
+    // corpus rows per (band,hash,gx), and the hot bucket spreads over
+    // ceil(300/64) = 5 blocks, which num_g advertises
+    val cap = llm.Dedup.BandBucketCap.toLong
+    val maxGroup = index.groupBy(col("band_idx"), col("band_hash"), col("gx"))
+      .count().agg(max(col("count"))).head().getLong(0)
+    assert(maxGroup <= cap, s"index block of $maxGroup rows > cap")
+    val hot = index.filter(col("band_hash") === 777L)
+    assert(hot.select(col("gx")).distinct().count() === 5L)
+    assert(hot.select(col("num_g")).distinct().head().getLong(0) === 5L)
+  }
+
   test("band join: blocked self-join equals naive pairs with bounded fan-out") {
     // planted skew: one hot band bucket with 300 docs (what a
     // boilerplate-heavy corpus does to MinHash bands) plus a small tail
