@@ -60,7 +60,31 @@ import org.apache.spark.sql.functions._
   * level-2 flip never inverts a level-1 flip (same seed would make
   * shard (r,1)∘(1,s) reproduce identity vectors — instant cross-shard
   * duplicates). Level-1 output at sf1 is byte-identical to what this
-  * file always produced. */
+  * file always produced.
+  *
+  * LEVEL-3 amplification (sf100 = ScaleUp(sf10, level = 3) — r8): a
+  * third single-character level is PROVABLY impossible on this
+  * vocabulary — every remaining position has "conflict pairs" (tokens
+  * differing only there, e.g. the five 3-letter tokens per `?wb`
+  * skeleton), and a conflict pair needs its two chars' image sets
+  * disjoint across replicas AND within one: 2×9 = 18 > 26 letters.
+  * Level 3 therefore switches to a WHOLE-TOKEN codebook: the source
+  * vocabulary (bounded — ~2.8k tokens at sf10; the same deliberate
+  * driver-side collect as the IVF training sample) is assigned
+  * deterministic same-length lowercase images by enumerating length-L
+  * strings lexicographically and skipping the vocabulary and the
+  * stoplist. A token bijection is strictly cleaner than the char
+  * maps: images are disjoint from the vocab and from every other
+  * replica BY CONSTRUCTION (no per-position injectivity proof
+  * needed), shingle structure is isomorphic per shard (a bijection on
+  * tokens is a bijection on n-grams), and every pinned gate
+  * feature — lengths, counts, alpha fraction, stopword hits,
+  * `n_chars` — is exactly invariant. The map rides a broadcast hash
+  * map inside a documented generation-time UDF (O(1) per token; a
+  * literal MapType column would linear-scan ~2.8k entries per
+  * token). Char-level distributions (`llm_entropy` inputs) are
+  * perturbed — images cluster lexicographically low — which no
+  * pinned invariant depends on. */
 object ScaleUp {
   private val Stop = Seq(
     "the", "a", "of", "and", "el", "la", "de", "y",
@@ -82,7 +106,7 @@ object ScaleUp {
     val level = if (args.length > 3) args(3).toInt else 1
     require(factor >= 1 && factor <= 10,
       s"factor must be in [1,10] (have ${Letters.length + 1} disjoint shard alphabets), got $factor")
-    require(level == 1 || level == 2, s"level must be 1 or 2, got $level")
+    require(level >= 1 && level <= 3, s"level must be 1..3, got $level")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions",
@@ -154,29 +178,73 @@ object ScaleUp {
       shift("event_id", nEvt), col("ts"), shift("user_id", nUser),
       col("event_type"), col("value"), col("props")))
 
-    // length-preserving per-shard word map (see scaladoc): level 1
-    // replaces the LAST char, level 2 the SECOND-TO-LAST (1-char
-    // tokens degenerate to the replica letter at either level — the
-    // only 1-char tokens in any shipped corpus are stopwords, which
-    // pass through untouched)
-    val shardText = array_join(
-      transform(split(col("text"), " "), w => {
-        val letters =
-          if (level == 1) Letters.map(_.toString).toArray
-          else Letters2.map(_.toString).toArray
-        val letter = element_at(lit(letters), col("r"))
-        val mapped =
-          if (level == 1) concat(w.substr(lit(1), length(w) - 1), letter)
-          else when(length(w) <= 1, letter)
-            .otherwise(concat(
-              w.substr(lit(1), length(w) - 2), letter,
-              w.substr(length(w), lit(1))))
-        when(col("r") === 0 || w.isin(Stop: _*), w).otherwise(mapped)
-      }),
-      " ")
-    write("documents")(amplify(read("documents")).select(
-      shift("doc_id", nDoc), shardText.as("text"),
-      col("lang"), col("source"), col("n_chars")))
+    if (level <= 2) {
+      // length-preserving per-shard word map (see scaladoc): level 1
+      // replaces the LAST char, level 2 the SECOND-TO-LAST (1-char
+      // tokens degenerate to the replica letter at either level — the
+      // only 1-char tokens in any shipped corpus are stopwords, which
+      // pass through untouched)
+      val shardText = array_join(
+        transform(split(col("text"), " "), w => {
+          val letters =
+            if (level == 1) Letters.map(_.toString).toArray
+            else Letters2.map(_.toString).toArray
+          val letter = element_at(lit(letters), col("r"))
+          val mapped =
+            if (level == 1) concat(w.substr(lit(1), length(w) - 1), letter)
+            else when(length(w) <= 1, letter)
+              .otherwise(concat(
+                w.substr(lit(1), length(w) - 2), letter,
+                w.substr(length(w), lit(1))))
+          when(col("r") === 0 || w.isin(Stop: _*), w).otherwise(mapped)
+        }),
+        " ")
+      write("documents")(amplify(read("documents")).select(
+        shift("doc_id", nDoc), shardText.as("text"),
+        col("lang"), col("source"), col("n_chars")))
+    } else {
+      // level 3: whole-token codebook (see scaladoc). The vocabulary
+      // collect is bounded (~2.8k tokens at sf10) and deliberate —
+      // the codebook is built once on the driver and broadcast.
+      val stopSet = Stop.toSet
+      val vocab = read("documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(!col("w").isin(Stop: _*)).distinct()
+        .collect().map(_.getString(0))
+      // deterministic same-length images: length-L lowercase strings
+      // in lexicographic order, skipping the vocab and the stoplist;
+      // token k (sorted) at replica r takes draw k·(factor−1)+(r−1) —
+      // distinct (token, replica) pairs get distinct images, so the
+      // composed corpus has zero cross- or intra-shard collisions
+      def lexStrings(len: Int): Iterator[String] = {
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        def rec(l: Int): Iterator[String] =
+          if (l == 0) Iterator("")
+          else rec(l - 1).flatMap(p => alpha.iterator.map(p + _))
+        rec(len)
+      }
+      val codebook: Map[(Int, String), String] = {
+        val m = Map.newBuilder[(Int, String), String]
+        for ((len, toks) <- vocab.groupBy(_.length)) {
+          val taken = toks.toSet ++ stopSet.filter(_.length == len)
+          val images = lexStrings(len).filterNot(taken.contains)
+          for (t <- toks.sorted; r <- 1 until factor) m += ((r, t) -> images.next())
+        }
+        m.result()
+      }
+      val sc = spark.sparkContext.broadcast(codebook)
+      // generation-time UDF: the one place a closure beats Catalyst —
+      // O(1) hash lookup per token against 9×|vocab| broadcast state
+      val remap = udf { (text: String, r: Int) =>
+        if (r == 0) text
+        else text.split(" ")
+          .map(w => sc.value.getOrElse((r, w), w)).mkString(" ")
+      }
+      write("documents")(amplify(read("documents")).select(
+        shift("doc_id", nDoc),
+        remap(col("text"), col("r")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+    }
 
     // orthogonal per-shard transform: deterministic ±1 per (r, dim).
     // The seed is LEVEL-TAGGED (level 1 keeps its historical literal so
@@ -185,7 +253,10 @@ object ScaleUp {
     // shard (r,·)∘(·,r) would reproduce the identity shard's vectors —
     // cross-shard exact duplicates, the very artifact ScaleUp exists
     // to avoid.
-    val signSeed = if (level == 1) "graft_shard_sign" else "graft_shard_sign_L2"
+    val signSeed =
+      if (level == 1) "graft_shard_sign"
+      else if (level == 2) "graft_shard_sign_L2"
+      else "graft_shard_sign_L3"
     write("embeddings")(amplify(read("embeddings")).select(
       // DOC stride, not the embeddings row count: llm_multimodal joins
       // doc_id = vec_id and the alignment must survive sharding

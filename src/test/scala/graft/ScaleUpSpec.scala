@@ -163,6 +163,71 @@ class ScaleUpSpec extends AnyFunSuite {
     }
   }
 
+  // ——— level-3 composition (sf100 = ScaleUp(sf10, level = 3) — r8):
+  // no third character position can carry a level (conflict pairs
+  // need 18 > 26 disjoint image letters), so level 3 is a whole-token
+  // codebook bijection. Same pins as level 2, one level deeper. ———
+
+  private lazy val out3: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scaleup3").toString
+    ScaleUp.run(spark, out2, dir, factor, level = 3)
+    dir
+  }
+  private def dst3(t: String) = core.Tables.load(spark, out3, t)
+
+  test("level-3: duplicate structure stays isomorphic through ALL THREE levels") {
+    def dups(df: org.apache.spark.sql.DataFrame) =
+      df.count() - df.select("text").distinct.count()
+    // ×factor³ — a codebook image colliding with the vocab, another
+    // replica's image, or another token's image would break this
+    assert(dups(dst3("documents")) ===
+      dups(src("documents")) * factor * factor * factor,
+      "level-3 cross-shard text collisions (or lost intra-shard dups)")
+  }
+
+  test("level-3: codebook is a bijection on the real vocab; gates exactly invariant") {
+    val stop = Seq("the", "a", "of", "and", "el", "la", "de", "y",
+      "der", "die", "das", "und")
+    def vocabNs(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(!col("w").isin(stop: _*)).distinct().count()
+    // every level-2 non-stop token gets exactly `factor` distinct
+    // images (identity + factor−1 codebook draws, all disjoint)
+    assert(vocabNs(dst3("documents")) === vocabNs(dst2("documents")) * factor,
+      "level-3 codebook images collide (with vocab, a replica, or each other)")
+    // the codebook is length-preserving and stopword-transparent, so
+    // the pinned gate features survive the third composition exactly
+    assert(dst3("documents").filter(col("n_chars") =!= length(col("text")))
+      .count() === 0)
+    val srcM = llm.Curation.gopherFlagsOf(dst2("documents"))
+      .groupBy("n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+        "n_stopwords", "keep").count()
+    val dstM = llm.Curation.gopherFlagsOf(dst3("documents"))
+      .groupBy("n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+        "n_stopwords", "keep").count()
+      .withColumn("count", (col("count") / factor).cast("long"))
+    assert(srcM.exceptAll(dstM).isEmpty && dstM.exceptAll(srcM).isEmpty,
+      "gate metric distribution drifted under the level-3 codebook")
+  }
+
+  test("level-3: embeddings decorrelate from their level-2 source, norms exact") {
+    val nDoc2 = dst2("documents").agg(max("doc_id")).head.getLong(0) + 1
+    val v2 = dst2("embeddings").orderBy("vec_id").limit(8)
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    val v3 = dst3("embeddings")
+      .filter(col("vec_id") >= nDoc2 && col("vec_id") < nDoc2 + 8)
+      .orderBy("vec_id").collect().map(r => r.getSeq[Float](1).toArray)
+    for ((a, b) <- v2.zip(v3)) {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(dot / (na * nb)) < 0.7,
+        "level-3 shard copy still correlated with its level-2 source — " +
+          "the sign seed must be level-tagged")
+      assert(math.abs(na - nb) < 1e-6, "norm not preserved at level 3")
+    }
+  }
+
   test("cross-shard text similarity is negligible (no spurious near-dups)") {
     // a doc vs its shard-1 image: shared 3-shingles can only be
     // all-stopword trigrams — Jaccard must sit far below any threshold
