@@ -44,7 +44,21 @@ def main():
         # has exact stats; sf1 lineitem (6M rows) is ~0.5 GB in memory.
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
-            con.execute(f"CREATE TABLE {t} AS SELECT * FROM "
+            # --view-over-mb N: at the sf100 rung, materializing the
+            # 9.3 GB lineitem into DuckDB memory alongside a running
+            # Spark JVM would thrash the box; a glob view is fine for
+            # the simple-aggregate subset keys run there (the
+            # cardinality-misestimate hazard documented above only bit
+            # the recursive pagerank oracle, which is excluded from
+            # big-rung subsets).
+            cap_mb = 1 << 30
+            for a in sys.argv[1:]:
+                if a.startswith("--view-over-mb="):
+                    cap_mb = int(a.split("=")[1])
+            sz_mb = sum(os.path.getsize(os.path.join(path, f))
+                        for f in os.listdir(path)) / 1e6
+            kind_sql = "VIEW" if sz_mb > cap_mb else "TABLE"
+            con.execute(f"CREATE {kind_sql} {t} AS SELECT * FROM "
                         f"read_parquet('{path}/*.parquet')")
         else:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "

@@ -247,6 +247,33 @@ class LlmSpec extends AnyFunSuite {
     assert(out.count(_._1 == 3L) === 0) // null → no rows
   }
 
+  test("distinct shingles generator == plain generator + per-doc distinct (the r8 shuffle-free law)") {
+    // shinglesOf now dedups INSIDE the generator (row-local set)
+    // instead of a cluster-wide .distinct() on raw shingle strings —
+    // the ~415M-row exchange the sf100 rung could not afford. This law
+    // is what makes the respelling safe: on a repetitive synthetic doc
+    // AND the real corpus, the generator's set equals the multiset's
+    // frame-level distinct, per doc, exactly.
+    WordShingles.register(spark, 3)
+    WordShingles.registerDistinct(spark, 3)
+    val rep = Seq((1L, "a b c a b c a b c"), (2L, "x y"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+    val corpus = core.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("text"))
+    for (d <- Seq(rep, corpus)) {
+      val set = d.selectExpr("doc_id", "word_shingles_distinct_3(text) AS s")
+      val ref = d.selectExpr("doc_id", "word_shingles_3(text) AS s").distinct()
+      assert(set.count() === ref.count(), "set cardinality drifted")
+      assert(set.exceptAll(ref).isEmpty && ref.exceptAll(set).isEmpty,
+        "generator-distinct != frame-level per-doc distinct")
+    }
+    // and the multiset default is untouched: 7 windows, 3 distinct
+    assert(rep.filter(col("doc_id") === 1L)
+      .selectExpr("word_shingles_3(text)").count() === 7L)
+    assert(rep.filter(col("doc_id") === 1L)
+      .selectExpr("word_shingles_distinct_3(text)").count() === 3L)
+  }
+
   test("fingerprints are stable (pinned values) and collision-free here") {
     val d = core.Tables.load(spark, Sf, "documents")
     val fp = llm.Text.fingerprintRaw(d)
