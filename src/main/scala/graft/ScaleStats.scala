@@ -49,7 +49,9 @@ object ScaleStats {
       // distinct prefix candidates vs the df-blocked all-pairs the
       // filter replaces (pairs sharing ≥1 shingle)
       val cc = llm.Dedup.containmentCorpus(spark, dir)
-      val csh = llm.Dedup.shinglesOf(spark, cc).localCheckpoint()
+      // same 8-byte shingle fingerprint the keyed query carries (r8)
+      val csh = llm.Dedup.fingerprinted(llm.Dedup.shinglesOf(spark, cc))
+        .localCheckpoint()
       val contCand = llm.Dedup.prefixCandidates(csh, 9, 10)
         .distinct().count()
       // the df-blocked BASELINE the prefix filter replaces is itself

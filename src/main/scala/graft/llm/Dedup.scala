@@ -705,7 +705,26 @@ object Dedup {
       spark: SparkSession, d: DataFrame, prefixFilter: Boolean,
       thrNum: Int = 9, thrDen: Int = 10, shingleK: Int = 3): DataFrame = {
     val thr = thrNum.toDouble / thrDen
-    val sh = shinglesOf(spark, d, shingleK).localCheckpoint()
+    // Carry an 8-byte shingle FINGERPRINT (xxhash64) through the
+    // pipeline instead of the ~30-byte string (r8): every downstream
+    // stage — df count, prefix rank, candidate join, intersection
+    // joins — only ever compares shingles for equality/order, and the
+    // output contains no shingle, so a fingerprint with a consistent
+    // global order is sufficient. At the sf100 rung the string
+    // spelling shuffled ~415M raw strings through FOUR exchanges
+    // (~93 GB of scratch — it filled the disk); the fingerprint cuts
+    // the checkpointed set to 16 B/row and every shuffle ~3×. The
+    // prefix-filter theorem needs only SOME total order shared by all
+    // docs (rarest-first, ties broken consistently) — (df, fingerprint)
+    // is one; the oracle ranks by (df, string) and may pick DIFFERENT
+    // prefix sets, but both candidate sets contain every true pair and
+    // the exact verify makes the final outputs identical. Collisions:
+    // a 64-bit fingerprint over ≤1e9 distinct shingles has ~3% chance
+    // of ONE collision existing corpus-wide; it changes a result only
+    // if both colliding shingles meet inside one candidate pair's
+    // sets (~1e-16 per pair) — the standard fingerprinting trade
+    // (Broder, SEQUENCES '97), accepted by every production near-dup.
+    val sh = fingerprinted(shinglesOf(spark, d, shingleK)).localCheckpoint()
     val cand = (if (prefixFilter) {
       prefixCandidates(sh, thrNum, thrDen)
     } else {
@@ -722,6 +741,12 @@ object Dedup {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     containmentVerify(cand, sh, sz, thr)
   }
+
+  /** The 8-byte shingle fingerprint column of a (doc_id, shingle)
+    * frame — one definition shared by [[containmentPairs]] and
+    * [[graft.ScaleStats]] so the measured stage is the keyed stage. */
+  private[graft] def fingerprinted(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
 
   /** PPJoin-style prefix-filtered candidates of a (doc_id, shingle)
     * set: each doc's n − ⌈t·n⌉ + 1 RAREST shingles joined against the
