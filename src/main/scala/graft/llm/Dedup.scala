@@ -738,8 +738,7 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"))
     }).distinct()
 
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    containmentVerify(cand, sh, sz, thr)
+    containmentVerify(cand, sh, thr)
   }
 
   /** The 8-byte shingle fingerprint column of a (doc_id, shingle)
@@ -774,16 +773,36 @@ object Dedup {
   }
 
   /** Exact-containment verification of a candidate pair list against
-    * the shingle set — only candidates pay the intersection joins. */
+    * the shingle set — only candidates pay the intersection work.
+    *
+    * Shape (r8): per-doc fingerprint ARRAYS + codegen'd
+    * `array_intersect`, not an explode-and-count join. The row spelling
+    * (cand ⋈ sh on doc_a, then ⋈ sh on (doc_b, shingle), groupBy pair)
+    * materializes Σ_pairs |set(doc_a)| rows through the second join's
+    * exchange — linear in the corpus, but with a ~|set| multiplier:
+    * 7.3e9 rows / ~175 GB of shuffle scratch at the sf100 rung (86M
+    * candidates × ~85-shingle sets), which filled the box's disk. The
+    * array spelling aggregates each doc's set ONCE (5M × ~720 B),
+    * attaches both arrays to the pair row by two equi-joins, and
+    * intersects per ROW — the heaviest exchange is the 86M-row pair
+    * intermediate (~60 GB raw, ~3× smaller, and no post-join
+    * re-aggregation). n_a/n_b ride the arrays as `size()`, so the
+    * separate per-doc size table and its two joins are gone too.
+    * collect_list order is nondeterministic but intersection
+    * cardinality is order-blind; sets are distinct-by-construction
+    * (shinglesOf), so sizes equal set cardinalities. */
   private def containmentVerify(cand: DataFrame, sh: DataFrame,
-      sz: DataFrame, thr: Double): DataFrame = {
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      thr: Double): DataFrame = {
+    val arr = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("_set"))
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("_set").as("_sa")),
+        Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("_set").as("_sb")),
+        Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .withColumn("n_a", size(col("_sa")))
+      .withColumn("n_b", size(col("_sb")))
       // exact small-int rationals — bit-identical on both engines, never round
       .withColumn("cont_a_in_b", col("n_inter").cast("double") / col("n_a").cast("double"))
       .withColumn("cont_b_in_a", col("n_inter").cast("double") / col("n_b").cast("double"))
