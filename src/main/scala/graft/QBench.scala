@@ -13,6 +13,12 @@ object QBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // big-rung instrument: streaming keys land in a MEMORY sink (the
+      // test harness's sink, not the operator's — production writes
+      // files), whose per-batch task results ship to the driver; at
+      // sf100 they exceed the 1g default. Harness knob, not a tune.
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (p <- 1 to passes; name <- args) {

@@ -67,7 +67,16 @@ object Dedup {
   private[graft] def shinglesOf(spark: SparkSession, d: DataFrame,
       k: Int = 3): DataFrame = {
     val fn = WordShingles.registerDistinct(spark, k)
-    d.selectExpr("doc_id", s"$fn(text) AS shingle")
+    // spread an under-split scan before the CPU-bound generate (the
+    // sample_weighted r11 fix): a small-SF documents.parquet is 1–2
+    // splits, and without the old distinct's incidental exchange the
+    // whole shingle+hash pipeline would run on 1–2 cores (measured:
+    // the brute-jaccard twin 9→23 s at sf1). No-op at scale — a big
+    // corpus scans at ≥ cores splits — and for the candidate-cut
+    // verify inputs, whose join already partitioned them.
+    val cores = spark.sparkContext.defaultParallelism
+    val dd = if (d.rdd.getNumPartitions < cores) d.repartition(cores) else d
+    dd.selectExpr("doc_id", s"$fn(text) AS shingle")
   }
 
   private val NumPerms = 64 // minhash permutations
@@ -795,11 +804,17 @@ object Dedup {
       thr: Double): DataFrame = {
     val arr = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("_set"))
+    // SHUFFLE_HASH on the array side: the pair intermediate is wide
+    // (~0.5 KB of array per row once _sa attaches) and needs no order —
+    // sort-merge would externally SORT it for the second join,
+    // re-spilling the ~40 GB exchange a second time; a shuffle-hash
+    // join streams it against a hash of the per-doc arrays (~120 MB
+    // per task at 32 partitions). Same rows, half the scratch.
     cand
-      .join(arr.select(col("doc_id").as("doc_a"), col("_set").as("_sa")),
-        Seq("doc_a"))
-      .join(arr.select(col("doc_id").as("doc_b"), col("_set").as("_sb")),
-        Seq("doc_b"))
+      .join(arr.select(col("doc_id").as("doc_a"), col("_set").as("_sa"))
+        .hint("SHUFFLE_HASH"), Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("_set").as("_sb"))
+        .hint("SHUFFLE_HASH"), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("_sa"), col("_sb"))))
       .withColumn("n_a", size(col("_sa")))
       .withColumn("n_b", size(col("_sb")))
