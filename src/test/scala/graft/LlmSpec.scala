@@ -274,6 +274,23 @@ class LlmSpec extends AnyFunSuite {
       .selectExpr("word_shingles_distinct_3(text)").count() === 3L)
   }
 
+  test("shinglesOf spreads an under-split scan; leaves a well-split input alone") {
+    // r13: losing the old distinct's incidental exchange left the
+    // CPU-bound shingle generate on a small corpus's 1–2 scan splits
+    // (brute-jaccard twin 23.6 s at sf1; 4.75 s once spread). The
+    // spread must engage exactly when partitions < cores — and must
+    // NOT add an exchange when the input is already parallel enough.
+    val cores = spark.sparkContext.defaultParallelism
+    val narrow = (1L to 40L).map(i => (i, s"w$i x y z")).toDF("doc_id", "text")
+      .coalesce(1)
+    assert(llm.Dedup.shinglesOf(spark, narrow).rdd.getNumPartitions === cores,
+      "a 1-split input must spread to the core count")
+    val wide = (1L to 40L).map(i => (i, s"w$i x y z")).toDF("doc_id", "text")
+      .repartition(cores + 3)
+    assert(llm.Dedup.shinglesOf(spark, wide).rdd.getNumPartitions === cores + 3,
+      "an already-split input must not be re-exchanged")
+  }
+
   test("fingerprints are stable (pinned values) and collision-free here") {
     val d = core.Tables.load(spark, Sf, "documents")
     val fp = llm.Text.fingerprintRaw(d)

@@ -347,6 +347,15 @@ class PlanSpec extends AnyFunSuite {
       s"prefix-rarity ranking window missing — full self-join?:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment must stay equi-join shaped:\n$p")
+    // r13: the verify attaches per-doc fingerprint arrays with
+    // SHUFFLE_HASH builds — sort-merge would externally sort the wide
+    // pair intermediate twice (~68 GB of scratch at sf100, measured);
+    // hash builds stream it once. Hints outrank size-based selection,
+    // so the shape is SF-independent.
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      s"verify array-attach joins must be shuffle-hash, not sort-merge:\n$p")
+    assert(p.contains("array_intersect"),
+      s"verify must intersect fingerprint arrays in the join stage:\n$p")
   }
 
   test("join_range: user_id stays the hash key — the range predicate rides as residual") {
