@@ -67,16 +67,14 @@ object Dedup {
   private[graft] def shinglesOf(spark: SparkSession, d: DataFrame,
       k: Int = 3): DataFrame = {
     val fn = WordShingles.registerDistinct(spark, k)
-    // spread an under-split scan before the CPU-bound generate (the
-    // sample_weighted r11 fix): a small-SF documents.parquet is 1–2
-    // splits, and without the old distinct's incidental exchange the
-    // whole shingle+hash pipeline would run on 1–2 cores (measured:
-    // the brute-jaccard twin 9→23 s at sf1). No-op at scale — a big
-    // corpus scans at ≥ cores splits — and for the candidate-cut
-    // verify inputs, whose join already partitioned them.
-    val cores = spark.sparkContext.defaultParallelism
-    val dd = if (d.rdd.getNumPartitions < cores) d.repartition(cores) else d
-    dd.selectExpr("doc_id", s"$fn(text) AS shingle")
+    // spread an under-split scan before the CPU-bound generate: a
+    // small-SF documents.parquet is 1–2 splits, and without the old
+    // distinct's incidental exchange the whole shingle+hash pipeline
+    // would run on 1–2 cores (measured: the brute-jaccard twin
+    // 9→23 s at sf1). No-op at scale and for the candidate-cut verify
+    // inputs, whose join already partitioned them.
+    graft.core.Spread.cpuBound(spark, d)
+      .selectExpr("doc_id", s"$fn(text) AS shingle")
   }
 
   private val NumPerms = 64 // minhash permutations

@@ -22,6 +22,12 @@ import graft.core.{OracleDsl => O}
 object Text {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  // NOT spread (see [[graft.core.Spread]]): consumers branch on toks
+  // two or three ways (tf/df/n), and a def re-evaluates per branch, so
+  // each branch would pay its own exchange. Measured neutral at sf100
+  // (tfidf ~72–79 s with and without) — the split is cheap per byte
+  // and the cost lives in the downstream keyed shuffles, which already
+  // run at full width — so the default stays scan-aligned.
   private def toks(s: SparkSession, d: String) =
     docs(s, d).select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("token"))
@@ -434,7 +440,11 @@ object Text {
     * (cnt, pair) is unique, so DESC cnt + ASC pair totals the order and
     * LIMIT 50 is deterministic on both engines. */
   def bpePairs(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.load(spark, dir, "documents")
+    // two generate stages per row of text — the most CPU-per-byte key
+    // in the inventory; floor the scan's parallelism (sf100: the 818 MB
+    // table scans as ~7 splits, leaving 25 of 32 cores idle)
+    val words = graft.core.Spread
+      .cpuBound(spark, Tables.load(spark, dir, "documents"))
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
     words

@@ -790,15 +790,10 @@ object Relational {
     // interpreted expression nodes + three allocations per draw —
     // measured 13 s → <1 s at sf0.1 (600k rows × ~25 draws).
     graft.functions.MinTicket.register(spark)
-    // CPU-heavy map over a small file: the scan splits by bytes
-    // (max(openCost, size/parallelism)), so a ~10 MB fixture yields ~3
-    // input partitions and the ~25-draw/row lottery runs on 3 of 32
-    // cores. Spread rows once (round-robin, ~10 MB over the wire) when
-    // the scan under-splits; at production scale the input has ≥ cores
-    // splits and this branch is a no-op — the general rule: a scan
-    // sized for I/O is not automatically sized for a compute-bound map.
-    val cores = spark.sparkContext.defaultParallelism
-    val spread = if (li.rdd.getNumPartitions < cores) li.repartition(cores) else li
+    // CPU-heavy map over a small file: a ~10 MB fixture scans as ~3
+    // splits, so the ~25-draw/row lottery would run on 3 of 32 cores —
+    // floor the parallelism (see [[graft.core.Spread]]).
+    val spread = graft.core.Spread.cpuBound(spark, li)
     ordered(
       spread.select(col("l_orderkey"), col("l_linenumber"), col("w"),
           expr("min_ticket(key, w)").as("ticket"))
