@@ -706,7 +706,170 @@ object Aggregates {
        |GROUP BY n_name
        |${O.OrderAll}"""
 
+  /** Exact decimal(18,0) cents of a 2-decimal money/rate column —
+    * `floor(v·100 + 0.5)` is IEEE-exact on both engines (the
+    * win_regression spelling), and the decimal cast keeps downstream
+    * products/sums exact where BIGINT would overflow (Σ(cx·cy) crosses
+    * 2⁶³ near 10⁵ rows of 10⁷-cent values; DuckDB silently widens
+    * SUM(BIGINT) to int128, Spark does not — decimal is the spelling
+    * both engines sum exactly). */
+  private def cents18(c: Column): Column =
+    floor(c * 100 + 0.5).cast(org.apache.spark.sql.types.DecimalType(18, 0))
+
+  private val CorrMeasures = Seq(
+    "qty" -> "l_quantity", "price" -> "l_extendedprice",
+    "disc" -> "l_discount", "tax" -> "l_tax")
+  private val CorrPairs = for {
+    i <- CorrMeasures.indices; j <- CorrMeasures.indices if i < j
+  } yield (CorrMeasures(i)._1, CorrMeasures(j)._1)
+
+  /** Pairwise Pearson correlation matrix of the four lineitem measures
+    * per return flag — the feature-association scan every drift/EDA
+    * pass runs before modeling. Built-in `corr()` streams doubles in
+    * partition order (unverifiable bits), so the matrix is computed
+    * from EXACT sufficient statistics instead: each measure → integer
+    * cents in DECIMAL(18,0) ([[cents18]]), all 15 sums (4 linear, 4
+    * square, 6 cross, 1 count) ride ONE map-side-combined aggregate —
+    * a single scan, one shuffle row per (mapper × flag), no matter the
+    * table size — then one mirrored double evaluation of
+    * r = (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) per pair (both
+    * engines see bit-identical correctly-rounded sum doubles and apply
+    * the identical op tree). Zero-variance measures → NULL. */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val base0 = t(spark, dir, "lineitem").select(
+      col("l_returnflag") +:
+        CorrMeasures.map { case (n, c) => cents18(col(c)).as(n) }: _*)
+    val base = CorrPairs.foldLeft(
+      CorrMeasures.foldLeft(base0) { case (df, (n, _)) =>
+        df.withColumn(s"${n}_sq", col(n) * col(n))
+      }) { case (df, (a, b)) => df.withColumn(s"${a}_$b", col(a) * col(b)) }
+    val aggs =
+      CorrMeasures.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+        CorrMeasures.map { case (n, _) => sum(col(s"${n}_sq")).as(s"s_${n}_sq") } ++
+        CorrPairs.map { case (a, b) => sum(col(s"${a}_$b")).as(s"s_${a}_$b") }
+    val g = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    def d(c: String) = col(c).cast("double")
+    val nD = d("n")
+    def corrCol(a: String, b: String): Column = {
+      val vx = nD * d(s"s_${a}_sq") - d(s"s_$a") * d(s"s_$a")
+      val vy = nD * d(s"s_${b}_sq") - d(s"s_$b") * d(s"s_$b")
+      val num = nD * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      when(vx > 0 && vy > 0, round6(num / (sqrt(vx) * sqrt(vy))))
+    }
+    ordered(g.select(
+      col("l_returnflag") +: col("n") +:
+        CorrPairs.map { case (a, b) => corrCol(a, b).as(s"corr_${a}_$b") }: _*))
+  }
+
+  private val aggCorrSql = {
+    def vnum(a: String) =
+      s"(CAST(n AS DOUBLE) * ${O.dbl(s"s_${a}_sq")} - ${O.dbl(s"s_$a")} * ${O.dbl(s"s_$a")})"
+    def corr(a: String, b: String) =
+      s"""CASE WHEN ${vnum(a)} > 0 AND ${vnum(b)} > 0 THEN
+         |    round((CAST(n AS DOUBLE) * ${O.dbl(s"s_${a}_$b")} - ${O.dbl(s"s_$a")} * ${O.dbl(s"s_$b")}) /
+         |      (sqrt(${vnum(a)}) * sqrt(${vnum(b)})), 6) END AS corr_${a}_$b""".stripMargin
+    val centsSel = CorrMeasures.map { case (n, c) =>
+      s"CAST(floor($c * 100 + 0.5) AS DECIMAL(18,0)) AS $n" }.mkString(", ")
+    val sums = (
+      CorrMeasures.map { case (n, _) => s"SUM($n) AS s_$n" } ++
+        CorrMeasures.map { case (n, _) => s"SUM($n * $n) AS s_${n}_sq" } ++
+        CorrPairs.map { case (a, b) => s"SUM($a * $b) AS s_${a}_$b" }
+      ).mkString(", ")
+    s"""WITH base AS (
+       |  SELECT l_returnflag, $centsSel FROM lineitem),
+       |g AS (
+       |  SELECT l_returnflag, COUNT(*) AS n, $sums
+       |  FROM base GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  ${CorrPairs.map { case (a, b) => corr(a, b) }.mkString(",\n  ")}
+       |FROM g
+       |${O.OrderAll}"""
+  }
+
+  /** Welch two-sample t-test per event type — the A/B-experiment
+    * readout (unequal variances, unequal n): arms are a deterministic
+    * user-id hash split (the `llm_split` convention), the metric is
+    * event value in exact cents. Both arms' sufficient statistics
+    * (n, Σy, Σy²) ride ONE conditional aggregate over one scan — the
+    * experiment table is never joined, split, or shuffled per arm —
+    * and t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂) plus the Welch–Satterthwaite df
+    * are one mirrored double evaluation from correctly-rounded sum
+    * doubles. Degenerate arms (n < 2 or zero variance) → NULL verdict;
+    * the guard compares the EXACT-integer-derived variance numerators,
+    * never a possibly-NaN quotient (DuckDB orders NaN above all values,
+    * Spark's comparison returns false — the one place the engines'
+    * double semantics genuinely diverge). */
+  def aggAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "events").select(
+      col("event_type"),
+      (col("user_id") % 2).as("arm"),
+      cents18(col("value")).as("y"))
+      .withColumn("y_sq", col("y") * col("y"))
+    val g = base.groupBy(col("event_type")).agg(
+      count(when(col("arm") === 0, lit(1))).as("n_a"),
+      count(when(col("arm") === 1, lit(1))).as("n_b"),
+      sum(when(col("arm") === 0, col("y"))).as("s_a"),
+      sum(when(col("arm") === 1, col("y"))).as("s_b"),
+      sum(when(col("arm") === 0, col("y_sq"))).as("ss_a"),
+      sum(when(col("arm") === 1, col("y_sq"))).as("ss_b"))
+    def d(c: String) = col(c).cast("double")
+    val (na, nb) = (d("n_a"), d("n_b"))
+    val vaNum = na * d("ss_a") - d("s_a") * d("s_a")
+    val vbNum = nb * d("ss_b") - d("s_b") * d("s_b")
+    val va = vaNum / (na * (na - 1))
+    val vb = vbNum / (nb * (nb - 1))
+    val (sea, seb) = (va / na, vb / nb)
+    val se2 = sea + seb
+    val tstat = (d("s_a") / na - d("s_b") / nb) / sqrt(se2)
+    val dfW = (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && vaNum > 0 && vbNum > 0
+    ordered(g.select(
+      col("event_type"), col("n_a"), col("n_b"),
+      (d("s_a") / na).as("mean_a"), (d("s_b") / nb).as("mean_b"),
+      when(ok, round6(tstat)).as("t_welch"),
+      when(ok, round6(dfW)).as("df_welch"),
+      when(ok, abs(tstat) > lit(1.96)).as("significant")))
+  }
+
+  private val aggAbTestSql = {
+    val (na, nb) = ("CAST(n_a AS DOUBLE)", "CAST(n_b AS DOUBLE)")
+    val vaNum = s"($na * ${O.dbl("ss_a")} - ${O.dbl("s_a")} * ${O.dbl("s_a")})"
+    val vbNum = s"($nb * ${O.dbl("ss_b")} - ${O.dbl("s_b")} * ${O.dbl("s_b")})"
+    val va = s"($vaNum / ($na * ($na - 1)))"
+    val vb = s"($vbNum / ($nb * ($nb - 1)))"
+    val sea = s"($va / $na)"
+    val seb = s"($vb / $nb)"
+    val se2 = s"($sea + $seb)"
+    val tstat = s"((${O.dbl("s_a")} / $na - ${O.dbl("s_b")} / $nb) / sqrt($se2))"
+    val dfW = s"(($se2 * $se2) / ($sea * $sea / ($na - 1) + $seb * $seb / ($nb - 1)))"
+    val ok = s"n_a >= 2 AND n_b >= 2 AND $vaNum > 0 AND $vbNum > 0"
+    s"""WITH base AS (
+       |  SELECT event_type, user_id % 2 AS arm,
+       |    CAST(floor("value" * 100 + 0.5) AS DECIMAL(18,0)) AS y
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type,
+       |    COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+       |    COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+       |    SUM(CASE WHEN arm = 0 THEN y END) AS s_a,
+       |    SUM(CASE WHEN arm = 1 THEN y END) AS s_b,
+       |    SUM(CASE WHEN arm = 0 THEN y * y END) AS ss_a,
+       |    SUM(CASE WHEN arm = 1 THEN y * y END) AS ss_b
+       |  FROM base GROUP BY event_type)
+       |SELECT event_type, n_a, n_b,
+       |  ${O.dbl("s_a")} / $na AS mean_a,
+       |  ${O.dbl("s_b")} / $nb AS mean_b,
+       |  CASE WHEN $ok THEN round($tstat, 6) END AS t_welch,
+       |  CASE WHEN $ok THEN round($dfW, 6) END AS df_welch,
+       |  CASE WHEN $ok THEN abs($tstat) > 1.96 END AS significant
+       |FROM g
+       |${O.OrderAll}"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_corr" -> Q(aggCorr _, aggCorrSql),
+    "agg_ab_test" -> Q(aggAbTest _, aggAbTestSql),
     "agg_listagg" -> Q(aggListagg _, aggListaggSql),
     "agg_mode" -> Q(aggMode _, aggModeSql),
     "agg_retention" -> Q(aggRetention _, aggRetentionSql),

@@ -259,7 +259,91 @@ object Graph {
        |  USING (cluster_id)
        |${O.OrderAll}"""
 
+  /** Label propagation communities (Raghavan et al. 2007,
+    * arXiv:0709.2938), 3 SYNCHRONOUS rounds over the same
+    * support-filtered co-purchase graph as `graph_cc`: every node
+    * starts labeled with its own id and each round adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label
+    * (the determinism rule that makes LPA reproducible at all — the
+    * usual random tie-break makes every run a different clustering).
+    * Where `graph_cc` answers "reachable at all", LPA finds DENSE
+    * regions inside a component — the near-linear community-detection
+    * pass sparse co-occurrence graphs get before any heavier method.
+    * The round count is part of the operator's semantics (synchronous
+    * LPA oscillates on bipartite-ish structures rather than converging,
+    * so production runs fixed-round; 3 unrolled rounds lets the oracle
+    * replay each round as a plain CTE — no recursion needed).
+    *
+    * 100 TB: one round = ONE labels⋈edges equi-join + ONE
+    * (node, label) count + a per-node argmax window — the PageRank
+    * shuffle shape; the argmax tie-break is row_number over the
+    * grouped counts (group cardinality ≤ degree, never raw neighbor
+    * rows). Labels are O(nodes); 3 rounds = 3 bounded-depth plans. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val op = t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("a"), col("b"))
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+      .toDF("src", "dst").localCheckpoint()
+    val init = edges.select(col("src").as("part"))
+      .distinct().withColumn("label", col("part"))
+    val round = (labels: DataFrame) => {
+      val counted = edges
+        .join(labels.withColumnRenamed("part", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("votes").desc, col("label").asc)
+      counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("part"), col("label"))
+    }
+    val l3 = round(round(round(init)))
+    val sizes = l3.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    ordered(l3.join(sizes, Seq("label"))
+      .select(col("part"), col("label").as("community"), col("community_size")))
+  }
+
+  private val labelPropSql = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT src AS part, label FROM (
+         |    SELECT e.src, l.label, COUNT(*) AS votes,
+         |      ROW_NUMBER() OVER (PARTITION BY e.src
+         |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |    FROM edges e JOIN $prev l ON l.part = e.dst
+         |    GROUP BY e.src, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_orderkey % 16 = 0),
+       |pairs AS (
+       |  SELECT x.p AS a, y.p AS b
+       |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS part, src AS label FROM edges),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT part, label AS community, s.n AS community_size
+       |FROM l3
+       |JOIN (SELECT label, COUNT(*) AS n FROM l3 GROUP BY label) s
+       |  USING (label)
+       |${O.OrderAll}"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_label_prop" -> Q(labelProp _, labelPropSql),
     "graph_pagerank" -> Q(pageRank _, pageRankSql),
     "graph_bfs" -> Q(bfs _, bfsSql),
     "graph_degree" -> Q(degreeHistogram _, degreeHistogramSql),

@@ -913,7 +913,63 @@ object Windows {
        |FROM b
        |${O.OrderAll}"""
 
+  /** Per-user maximum drawdown — the risk statistic every
+    * trading/billing/quota series is summarized by: largest peak-to-
+    * trough fall of the user's running net balance (credits = purchase/
+    * signup values, debits = the rest — a signed random walk). The
+    * whole statistic is THREE chained frame computations on exact
+    * integer cents — running sum, running max of it, max of the gap —
+    * so it is order-free by construction (no float accumulates across
+    * the frame): both window passes share ONE (user_id) shuffle and one
+    * (ts, event_id) sort (same-spec windows collapse into one
+    * WindowExec), the final per-user max is a map-side-combinable agg
+    * reusing that partitioning, and the ONLY double is the final /100
+    * descale. 100 TB: state per row is O(1), no self-join against
+    * history — the naive "max over all (i ≤ j) pairs of cum_i − cum_j"
+    * spelling is the quadratic this operator exists to avoid. */
+  def winDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("ts_us"),
+        when(col("event_type").isin("purchase", "signup"),
+          floor(col("value") * 100 + 0.5))
+          .otherwise(-floor(col("value") * 100 + 0.5)).as("y"))
+    val walk = base
+      .withColumn("cum", sum(col("y")).over(w))
+      .withColumn("peak", max(col("cum")).over(w))
+    ordered(walk.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      (max(col("peak")) / lit(100.0)).as("peak"),
+      (max(col("peak") - col("cum")) / lit(100.0)).as("max_drawdown")))
+  }
+
+  private val winDrawdownSql =
+    s"""WITH b AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    CASE WHEN event_type IN ('purchase', 'signup')
+       |      THEN CAST(floor("value" * 100 + 0.5) AS BIGINT)
+       |      ELSE -CAST(floor("value" * 100 + 0.5) AS BIGINT) END AS y
+       |  FROM events),
+       |cum AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    SUM(y) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM b),
+       |walk AS (
+       |  SELECT user_id, cum,
+       |    MAX(cum) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  FROM cum)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  MAX(peak) / 100.0 AS peak,
+       |  MAX(peak - cum) / 100.0 AS max_drawdown
+       |FROM walk GROUP BY user_id
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "win_drawdown" -> Q(winDrawdown _, winDrawdownSql),
     "win_median" -> Q(winMedian _, winMedianSql),
     "win_ewma" -> Q(winEwma _, winEwmaSql),
     "ts_downsample" -> Q(tsDownsample _, tsDownsampleSql),
