@@ -431,7 +431,56 @@ object Scans {
        |FROM customer
        |${O.OrderAll}"""
 
+  /** Stats-pruned scan (data skipping / zone maps) — the mechanism
+    * behind every lakehouse manifest (Delta/Iceberg file stats, parquet
+    * footer min/max): lineitem is rewritten RANGE-CLUSTERED by
+    * l_shipdate (clustering is what MAKES per-file min/max selective —
+    * the same reason `sink_zorder` exists for 2-D predicates), a
+    * per-FILE stats table (min/max shipdate per file — the manifest)
+    * is derived in one pass at write time, and the date-band query
+    * consults ONLY the stats to decide which files to open: the kept
+    * path list is a driver-side metadata decision (one row per file —
+    * at 100 TB the manifest is millions of rows where the data is
+    * billions, and it prunes BEFORE any data IO is scheduled). The
+    * keyed row carries the band aggregate (answerable from the pruned
+    * read alone — the oracle recomputes it from the FULL table, so a
+    * wrongly-skipped file goes red, the skip proven lossless) plus the
+    * pinned `files_pruned` invariant (the metadata filter actually
+    * skipped files; counts stay out of the row because range-partition
+    * file boundaries are sampling-dependent). */
+  def scanSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "scan_skipping")
+    Tables.load(spark, dir, "lineitem")
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(path)
+    val stats = spark.read.schema(Tables.lineitem).parquet(path)
+      .select(input_file_name().as("f"), col("l_shipdate"))
+      .groupBy(col("f"))
+      .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+    val d1 = lit("1994-01-01 00:00:00").cast("timestamp")
+    val d2 = lit("1994-06-30 00:00:00").cast("timestamp")
+    val filesTotal = stats.count()
+    val kept = stats.filter(col("hi") >= d1 && col("lo") <= d2)
+      .select(col("f")).collect().map(_.getString(0))
+    ordered(
+      spark.read.schema(Tables.lineitem).parquet(kept.toIndexedSeq: _*)
+        .filter(col("l_shipdate").between(d1, d2))
+        .groupBy()
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .withColumn("files_pruned", lit(kept.length < filesTotal)))
+  }
+
+  private val scanSkippingSql =
+    s"""SELECT COUNT(*) AS n, ${O.dsum("l_extendedprice")} AS sum_price,
+       |  TRUE AS files_pruned
+       |FROM lineitem
+       |WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
+       |  AND TIMESTAMP '1994-06-30 00:00:00'
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "scan_skipping" -> Q(scanSkipping _, scanSkippingSql),
     "scan_csv_malformed" -> Q(scanCsvMalformed _, scanCsvMalformedSql),
     "scan_binaryfile" -> Q(scanBinaryFile _, scanBinaryFileSql),
     "scan_text" -> Q(scanText _, scanTextSql),

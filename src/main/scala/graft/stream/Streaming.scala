@@ -887,7 +887,88 @@ object Streaming {
        |FROM probes p LEFT JOIN exact e ON e.probe_key = p.probe_key
        |${O.OrderAll}"""
 
+  def anomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyFrom(spark, eventsStream(spark, dir))
+
+  /** Streaming 3σ anomaly detection — Welford's online mean/variance
+    * (Welford 1962; Knuth TAOCP §4.2.2) as THREE doubles of per-key
+    * state (n, mean, M2): each event is judged against the statistics
+    * of its own history BEFORE being folded in (|v−μ| > 3σ once ≥ 10
+    * observations exist — the monitoring-stack alert rule
+    * `win_anomaly` computes in batch frames, here with UNBOUNDED
+    * history at O(1) state). Like `stream_ewma` this is an
+    * order-sensitive sequential fold: in-batch sort by (event-time,
+    * id), time-ordered source across batches. Oracle: a recursive CTE
+    * replaying the IDENTICAL fold — same (v−μ)/(n+1) increment, same
+    * M2 += (v−μ_old)(v−μ_new) product, in the same order ⇒ bit-exact
+    * doubles, so the z-scores ship UNROUNDED (zero rounding fudge).
+    * z is NULL while warming up and when the history is constant
+    * (M2 = 0 — the flag still fires there: any deviation from a
+    * constant history is anomalous). */
+  private[graft] def anomalyFrom(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val src = events
+      .select(col("user_id"), epochUs(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    val minN = 10
+    // state = (n, mean, M2); n == 0 ⇔ empty
+    val fn = (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+        state: GroupState[(Long, Double, Double)]) => {
+      var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, tsUs, evId, v) =>
+        val (flag, z) =
+          if (n >= minN) {
+            val sd = math.sqrt(m2 / (n - 1))
+            (Some(math.abs(v - mean) > 3 * sd),
+              if (m2 != 0.0) Some((v - mean) / sd) else None)
+          } else (None, None)
+        if (n == 0) { n = 1; mean = v; m2 = 0.0 }
+        else {
+          val d1 = v - mean
+          val newMean = mean + d1 / (n + 1)
+          m2 = m2 + d1 * (v - newMean)
+          mean = newMean
+          n += 1
+        }
+        (uid, evId, tsUs, flag, z)
+      }
+      state.update((n, mean, m2))
+      out.iterator
+    }
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "event_id", "ts_us", "is_anomaly", "z")
+    ordered(runToTable(spark, out, "update"))
+  }
+
+  private val anomalySql =
+    s"""WITH RECURSIVE b AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, "value" AS v,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id, event_id, ts_us, rn, v,
+       |    CAST(1 AS BIGINT) AS n, v AS mean, CAST(0.0 AS DOUBLE) AS m2,
+       |    CAST(NULL AS BOOLEAN) AS is_anomaly, CAST(NULL AS DOUBLE) AS z
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.user_id, b.event_id, b.ts_us, b.rn, b.v,
+       |    r.n + 1,
+       |    r.mean + (b.v - r.mean) / (r.n + 1),
+       |    r.m2 + (b.v - r.mean)
+       |      * (b.v - (r.mean + (b.v - r.mean) / (r.n + 1))),
+       |    CASE WHEN r.n >= 10
+       |      THEN abs(b.v - r.mean) > 3 * sqrt(r.m2 / (r.n - 1)) END,
+       |    CASE WHEN r.n >= 10 AND r.m2 <> 0
+       |      THEN (b.v - r.mean) / sqrt(r.m2 / (r.n - 1)) END
+       |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+       |SELECT user_id, event_id, ts_us, is_anomaly, z FROM r
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "stream_anomaly" -> Q(anomaly _, anomalySql),
     "stream_heavy_hitters" -> Q(streamHeavyHitters _, streamHeavyHittersSql),
     "stream_join" -> Q(streamJoin _, streamJoinSql),
     "stream_join_outer" -> Q(streamJoinOuter _, streamJoinOuterSql),
