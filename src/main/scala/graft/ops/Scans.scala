@@ -458,8 +458,8 @@ object Scans {
       .select(input_file_name().as("f"), col("l_shipdate"))
       .groupBy(col("f"))
       .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
-    val d1 = lit("1994-01-01 00:00:00").cast("timestamp")
-    val d2 = lit("1994-06-30 00:00:00").cast("timestamp")
+    val d1 = lit("1996-01-01 00:00:00").cast("timestamp")
+    val d2 = lit("1996-06-30 00:00:00").cast("timestamp")
     val filesTotal = stats.count()
     val kept = stats.filter(col("hi") >= d1 && col("lo") <= d2)
       .select(col("f")).collect().map(_.getString(0))
@@ -475,8 +475,8 @@ object Scans {
     s"""SELECT COUNT(*) AS n, ${O.dsum("l_extendedprice")} AS sum_price,
        |  TRUE AS files_pruned
        |FROM lineitem
-       |WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
-       |  AND TIMESTAMP '1994-06-30 00:00:00'
+       |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |  AND TIMESTAMP '1996-06-30 00:00:00'
        |${O.OrderAll}"""
 
   val queries: Map[String, Q] = Map(

@@ -236,4 +236,18 @@ class IngestSpec extends AnyFunSuite {
       .agg(graft.core.Determinism.dsum(col("c_acctbal"))).collect()(0).getDouble(0)
     assert(r.getAs[Double]("good_acctbal") === expect)
   }
+
+  test("scan_skipping: pruned read answers exactly like the full scan, and actually pruned") {
+    val r = ops.Scans.scanSkipping(spark, Sf).head()
+    assert(r.getAs[Boolean]("files_pruned"),
+      "the stats filter must skip at least one file on a range-clustered layout")
+    val d1 = lit("1996-01-01 00:00:00").cast("timestamp")
+    val d2 = lit("1996-06-30 00:00:00").cast("timestamp")
+    val full = core.Tables.load(spark, Sf, "lineitem")
+      .filter(col("l_shipdate").between(d1, d2))
+      .agg(count(lit(1)), graft.core.Determinism.dsum(col("l_extendedprice")))
+      .head()
+    assert(r.getAs[Long]("n") == full.getLong(0), "pruned read lost rows")
+    assert(r.getAs[Double]("sum_price") == full.getDouble(1), "pruned read changed the aggregate")
+  }
 }

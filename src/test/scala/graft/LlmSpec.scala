@@ -720,4 +720,46 @@ class LlmSpec extends AnyFunSuite {
       assert(sim == 1.0 - lev.toDouble / math.max(ta.length, tb.length).toDouble)
     }
   }
+
+  test("llm_knn_join: audit invariants hold; every vector gets exactly k descending-scored edges") {
+    val audit = llm.Similarity.knnJoin(TestSpark.spark, TestSpark.Sf).head()
+    assert(audit.getAs[Boolean]("edges_complete"), "some vector found < k neighbours")
+    assert(audit.getAs[Boolean]("recall_ge_bound"), "IVF knn recall fell below the pinned bound")
+    assert(audit.getAs[Boolean]("scored_frac_le_bound"), "candidate pruning did not prune")
+    val edges = llm.Similarity.knnJoinEdges(TestSpark.spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val n = audit.getAs[Long]("n_vectors")
+    val byQ = edges.groupBy(_._1)
+    assert(byQ.size.toLong == n)
+    byQ.values.foreach { es =>
+      assert(es.length == 3)
+      val sorted = es.sortBy(_._4)
+      // rn order must be score-descending (vec_id tiebreak)
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3 })
+      assert(es.map(_._2).distinct.length == 3, "duplicate neighbour")
+      assert(!es.exists(e => e._2 == e._1), "self-edge")
+    }
+  }
+
+  test("llm_mmr: first pick is max relevance, scores non-increasing, picks distinct, deterministic") {
+    val res = llm.Similarity.mmr(TestSpark.spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(res.length == 5)
+    assert(res.map(_._2).distinct.length == 5, "duplicate selection")
+    // step 1 has an empty selected set: its objective is pure relevance,
+    // so nothing can out-rank the globally most relevant candidate
+    assert(res.head._3 == res.map(_._3).max, "rank 1 must be argmax relevance")
+    assert(math.abs(res.head._4 - res.head._3 * 0.7) < 1e-6,
+      "rank-1 mmr must be 0.7*relevance (no diversity penalty yet)")
+    // the winner at step k was available at step k-1 with a no-larger
+    // penalty, so greedy objectives never increase
+    res.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 >= b._4 - 1e-9, s"mmr objective increased: $a -> $b")
+    }
+    val again = llm.Similarity.mmr(TestSpark.spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(again.toSeq == res.toSeq, "MMR must be deterministic")
+  }
 }

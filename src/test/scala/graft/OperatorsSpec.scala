@@ -811,4 +811,100 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == Map(1 -> 2L, 2 -> 1L))
   }
+
+  test("agg_corr: every r in [-1,1]; one pair matches a sequential exact-sums reference") {
+    val rows = ops.Aggregates.aggCorr(spark, Sf).collect()
+    rows.foreach { r =>
+      (2 until r.length).foreach { i =>
+        if (!r.isNullAt(i)) assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-12)
+      }
+    }
+    // reference: corr(qty, price) for one flag from BigInt sums
+    val li = core.Tables.load(spark, Sf, "lineitem")
+      .filter(col("l_returnflag") === "N")
+      .select(col("l_quantity"), col("l_extendedprice")).collect()
+      .map(r => (math.floor(r.getDouble(0) * 100 + 0.5).toLong,
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val n = li.length.toDouble
+    val sx = li.map(p => BigInt(p._1)).sum.toDouble
+    val sy = li.map(p => BigInt(p._2)).sum.toDouble
+    val sxx = li.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+    val syy = li.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
+    val sxy = li.map(p => BigInt(p._1) * BigInt(p._2)).sum.toDouble
+    val ref = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = rows.find(_.getString(0) == "N").get
+      .getAs[Double]("corr_qty_price")
+    assert(math.abs(got - ref) < 1e-6, s"corr_qty_price $got vs ref $ref")
+  }
+
+  test("agg_ab_test: t matches a sequential Welch reference; arms partition the group") {
+    val rows = ops.Aggregates.aggAbTest(spark, Sf).collect()
+    val ev = core.Tables.load(spark, Sf, "events")
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    rows.foreach { r =>
+      val typ = r.getString(0)
+      val g = ev.filter(_._1 == typ)
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == g.length)
+      val a = g.filter(_._2 == 0).map(_._3)
+      val b = g.filter(_._2 == 1).map(_._3)
+      def stats(xs: Array[Long]) = {
+        val n = xs.length.toDouble
+        val s = xs.map(BigInt(_)).sum.toDouble
+        val ss = xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+        (n, s / n, (n * ss - s * s) / (n * (n - 1)))
+      }
+      val (na, ma, va) = stats(a)
+      val (nb, mb, vb) = stats(b)
+      val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+      assert(math.abs(r.getAs[Double]("t_welch") - t) < 1e-6,
+        s"$typ: t ${r.getAs[Double]("t_welch")} vs ref $t")
+      assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
+    }
+  }
+
+  test("win_drawdown: exact equality with a sequential per-user walk") {
+    val got = ops.Windows.winDrawdown(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ref = core.Tables.load(spark, Sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        math.floor(r.getDouble(4) * 100 + 0.5).toLong))
+      .groupBy(_._1)
+      .map { case (uid, rows) =>
+        var cum = 0L; var peak = Long.MinValue; var dd = Long.MinValue
+        rows.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, typ, c) =>
+          cum += (if (typ == "purchase" || typ == "signup") c else -c)
+          peak = math.max(peak, cum)
+          dd = math.max(dd, peak - cum)
+        }
+        uid -> (peak / 100.0, dd / 100.0)
+      }
+    assert(got == ref, "drawdown walk diverged from the sequential reference")
+  }
+
+  test("graph_label_prop: sizes partition the nodes; communities refine graph_cc components; deterministic") {
+    val lp = ops.Graph.labelProp(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // community_size is the exact member count of its community
+    val byComm = lp.groupBy(_._2)
+    lp.foreach { case (_, comm, size) =>
+      assert(byComm(comm).length.toLong == size)
+    }
+    // LPA labels spread only along edges, so a community can never
+    // span two connected components: it REFINES graph_cc's partition
+    val cc = ops.Graph.connectedComponents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp.map(_._1).toSet == cc.keySet)
+    byComm.values.foreach { members =>
+      assert(members.map(m => cc(m._1)).toSet.size == 1,
+        "a community crossed a connected component")
+    }
+    val again = ops.Graph.labelProp(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == lp.toSet, "LPA must be deterministic")
+  }
 }

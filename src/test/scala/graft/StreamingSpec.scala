@@ -377,4 +377,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(swapped === base, s"$key diverged under RocksDB")
     }
   }
+
+  test("stream_anomaly: multi-batch fold equals single-batch; both match a sequential Welford reference") {
+    val single = stream.Streaming.anomaly(spark, TestSpark.Sf).collect()
+    val multi = stream.Streaming.anomalyFrom(spark,
+      stream.Streaming.eventsStreamMultiBatch(spark, TestSpark.Sf)).collect()
+    assert(single.map(_.toString).sorted.toSeq === multi.map(_.toString).sorted.toSeq,
+      "micro-batch splitting changed the Welford fold")
+    // bit-exact sequential reference, same op order as the processor
+    val ref = core.Tables.load(spark, TestSpark.Sf, "events")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .iterator
+      .flatMap { case (_, rows) =>
+        var n = 0L; var mean = 0.0; var m2 = 0.0
+        rows.sortBy(r => (r._3, r._2)).toSeq.map { case (uid, id, _, v) =>
+          val fz =
+            if (n >= 10) {
+              val sd = math.sqrt(m2 / (n - 1))
+              (Some(math.abs(v - mean) > 3 * sd),
+                if (m2 != 0.0) Some((v - mean) / sd) else None)
+            } else (None, None)
+          if (n == 0) { n = 1; mean = v; m2 = 0.0 }
+          else {
+            val d1 = v - mean
+            val nm = mean + d1 / (n + 1)
+            m2 = m2 + d1 * (v - nm); mean = nm; n += 1
+          }
+          (uid, id) -> fz
+        }
+      }.toMap
+    assert(single.length == ref.size)
+    single.foreach { r =>
+      val (flag, z) = ref((r.getLong(0), r.getLong(1)))
+      assert((if (r.isNullAt(3)) None else Some(r.getBoolean(3))) == flag)
+      assert((if (r.isNullAt(4)) None else Some(r.getDouble(4))) == z,
+        s"z mismatch at ${(r.getLong(0), r.getLong(1))}")
+    }
+    // flags must actually fire somewhere, or the law is vacuous
+    assert(single.exists(r => !r.isNullAt(3) && r.getBoolean(3)),
+      "no anomaly fired on the whole corpus")
+  }
+
+  test("stream_anomaly: state rows = distinct users, not input rows") {
+    val ev = core.Tables.load(spark, TestSpark.Sf, "events")
+    val nRows = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    stream.Streaming.anomaly(spark, TestSpark.Sf).collect()
+    val peak = stream.Streaming.lastStateRowsPeak
+    assert(peak >= 1 && peak <= nUsers,
+      s"Welford state must be ≤ $nUsers rows (three doubles per key), got $peak")
+    assert(peak < nRows, s"state ($peak) grew with input ($nRows rows)")
+  }
 }
