@@ -431,7 +431,11 @@ object Etl {
     * per-partition sort after the hash exchange. The same shape
     * handles billions of change rows; the snapshot never rewrites
     * more than once per batch. */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+  /** The CDC change set `etl_cdc_apply` and `stream_cdc_apply` share —
+    * ONE definition so the batch key, the streaming key, and the
+    * common oracle can never drift: snapshot at _seq 0, updates +
+    * out-of-range inserts at _seq 1, delete tombstones at _seq 2. */
+  private[graft] def cdcChangeSet(spark: SparkSession, dir: String): DataFrame = {
     val snap = t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
         lit(0L).as("_seq"), lit("U").as("_op"))
@@ -448,7 +452,11 @@ object Etl {
         concat(lit("NEW-"), col("c_name")).as("c_name"),
         lit("CDC-I").as("c_mktsegment"),
         lit(1L).as("_seq"), lit("U").as("_op"))
-    val all = snap.unionByName(updates).unionByName(deletes).unionByName(inserts)
+    snap.unionByName(updates).unionByName(deletes).unionByName(inserts)
+  }
+
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val all = cdcChangeSet(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_custkey")).orderBy(col("_seq").desc)
     ordered(
@@ -457,7 +465,7 @@ object Etl {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
   }
 
-  private val cdcApplySql =
+  private[graft] val cdcApplySql =
     s"""WITH changes AS (
        |  SELECT c_custkey, c_name, c_mktsegment, 0 AS seq, 'U' AS op FROM customer
        |  UNION ALL
@@ -1264,7 +1272,83 @@ object Etl {
        |FROM crm FULL OUTER JOIN billing ON crm.key = billing.key
        |${O.OrderAll}"""
 
+  /** Write-Audit-Publish — the lakehouse promotion gate (the pattern
+    * Iceberg's WAP branch / Delta's staging tables encode): a batch
+    * first LANDS in a stage location, the DQ audit runs on the STAGED
+    * FILES (what actually landed, never what the job meant to write —
+    * a truncated/corrupted write is exactly what the audit exists to
+    * catch), and only a clean audit promotes the batch to the
+    * published location; a dirty batch is withheld and the published
+    * table never sees it. Batch A (clean slice) publishes; batch B
+    * (every 17th key's custkey nulled — the injected violation) is
+    * withheld. `published_rows` is counted from the PUBLISHED location
+    * after both audits — the oracle pins it to exactly batch A's rows,
+    * proving the gate both admitted A and stopped B. At 100 TB
+    * publish is a metadata swap (branch fast-forward / manifest
+    * commit), never a data copy — here it is a rewrite because the
+    * sandbox has no table format, the gate logic is identical. */
+  def wap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Fixtures
+    val stageA = Fixtures.path(dir, "etl_wap_stage_a")
+    val stageB = Fixtures.path(dir, "etl_wap_stage_b")
+    val pub = Fixtures.path(dir, "etl_wap_published")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 3 === 0)
+      .write.mode("overwrite").parquet(stageA)
+    o.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 17 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")))
+      .write.mode("overwrite").parquet(stageB)
+    val schema = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+    // the audit is a bounded driver scalar pair per batch (2 longs)
+    def audit(path: String): (Long, Long) = {
+      val r = spark.read.schema(schema).parquet(path).agg(
+        count(lit(1)),
+        count(when(col("o_custkey").isNull || col("o_totalprice") <= 0, lit(1))))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (na, va) = audit(stageA)
+    val (nb, vb) = audit(stageB)
+    if (va == 0L)
+      spark.read.schema(schema).parquet(stageA).write.mode("overwrite").parquet(pub)
+    if (vb == 0L)
+      spark.read.schema(schema).parquet(stageB).write.mode("overwrite").parquet(pub)
+    val pubRows = spark.read.schema(schema).parquet(pub).count()
+    import spark.implicits._
+    ordered(Seq(
+      ("A", na, va, va == 0L, pubRows),
+      ("B", nb, vb, vb == 0L, pubRows))
+      .toDF("batch", "n_rows", "n_violations", "published", "published_rows"))
+  }
+
+  private val wapSql =
+    s"""WITH a AS (
+       |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       |  WHERE o_orderkey % 3 = 0),
+       |b AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+       |    o_totalprice
+       |  FROM orders WHERE o_orderkey % 3 = 1),
+       |s AS (
+       |  SELECT 'A' AS batch, COUNT(*) AS n_rows,
+       |    COUNT(CASE WHEN o_custkey IS NULL OR o_totalprice <= 0 THEN 1 END)
+       |      AS n_violations
+       |  FROM a
+       |  UNION ALL
+       |  SELECT 'B', COUNT(*),
+       |    COUNT(CASE WHEN o_custkey IS NULL OR o_totalprice <= 0 THEN 1 END)
+       |  FROM b)
+       |SELECT batch, n_rows, n_violations, n_violations = 0 AS published,
+       |  (SELECT COUNT(*) FROM a) AS published_rows
+       |FROM s
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_wap" -> Q(wap _, wapSql),
     "etl_survivorship" -> Q(survivorship _, survivorshipSql),
     "etl_retention_purge" -> Q(retentionPurge _, retentionPurgeSql),
     "etl_bitemporal" -> Q(bitemporal _, bitemporalSql),

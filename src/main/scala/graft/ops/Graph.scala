@@ -342,7 +342,77 @@ object Graph {
        |${O.OrderAll}"""
   }
 
+  /** Neighborhood-similarity link prediction — common-neighbors count
+    * and Jaccard over adjacency sets (Liben-Nowell & Kleinberg 2003),
+    * the zero-model every recommender baseline starts from: for every
+    * NON-adjacent pair sharing ≥ 2 neighbors, |N(a)∩N(b)| and
+    * |N(a)∩N(b)| / |N(a)∪N(b)|. Candidate pairs come from ONE wedge
+    * equi-join (edges⋈edges on the shared endpoint — work Σdeg², the
+    * quantity `graph_degree`'s histogram exists to estimate first;
+    * hub-heavy graphs cap or sample hot nodes before wedging, noted
+    * because at 100 TB THAT is the whole game), the existing-edge
+    * exclusion is one anti join, degrees come from the same edge list,
+    * and Jaccard is an exact int/int division both engines round
+    * identically — no float accumulates. */
+  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val op = t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    // RAW co-order adjacency (no support floor): link prediction wants
+    // the full neighborhood sets — here the `common >= 2` candidate
+    // floor plays the sparsifier role the support threshold plays for
+    // graph_cc/graph_label_prop (a 1-common-neighbor pair is noise)
+    val pairs = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+      .toDF("src", "dst").localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val wedges = edges.as("x").join(edges.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 2)
+    val cand = wedges.join(pairs, Seq("a", "b"), "left_anti")
+    ordered(cand
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "degree_a"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "degree_b"), Seq("b"))
+      .select(col("a").as("part_a"), col("b").as("part_b"), col("common"),
+        col("degree_a"), col("degree_b"),
+        (col("common") / (col("degree_a") + col("degree_b") - col("common")))
+          .as("jaccard")))
+  }
+
+  private val jaccardNeighborsSql =
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_orderkey % 16 = 0),
+       |pairs AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src),
+       |wed AS (
+       |  SELECT x.dst AS a, y.dst AS b, COUNT(*) AS common
+       |  FROM edges x JOIN edges y ON x.src = y.src AND x.dst < y.dst
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |cand AS (
+       |  SELECT w.* FROM wed w
+       |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.a = w.a AND p.b = w.b))
+       |SELECT c.a AS part_a, c.b AS part_b, c.common,
+       |  da.degree AS degree_a, db.degree AS degree_b,
+       |  c.common / (da.degree + db.degree - c.common) AS jaccard
+       |FROM cand c
+       |JOIN deg da ON da.node = c.a
+       |JOIN deg db ON db.node = c.b
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "graph_jaccard" -> Q(jaccardNeighbors _, jaccardNeighborsSql),
     "graph_label_prop" -> Q(labelProp _, labelPropSql),
     "graph_pagerank" -> Q(pageRank _, pageRankSql),
     "graph_bfs" -> Q(bfs _, bfsSql),

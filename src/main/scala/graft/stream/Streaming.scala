@@ -967,7 +967,125 @@ object Streaming {
        |SELECT user_id, event_id, ts_us, is_anomaly, z FROM r
        |${O.OrderAll}"""
 
+  def cusum(spark: SparkSession, dir: String): DataFrame =
+    cusumFrom(spark, eventsStream(spark, dir))
+
+  private[graft] val CusumDrift = 6000L  // cents allowed per event
+  private[graft] val CusumAlarm = 30000L // accumulated excess that pages
+
+  /** Streaming one-sided CUSUM change detection (Page 1954) — the
+    * classic "has the MEAN shifted" monitor next to `stream_anomaly`'s
+    * per-event outlier rule: s_t = max(0, s_{t−1} + (v_t − k)) with
+    * drift allowance k, alarm at s > h. Sustained drift accumulates
+    * where a 3σ rule sees nothing; single spikes decay. ONE long of
+    * per-key state, and — unlike the double-state folds — the entire
+    * recurrence is exact INTEGER arithmetic on cents, so the
+    * recursive-CTE oracle replay is exact by construction, not by
+    * mirrored rounding. Same ordered-fold contract as `stream_ewma`. */
+  private[graft] def cusumFrom(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val src = events
+      .select(col("user_id"), epochUs(col("ts")).as("ts_us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .as[(Long, Long, Long, Long)]
+    val fn = (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+        state: GroupState[Long]) => {
+      var s = state.getOption.getOrElse(0L)
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, tsUs, evId, c) =>
+        s = math.max(0L, s + (c - CusumDrift))
+        (uid, evId, tsUs, s, s > CusumAlarm)
+      }
+      state.update(s)
+      out.iterator
+    }
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "event_id", "ts_us", "cusum", "alarm")
+    ordered(runToTable(spark, out, "update"))
+  }
+
+  private val cusumSql =
+    s"""WITH RECURSIVE b AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS c,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id, event_id, ts_us, rn,
+       |    GREATEST(0, c - $CusumDrift) AS cusum
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.user_id, b.event_id, b.ts_us, b.rn,
+       |    GREATEST(0, r.cusum + b.c - $CusumDrift)
+       |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+       |SELECT user_id, event_id, ts_us, cusum,
+       |  cusum > $CusumAlarm AS alarm
+       |FROM r
+       |${O.OrderAll}"""
+
+  /** Streaming CDC materialization — the change stream (snapshot,
+    * then updates/inserts, then delete tombstones, one micro-batch per
+    * _seq epoch via pinned-mtime slices) applied INCREMENTALLY into a
+    * keyed state: per key, keep the highest-_seq record seen so far
+    * (ONE row of state per key — the materialized view, not the
+    * history), tombstones survive as state so a late lower-seq row can
+    * never resurrect a deleted key. The final table filters tombstones
+    * out. Shares [[graft.etl.Etl.cdcChangeSet]] AND the batch oracle
+    * with `etl_cdc_apply` — the streaming spelling must converge to
+    * exactly the batch winner-per-key rule, which is the whole
+    * correctness claim of incremental materialization. */
+  def cdcApplyStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixture = "cdc_stream_src"
+    val path = graft.core.Fixtures.path(dir, fixture)
+    graft.core.Fixtures.buildAtomic(dir, fixture) { tmpPath =>
+      val all = graft.etl.Etl.cdcChangeSet(spark, dir)
+      val dirFile = new java.io.File(tmpPath)
+      var known = Set.empty[String]
+      for (s <- 0L to 2L) {
+        all.filter(col("_seq") === s)
+          .coalesce(1).write.mode("append").parquet(tmpPath)
+        val fresh = dirFile.listFiles().filter(f =>
+          f.getName.startsWith("part-") && !known.contains(f.getName))
+        fresh.foreach(_.setLastModified(1600000000000L + s * 60000L))
+        known ++= fresh.map(_.getName)
+      }
+    }
+    val changes = spark.readStream
+      .schema("c_custkey BIGINT, c_name STRING, c_mktsegment STRING, _seq BIGINT, _op STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(path)
+      .as[(Long, String, String, Long, String)]
+    // state = the current winner (seq, op, name, segment) per key
+    val fn = (key: Long, rows: Iterator[(Long, String, String, Long, String)],
+        state: GroupState[(Long, String, String, String)]) => {
+      var cur = state.getOption.getOrElse((-1L, "", null: String, null: String))
+      rows.foreach { case (_, name, seg, seq, op) =>
+        if (seq > cur._1) cur = (seq, op, name, seg)
+      }
+      state.update(cur)
+      Iterator.single((key, cur._1, cur._2, cur._3, cur._4))
+    }
+    val out = changes.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("c_custkey", "_seq", "_op", "c_name", "c_mktsegment")
+    val sink = runToTable(spark, out, "update")
+    // update mode re-emits a key's winner each batch it appears in;
+    // the final state is the max-_seq emission (same post-aggregation
+    // contract as `stream_stateful`)
+    ordered(
+      sink.groupBy(col("c_custkey"))
+        .agg(max(struct(col("_seq"), col("_op"), col("c_name"),
+          col("c_mktsegment"))).as("_w"))
+        .filter(col("_w._op") =!= "D")
+        .select(col("c_custkey"), col("_w.c_name").as("c_name"),
+          col("_w.c_mktsegment").as("c_mktsegment")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_cusum" -> Q(cusum _, cusumSql),
+    "stream_cdc_apply" -> Q(cdcApplyStream _, graft.etl.Etl.cdcApplySql),
     "stream_anomaly" -> Q(anomaly _, anomalySql),
     "stream_heavy_hitters" -> Q(streamHeavyHitters _, streamHeavyHittersSql),
     "stream_join" -> Q(streamJoin _, streamJoinSql),

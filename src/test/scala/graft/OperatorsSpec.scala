@@ -886,6 +886,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == ref, "drawdown walk diverged from the sequential reference")
   }
 
+  test("etl_wap: the published table holds exactly the clean batch, zero violating rows") {
+    val out = etl.Etl.wap(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Boolean]("published"))
+    assert(!out("B").getAs[Boolean]("published"), "the dirty batch must be withheld")
+    assert(out("B").getAs[Long]("n_violations") > 0, "the injected violations must exist")
+    val pub = spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+      .parquet(core.Fixtures.path(Sf, "etl_wap_published"))
+    assert(pub.count() == out("A").getAs[Long]("n_rows"))
+    assert(pub.filter(col("o_custkey").isNull || col("o_totalprice") <= 0).count() == 0,
+      "a violating row reached the published table")
+    assert(pub.filter(col("o_orderkey") % 3 =!= 0).count() == 0,
+      "a batch-B row reached the published table")
+  }
+
+  test("graph_jaccard: bounds, non-adjacency, and set-arithmetic consistency") {
+    val rows = ops.Graph.jaccardNeighbors(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty, "candidate generation produced nothing")
+    // recompute the adjacency set: predicted links must be NEW links
+    val op = core.Tables.load(spark, Sf, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val adj = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p"), col("y.p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (a, b, common, da, db, j) =>
+      assert(a < b, "pairs must be normalized a < b")
+      assert(!adj.contains((a, b)), s"($a,$b) is already an edge — not a prediction")
+      assert(common >= 2 && common <= math.min(da, db),
+        s"common $common out of [2, min($da,$db)]")
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of (0,1]")
+      assert(j == common.toDouble / (da + db - common).toDouble)
+    }
+  }
+
   test("graph_label_prop: sizes partition the nodes; communities refine graph_cc components; deterministic") {
     val lp = ops.Graph.labelProp(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

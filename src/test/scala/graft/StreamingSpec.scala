@@ -422,6 +422,51 @@ class StreamingSpec extends AnyFunSuite {
       "no anomaly fired on the whole corpus")
   }
 
+  test("stream_cdc_apply: streaming materialization converges to the batch winner-per-key rule") {
+    // THE correctness claim of incremental materialization: applying
+    // the change stream batch-by-batch into keyed state ends at
+    // exactly the state a from-scratch batch apply computes
+    val streamed = stream.Streaming.cdcApplyStream(spark, TestSpark.Sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = etl.Etl.cdcApply(spark, TestSpark.Sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch, "streaming CDC apply diverged from the batch apply")
+    // tombstones must actually remove keys (or the delete path is vacuous)
+    val nKeys = core.Tables.load(spark, TestSpark.Sf, "customer").count()
+    assert(streamed.size < nKeys + nKeys / 11 + 1,
+      "no key was tombstoned")
+  }
+
+  test("stream_cusum: multi-batch fold equals single-batch; exact-integer reference; alarms fire") {
+    val single = stream.Streaming.cusum(spark, TestSpark.Sf).collect()
+    val multi = stream.Streaming.cusumFrom(spark,
+      stream.Streaming.eventsStreamMultiBatch(spark, TestSpark.Sf)).collect()
+    assert(single.map(_.toString).sorted.toSeq === multi.map(_.toString).sorted.toSeq,
+      "micro-batch splitting changed the CUSUM fold")
+    val ref = core.Tables.load(spark, TestSpark.Sf, "events")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+      .groupBy(_._1)
+      .iterator
+      .flatMap { case (_, rows) =>
+        var s = 0L
+        rows.sortBy(r => (r._3, r._2)).toSeq.map { case (uid, id, _, c) =>
+          s = math.max(0L, s + (c - stream.Streaming.CusumDrift))
+          (uid, id) -> s
+        }
+      }.toMap
+    assert(single.length == ref.size)
+    single.foreach { r =>
+      val s = ref((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(3) == s, s"cusum mismatch at ${(r.getLong(0), r.getLong(1))}")
+      assert(r.getBoolean(4) == (s > stream.Streaming.CusumAlarm))
+    }
+    assert(single.exists(_.getBoolean(4)), "no alarm fired on the whole corpus")
+  }
+
   test("stream_anomaly: state rows = distinct users, not input rows") {
     val ev = core.Tables.load(spark, TestSpark.Sf, "events")
     val nRows = ev.count()
