@@ -367,13 +367,15 @@ object Similarity {
     * a rebuild (round-4 advice: `Fixtures.exists` checks only
     * `_SUCCESS`, so an unkeyed name would pin stale centroids
     * forever). */
-  private[graft] val IvfCentroidsName = s"ivf_centroids_k${IvfK}i$IvfIters"
-  private[graft] val IvfCellsName = s"ivf_cells_k${IvfK}i$IvfIters"
+  private[graft] def ivfCentroidsName(k: Int) = s"ivf_centroids_k${k}i$IvfIters"
+  private[graft] def ivfCellsName(k: Int) = s"ivf_cells_k${k}i$IvfIters"
+  private[graft] val IvfCentroidsName = ivfCentroidsName(IvfK)
+  private[graft] val IvfCellsName = ivfCellsName(IvfK)
 
-  private def centroidsPath(dir: String) =
-    graft.core.Fixtures.path(dir, IvfCentroidsName)
-  private def cellsPath(dir: String) =
-    graft.core.Fixtures.path(dir, IvfCellsName)
+  private def centroidsPath(dir: String, k: Int) =
+    graft.core.Fixtures.path(dir, ivfCentroidsName(k))
+  private def cellsPath(dir: String, k: Int) =
+    graft.core.Fixtures.path(dir, ivfCellsName(k))
 
   /** Build-once/serve-many: the real IVF index lifecycle. The trained
     * centroids (K×64 doubles — KBs) and the cell-assigned corpus
@@ -384,35 +386,38 @@ object Similarity {
     * reading them back, never retraining ([[ivfTrainCount]] proves
     * it). At 100 TB this split is the whole economics of IVF: index
     * build is a one-time O(n) pass, queries touch K_probe cells. */
-  private[graft] def ensureIvfIndex(spark: SparkSession, dir: String): Unit = {
-    if (graft.core.Fixtures.exists(dir, IvfCentroidsName) &&
-      graft.core.Fixtures.exists(dir, IvfCellsName)) return
+  private[graft] def ensureIvfIndex(
+      spark: SparkSession, dir: String, k: Int = IvfK): Unit = {
+    if (graft.core.Fixtures.exists(dir, ivfCentroidsName(k)) &&
+      graft.core.Fixtures.exists(dir, ivfCellsName(k))) return
     DotProduct.register(spark) // nrm below uses the registered function
     ivfTrainCount.incrementAndGet()
-    val cents = ivfCentroids(emb(spark, dir), IvfK, IvfIters)
+    val cents = ivfCentroids(emb(spark, dir), k, IvfIters)
     import spark.implicits._
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
       .toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(dir))
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(dir, k))
     emb(spark, dir)
       .withColumn("nrm", norm("embedding"))
       .withColumn("cid", nearestCentroid(cents)(col("embedding")))
-      .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(dir))
+      .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(dir, k))
   }
 
-  private def trainedCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(dir, _ => {
-      ensureIvfIndex(spark, dir)
-      spark.read.parquet(centroidsPath(dir))
+  private def trainedCentroids(
+      spark: SparkSession, dir: String, k: Int = IvfK): Array[Array[Double]] =
+    centroidCache.computeIfAbsent(s"$dir#k$k", _ => {
+      ensureIvfIndex(spark, dir, k)
+      spark.read.parquet(centroidsPath(dir, k))
         .select(col("cid"), col("centroid")).collect()
         .sortBy(_.getInt(0))
         .map(_.getSeq[Double](1).toArray)
     })
 
   /** The persisted cell-assigned corpus (vec_id, embedding, nrm, cid). */
-  private def indexedCells(spark: SparkSession, dir: String): DataFrame = {
-    ensureIvfIndex(spark, dir)
-    spark.read.parquet(cellsPath(dir))
+  private def indexedCells(
+      spark: SparkSession, dir: String, k: Int = IvfK): DataFrame = {
+    ensureIvfIndex(spark, dir, k)
+    spark.read.parquet(cellsPath(dir, k))
   }
 
   /** Argmax-dot cluster assignment against unit centroids (|v| is
@@ -1277,18 +1282,40 @@ object Similarity {
        |${O.OrderAll}"""
 
   private val KnnK = 3
-  /** 8-of-16 cells: a k-NN GRAPH build probes deeper than online
-    * search (`llm_simsearch_ivf`'s 4) — batch recall is worth more
-    * than per-query latency, and this corpus is weakly clustered
-    * (synthetic near-uniform 64-dim), the hardest IVF regime. Measured
-    * recall@3 at 8 probes: 0.843 (sf0.01, n=500), 0.863 (sf0.1,
-    * n=2000); at the online-search 4 probes it sits at the 0.6 line
-    * (0.593 at sf0.1) — the dial is P/K, and real clustered embedding
-    * corpora buy the same recall far cheaper. */
-  private[graft] val KnnProbes = 8
+  /** 12 probed cells of the adaptive-K index: a k-NN GRAPH build
+    * probes deeper than online search (`llm_simsearch_ivf`'s 4 of 16)
+    * — batch recall is worth more than per-query latency, and this
+    * corpus is weakly clustered (synthetic near-uniform 64-dim), the
+    * hardest IVF regime. Measured recall@3 at P=12 over K=[[knnKFor]]:
+    * 0.887 (sf0.01, n=500, K=32), 0.810 (sf0.1, n=2000, K=64), with
+    * candidate fraction FALLING 0.37 → 0.19 as K tracks √n; real
+    * clustered embedding corpora buy the same recall far cheaper. */
+  private[graft] val KnnProbes = 12
   private val KnnSliceN = 100
   private val KnnRecallBound = 0.7
-  private val KnnScoredFracBound = 0.55
+
+  /** Cell count for the k-NN-join index: the smallest power of two ≥
+    * √n, floored at the online-search [[IvfK]] and capped where the
+    * fixed [[IvfTrainSample]] stops supporting more centroids (~64
+    * training rows per centroid; beyond ~4M vectors the SAMPLE scales,
+    * not this cap). This is the `srpBitsFor` lesson applied to IVF: at
+    * FIXED K the cid-join candidate volume is (P/K)·n² — a quadratic
+    * wearing a linear disguise, the exact class of bug ScaleStats
+    * caught twice (fixed-8-bit SRP banding, fixed-16-cell semdedup).
+    * With K ≈ √n and P fixed, candidates = P·n/K per probe side ≈
+    * P·n^{3/2} total — and per-query work P·√n, faiss's standard
+    * nlist ≈ √n sizing. */
+  private[graft] def knnKFor(n: Long): Int = {
+    var k = IvfK
+    while (k.toLong * k < n && k < IvfTrainSample / 64) k *= 2
+    k
+  }
+
+  /** Candidate-fraction bound, adaptive with the cell count: a
+    * balanced K-cell layout probed P-deep scores ≈ P/K of the corpus
+    * per query; 2× headroom absorbs cell-size skew. */
+  private def knnScoredFracBound(k: Int): Double =
+    math.min(1.0, 2.0 * KnnProbes.toDouble / k)
 
   /** Candidate pairs of the k-NN JOIN: every corpus vector probes its
     * [[IvfProbes]] nearest cells of the persisted IVF index and meets
@@ -1299,8 +1326,9 @@ object Similarity {
   private[graft] def knnJoinCandidates(
       spark: SparkSession, dir: String, nProbe: Int = KnnProbes): DataFrame = {
     DotProduct.register(spark)
-    val cents = trainedCentroids(spark, dir)
-    val indexed = indexedCells(spark, dir)
+    val k = knnKFor(emb(spark, dir).count())
+    val cents = trainedCentroids(spark, dir, k)
+    val indexed = indexedCells(spark, dir, k)
     val qs = indexed.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"),
@@ -1363,12 +1391,13 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivfSlice).size.toDouble / exact.size
+    val fracBound = knnScoredFracBound(knnKFor(n))
     spark.range(1).select(
       lit(n).as("n_vectors"), lit(KnnK.toLong).as("k"),
       lit(exact.size.toLong).as("n_exact_slice_pairs"),
       lit(nEdges == n * KnnK).as("edges_complete"),
       lit(recall >= KnnRecallBound).as("recall_ge_bound"),
-      lit(nCand.toDouble / (n.toDouble * n.toDouble) <= KnnScoredFracBound)
+      lit(nCand.toDouble / (n.toDouble * n.toDouble) <= fracBound)
         .as("scored_frac_le_bound"))
   }
 
