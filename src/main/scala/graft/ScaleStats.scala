@@ -104,6 +104,18 @@ object ScaleStats {
       val semFixed4 = semPairs("50")
       val semAdaptive = semPairs(nVec.toString)
 
+      // k-NN join (IVF cid equi-join): candidates at the FIXED K=16
+      // control ((P/K)·n² — the quadratic regime the adaptive cell
+      // count fixes; -1 above 50k vectors, same rule as the other
+      // controls) vs the keyed query's adaptive K = knnKFor(n) ≈ √n
+      // (P·n^{3/2}). Same candidate definitions the keyed query runs.
+      val knnFixed16 =
+        if (nVec > 50000L) -1L
+        else llm.Similarity.knnJoinCandidatesAt(spark, dir,
+          llm.Similarity.KnnProbes, 16).count()
+      val knnAdaptiveK = llm.Similarity.knnKFor(nVec)
+      val knnAdaptive = llm.Similarity.knnJoinCandidates(spark, dir).count()
+
       println(
         s"""{"dir":"$dir","n_docs":$nDocs,""" +
           s""""neardup_band_candidates":$nearCand,""" +
@@ -115,7 +127,10 @@ object ScaleStats {
           s""""srp_bits_adaptive":$adaptiveBits,""" +
           s""""cosine_band_candidates_adaptive":$cosCandAdaptive,""" +
           s""""semdedup_cell_pairs_fixed4":$semFixed4,""" +
-          s""""semdedup_cell_pairs_adaptive":$semAdaptive}""")
+          s""""semdedup_cell_pairs_adaptive":$semAdaptive,""" +
+          s""""knn_candidates_fixed16":$knnFixed16,""" +
+          s""""knn_k_adaptive":$knnAdaptiveK,""" +
+          s""""knn_candidates_adaptive":$knnAdaptive}""")
     }
     spark.stop()
   }

@@ -319,7 +319,7 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    val unit = e0.orderBy(col("vec_id")).limit(IvfTrainSample)
+    val unit = e0.orderBy(col("vec_id")).limit(ivfTrainSampleFor(k))
       .select(col("embedding")).collect()
       .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
     val dim = unit.headOption.map(_.length).getOrElse(0)
@@ -1307,9 +1307,19 @@ object Similarity {
     * nlist ≈ √n sizing. */
   private[graft] def knnKFor(n: Long): Int = {
     var k = IvfK
-    while (k.toLong * k < n && k < IvfTrainSample / 64) k *= 2
+    while (k.toLong * k < n && k < 1024) k *= 2
     k
   }
+
+  /** Training-sample size for a K-cell quantizer: ≥ 64 rows per
+    * centroid (the [[IvfTrainSample]] floor covers online-search K);
+    * the sample grows WITH K — capping K by a fixed sample is how the
+    * adaptive cell count silently stops adapting (caught by
+    * ScaleStats at sf1: K stuck at 64, candidate fraction stopped
+    * falling). The driver collect stays KBs–MBs: 64·K rows of 64
+    * floats ≤ 16 MB at the K=1024 ceiling. */
+  private[graft] def ivfTrainSampleFor(k: Int): Int =
+    math.max(IvfTrainSample, 64 * k)
 
   /** Candidate-fraction bound, adaptive with the cell count: a
     * balanced K-cell layout probed P-deep scores ≈ P/K of the corpus
@@ -1324,15 +1334,21 @@ object Similarity {
     * duplicate across probes). Candidate volume ≈ n·(P/K)·n/K per cell
     * — linear in n per vector, never the n² of the brute graph. */
   private[graft] def knnJoinCandidates(
-      spark: SparkSession, dir: String, nProbe: Int = KnnProbes): DataFrame = {
+      spark: SparkSession, dir: String, nProbe: Int = KnnProbes): DataFrame =
+    knnJoinCandidatesAt(spark, dir, nProbe,
+      knnKFor(emb(spark, dir).count()))
+
+  /** Candidates at an EXPLICIT cell count — [[ScaleStats]] uses this to
+    * measure the fixed-K quadratic control next to the adaptive path. */
+  private[graft] def knnJoinCandidatesAt(
+      spark: SparkSession, dir: String, nProbe: Int, k: Int): DataFrame = {
     DotProduct.register(spark)
-    val k = knnKFor(emb(spark, dir).count())
     val cents = trainedCentroids(spark, dir, k)
     val indexed = indexedCells(spark, dir, k)
     val qs = indexed.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"),
-      explode(nearestCentroids(cents, nProbe)(col("embedding"))).as("cid"))
+      explode(nearestCentroids(cents, math.min(nProbe, k))(col("embedding"))).as("cid"))
     indexed.join(qs, Seq("cid")).filter(col("vec_id") =!= col("q_id"))
   }
 
