@@ -71,7 +71,12 @@ object PlanDump {
     "win_median" -> "rolling exact median: one Window node, per-frame selection over integer cents",
     "etl_survivorship" -> "golden-record merge: ONE full-outer join, survivorship coalesce/CASE rides its project",
     "etl_dq_profile_approx" -> "sketch profile: per-column HLLs in ONE partial-merge aggregate (no Expand); exact twins ride separate column-pruned single-distinct aggs",
-    "llm_dedup_incremental" -> "incremental dedup: batch probes the STORED corpus band index on (band,hash,gx) equi keys — block-capped at build time; candidate-only exact verify, corpus never re-shingled")
+    "llm_dedup_incremental" -> "incremental dedup: batch probes the STORED corpus band index on (band,hash,gx) equi keys — block-capped at build time; candidate-only exact verify, corpus never re-shingled",
+    "agg_corr" -> "correlation matrix: all 15 exact-decimal sufficient statistics ride ONE map-side-combined aggregate over one scan",
+    "win_drawdown" -> "max drawdown: running-sum and running-max frames share ONE Window node; per-user max is a map-side agg on the same partitioning",
+    "graph_jaccard" -> "link prediction: wedge equi-join on the shared endpoint + anti join vs the edge set, Jaccard row-local",
+    "scan_skipping" -> "stats-pruned scan: the date-band aggregate reads ONLY the manifest-admitted files (pruned FileScan row-group)",
+    "llm_knn_join" -> "k-NN join: adaptive-K cid equi-join against the cid-partitioned index + per-query top-k window")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -97,6 +102,10 @@ object PlanDump {
         // worth documenting is the top-k pipeline itself
         case "llm_simsearch_pq" =>
           llm.Similarity.simsearchPqTopK(spark, "/root/testdata/sf0.001")
+        // the keyed knn query is the audit-summary row; the graph
+        // pipeline is the plan worth documenting
+        case "llm_knn_join" =>
+          llm.Similarity.knnJoinEdges(spark, "/root/testdata/sf0.001")
         case _ => SparkEntry.queries(key)(spark, "/root/testdata/sf0.001")
       }
       sb.append(s"\n## $key\n\n_${why}_\n\n```\n")
