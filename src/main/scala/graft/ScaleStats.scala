@@ -114,7 +114,10 @@ object ScaleStats {
         else llm.Similarity.knnJoinCandidatesAt(spark, dir,
           llm.Similarity.KnnProbes, 16).count()
       val knnAdaptiveK = llm.Similarity.knnKFor(nVec)
-      val knnAdaptive = llm.Similarity.knnJoinCandidates(spark, dir).count()
+      // the cell-size spelling (≡ the join count, pinned in LlmSpec)
+      // keeps this measurable at rungs where the join itself is the
+      // ~10G-row workload being sized
+      val knnAdaptive = llm.Similarity.knnCandidateCount(spark, dir, knnAdaptiveK)
 
       println(
         s"""{"dir":"$dir","n_docs":$nDocs,""" +

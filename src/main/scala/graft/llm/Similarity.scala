@@ -1383,11 +1383,33 @@ object Similarity {
     * `llm_cosine_dedup` capped-ground-truth convention: the audit
     * stays O(slice·n) at any scale), and scored candidates ≤
     * [[KnnScoredFracBound]]·n² (the pruning actually pruned). */
+  /** Exact candidate count WITHOUT re-running the candidate join:
+    * every (query, probed cell) contributes |cell| rows minus the one
+    * self-match when the probed cell is the query's own — so the count
+    * is one O(n·P) aggregate against the broadcast K-row cell-size
+    * table. At sf10 this replaced a second pass over the ~1G-row
+    * candidate join (the audit was costing as much as the graph). */
+  private[graft] def knnCandidateCount(
+      spark: SparkSession, dir: String, k: Int): Long = {
+    val cents = trainedCentroids(spark, dir, k)
+    val indexed = indexedCells(spark, dir, k)
+    val sizes = indexed.groupBy(col("cid")).agg(count(lit(1)).as("cell_n"))
+    val qs = indexed.select(
+      col("vec_id").as("q_id"), col("cid").as("own_cid"),
+      explode(nearestCentroids(cents, math.min(KnnProbes, k))(col("embedding")))
+        .as("cid"))
+    val r = qs.join(broadcast(sizes), Seq("cid"))
+      .agg(sum(col("cell_n")),
+        count(when(col("cid") === col("own_cid"), lit(1))))
+      .head()
+    r.getLong(0) - r.getLong(1)
+  }
+
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
     val e = emb(spark, dir).withColumn("nrm", norm("embedding"))
     val n = e.count()
-    val nCand = knnJoinCandidates(spark, dir).count()
+    val nCand = knnCandidateCount(spark, dir, knnKFor(n))
     val knn = knnJoinEdges(spark, dir).localCheckpoint()
     val nEdges = knn.count()
     val slice = e.orderBy(col("vec_id")).limit(KnnSliceN)

@@ -741,6 +741,14 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("knn candidate count: the O(n*P) cell-size spelling equals the join count") {
+    val n = core.Tables.load(TestSpark.spark, TestSpark.Sf, "embeddings").count()
+    val k = llm.Similarity.knnKFor(n)
+    val cheap = llm.Similarity.knnCandidateCount(TestSpark.spark, TestSpark.Sf, k)
+    val join = llm.Similarity.knnJoinCandidates(TestSpark.spark, TestSpark.Sf).count()
+    assert(cheap == join, s"cell-size count $cheap != join count $join")
+  }
+
   test("llm_mmr: first pick is max relevance, scores non-increasing, picks distinct, deterministic") {
     val res = llm.Similarity.mmr(TestSpark.spark, TestSpark.Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
