@@ -1347,7 +1347,81 @@ object Etl {
        |FROM s
        |${O.OrderAll}"""
 
+  /** Manifest-driven VACUUM — the other half of `etl_compaction`'s
+    * maintenance story: failed/zombie writers leave ORPHAN data files
+    * beside a table (debris a committed manifest never references —
+    * Delta's VACUUM, Iceberg's remove-orphan-files). The table's file
+    * list is captured at commit time (the manifest — at 100 TB it IS
+    * the table, listing is metadata not a directory walk), two
+    * orphans are injected (byte-copies of real data files — the
+    * dangerous kind: a naive directory-glob read silently
+    * DOUBLE-COUNTS them, proven by the pinned `naive_read_inflated`
+    * flag), and vacuum deletes exactly the unreferenced DATA files
+    * (hidden/underscore metadata — _SUCCESS, .crc sidecars — is the
+    * layout's own, skipped by the same listing rule Delta's VACUUM
+    * applies). The audit row carries the post-vacuum
+    * count+sum (oracle recomputes from source: vacuum must delete
+    * debris, never data) and the deterministic orphan count. */
+  def vacuum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Fixtures
+    val path = Fixtures.path(dir, "etl_vacuum_data")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.repartition(4).write.mode("overwrite").parquet(path)
+    val schema = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+    // the committed manifest: the file list AT COMMIT TIME
+    val manifest = spark.read.schema(schema).parquet(path)
+      .select(input_file_name()).distinct()
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    require(manifest.nonEmpty && manifest.forall(_.startsWith("/")),
+      s"manifest must hold absolute local paths, got $manifest")
+    // inject orphans: two byte-copies of real data files — the debris
+    // a killed writer's un-committed task attempts leave behind
+    val dataFiles = manifest.toSeq.sorted.take(2)
+    val orphans = dataFiles.zipWithIndex.map { case (f, i) =>
+      val dst = java.nio.file.Paths.get(s"$path/orphan-$i.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toString
+    }
+    // a glob read over the directory now double-counts the copies
+    // (refresh first: Spark's FileStatusCache still holds the
+    // at-commit listing for this path — which is itself the manifest
+    // lesson in miniature)
+    spark.catalog.refreshByPath(path)
+    val naiveRows = spark.read.schema(schema).parquet(path).count()
+    // vacuum: delete every DATA file the manifest doesn't reference.
+    // Hidden/underscore-prefixed names are skipped — they are the
+    // layout's own metadata (_SUCCESS, .crc checksum sidecars), never
+    // vacuum's business: the same listing rule Delta's VACUUM applies.
+    def isData(f: java.io.File) =
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+    val deleted = new java.io.File(path).listFiles()
+      .filter(isData)
+      .filterNot(f => manifest.contains(f.getAbsolutePath))
+      .map { f => require(f.delete(), s"could not delete ${f.getPath}"); f }
+      .length
+    val filesAfter = new java.io.File(path).listFiles().count(isData)
+    spark.catalog.refreshByPath(path)
+    val clean = spark.read.schema(schema).parquet(path)
+    val cleanRows = clean.count()
+    ordered(clean.groupBy()
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total_price"))
+      .withColumn("orphans_deleted", lit(deleted.toLong))
+      .withColumn("naive_read_inflated",
+        lit(naiveRows > cleanRows && deleted == orphans.length))
+      .withColumn("files_after_eq_manifest", lit(filesAfter == manifest.size)))
+  }
+
+  private val vacuumSql =
+    s"""SELECT COUNT(*) AS n_rows, ${O.dsum("o_totalprice")} AS total_price,
+       |  CAST(2 AS BIGINT) AS orphans_deleted,
+       |  TRUE AS naive_read_inflated, TRUE AS files_after_eq_manifest
+       |FROM orders
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "etl_vacuum" -> Q(vacuum _, vacuumSql),
     "etl_wap" -> Q(wap _, wapSql),
     "etl_survivorship" -> Q(survivorship _, survivorshipSql),
     "etl_retention_purge" -> Q(retentionPurge _, retentionPurgeSql),

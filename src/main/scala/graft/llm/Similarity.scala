@@ -1295,10 +1295,12 @@ object Similarity {
   private val KnnRecallBound = 0.7
 
   /** Cell count for the k-NN-join index: the smallest power of two ≥
-    * √n, floored at the online-search [[IvfK]] and capped where the
-    * fixed [[IvfTrainSample]] stops supporting more centroids (~64
-    * training rows per centroid; beyond ~4M vectors the SAMPLE scales,
-    * not this cap). This is the `srpBitsFor` lesson applied to IVF: at
+    * √n, floored at the online-search [[IvfK]] and capped at 1024 —
+    * past ~1M vectors the binding constraint is single-driver k-means
+    * training ([[ivfTrainSampleFor]] scales the sample at 64 rows per
+    * centroid; production trains the coarse quantizer distributed or
+    * hierarchically beyond the cap). This is the `srpBitsFor` lesson
+    * applied to IVF: at
     * FIXED K the cid-join candidate volume is (P/K)·n² — a quadratic
     * wearing a linear disguise, the exact class of bug ScaleStats
     * caught twice (fixed-8-bit SRP banding, fixed-16-cell semdedup).

@@ -968,7 +968,59 @@ object Windows {
        |FROM walk GROUP BY user_id
        |${O.OrderAll}"""
 
+  /** Day-of-week seasonal adjustment — the first decomposition every
+    * operational metric gets before trend/anomaly reading (the
+    * weekday/weekend cycle dominates raw event values): per user,
+    * deseasonalized value = v − mean(v | user, dow) + mean(v | user) —
+    * the additive seasonal index in exact cents, the classic
+    * seasonal-naive decomposition. Both means are UNBOUNDED-frame
+    * window aggregates (exact BIGINT sums, one correctly-rounded
+    * double division each, mirrored); the (user, dow) and (user)
+    * windows are two exchanges by necessity (different keys) but no
+    * join, no sort (frames are orderless). Engine trap dodged:
+    * Spark's `dayofweek` is 1=Sunday..7, DuckDB's `dayofweek` is
+    * 0=Sunday..6 — the oracle spells `dayofweek(ts) + 1`. */
+  def winSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val wDow = Window.partitionBy(col("user_id"), col("dow"))
+    val wUser = Window.partitionBy(col("user_id"))
+    val base = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("ts_us"),
+        dayofweek(col("ts")).as("dow"),
+        floor(col("value") * 100 + 0.5).as("y"))
+    val adj = base
+      .withColumn("dow_mean",
+        sum(col("y")).over(wDow).cast("double") /
+          count(lit(1)).over(wDow).cast("double"))
+      .withColumn("user_mean",
+        sum(col("y")).over(wUser).cast("double") /
+          count(lit(1)).over(wUser).cast("double"))
+    ordered(adj.select(
+      col("user_id"), col("event_id"), col("ts_us"), col("dow"),
+      (col("y").cast("double") / 100.0).as("value"),
+      ((col("y").cast("double") - col("dow_mean") + col("user_mean")) / 100.0)
+        .as("deseasonalized")))
+  }
+
+  private val winSeasonalSql =
+    s"""WITH b AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    dayofweek(ts) + 1 AS dow,
+       |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS y
+       |  FROM events)
+       |SELECT user_id, event_id, ts_us, dow,
+       |  CAST(y AS DOUBLE) / 100.0 AS value,
+       |  (CAST(y AS DOUBLE)
+       |    - CAST(CAST(SUM(y) OVER wd AS VARCHAR) AS DOUBLE)
+       |      / CAST(COUNT(*) OVER wd AS DOUBLE)
+       |    + CAST(CAST(SUM(y) OVER wu AS VARCHAR) AS DOUBLE)
+       |      / CAST(COUNT(*) OVER wu AS DOUBLE)) / 100.0 AS deseasonalized
+       |FROM b
+       |WINDOW wd AS (PARTITION BY user_id, dow),
+       |  wu AS (PARTITION BY user_id)
+       |${O.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
+    "win_seasonal" -> Q(winSeasonal _, winSeasonalSql),
     "win_drawdown" -> Q(winDrawdown _, winDrawdownSql),
     "win_median" -> Q(winMedian _, winMedianSql),
     "win_ewma" -> Q(winEwma _, winEwmaSql),

@@ -886,6 +886,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == ref, "drawdown walk diverged from the sequential reference")
   }
 
+  test("win_seasonal: additive index preserves per-user mass; one event replayed by hand") {
+    val rows = ops.Windows.winSeasonal(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(4), r.getDouble(5)))
+    rows.foreach { case (_, _, dow, _, _) => assert(dow >= 1 && dow <= 7) }
+    // Σ(v − dow_mean + user_mean) over a user = Σv exactly in real
+    // arithmetic (each dow's mean contributes its own total back)
+    rows.groupBy(_._1).foreach { case (uid, es) =>
+      val v = es.map(_._4).sum
+      val d = es.map(_._5).sum
+      assert(math.abs(v - d) < 1e-6 * es.length, s"user $uid mass drifted: $v vs $d")
+    }
+    // hand replay of one event's adjustment from the raw collected data
+    val (uid, eid, dow, v, got) = rows.head
+    val all = rows.filter(_._1 == uid)
+    val dowMean = all.filter(_._3 == dow).map(_._4).sum / all.count(_._3 == dow)
+    val userMean = all.map(_._4).sum / all.length
+    assert(math.abs(got - (v - dowMean + userMean)) < 1e-6,
+      s"event ($uid,$eid): $got vs replay ${v - dowMean + userMean}")
+  }
+
+  test("etl_vacuum: orphans gone, data intact, idempotent") {
+    val r1 = etl.Etl.vacuum(spark, Sf).head()
+    assert(r1.getAs[Long]("orphans_deleted") == 2L)
+    assert(r1.getAs[Boolean]("naive_read_inflated"),
+      "the orphan copies must inflate a naive glob read")
+    assert(r1.getAs[Boolean]("files_after_eq_manifest"))
+    val src = core.Tables.load(spark, Sf, "orders").count()
+    assert(r1.getAs[Long]("n_rows") == src, "vacuum deleted live data")
+    val dir = new java.io.File(core.Fixtures.path(Sf, "etl_vacuum_data"))
+    assert(!dir.listFiles().exists(_.getName.startsWith("orphan-")))
+    // second run rebuilds, re-injects, re-vacuums — same state
+    val r2 = etl.Etl.vacuum(spark, Sf).head()
+    assert(r2.toString == r1.toString, "vacuum must be idempotent per run")
+  }
+
   test("etl_wap: the published table holds exactly the clean batch, zero violating rows") {
     val out = etl.Etl.wap(spark, Sf).collect()
       .map(r => r.getString(0) -> r).toMap
