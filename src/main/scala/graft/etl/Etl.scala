@@ -1312,11 +1312,26 @@ object Etl {
     }
     val (na, va) = audit(stageA)
     val (nb, vb) = audit(stageB)
+    // clean batches APPEND to a freshly-cleared published location
+    // (r8 advice: a shared overwrite target meant two clean batches
+    // would silently replace each other, and zero clean batches left
+    // a read of a never-created path) — WAP publishes are per-batch
+    // commits into one table, and the published count is the union of
+    // what landed; the clear makes reruns idempotent
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val pubPath = new org.apache.hadoop.fs.Path(pub)
+    fs.delete(pubPath, true)
     if (va == 0L)
-      spark.read.schema(schema).parquet(stageA).write.mode("overwrite").parquet(pub)
+      spark.read.schema(schema).parquet(stageA)
+        .write.mode("append").parquet(pub)
     if (vb == 0L)
-      spark.read.schema(schema).parquet(stageB).write.mode("overwrite").parquet(pub)
-    val pubRows = spark.read.schema(schema).parquet(pub).count()
+      spark.read.schema(schema).parquet(stageB)
+        .write.mode("append").parquet(pub)
+    val pubRows =
+      if (fs.exists(pubPath))
+        spark.read.schema(schema).parquet(pub).count()
+      else 0L
     import spark.implicits._
     ordered(Seq(
       ("A", na, va, va == 0L, pubRows),

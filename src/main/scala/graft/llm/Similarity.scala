@@ -1336,9 +1336,13 @@ object Similarity {
     * duplicate across probes). Candidate volume ≈ n·(P/K)·n/K per cell
     * — linear in n per vector, never the n² of the brute graph. */
   private[graft] def knnJoinCandidates(
-      spark: SparkSession, dir: String, nProbe: Int = KnnProbes): DataFrame =
+      spark: SparkSession, dir: String, nProbe: Int = KnnProbes,
+      kOpt: Option[Int] = None): DataFrame =
+    // kOpt threads a caller's already-derived cell count through
+    // (r8 advice: knnJoin counted the embeddings table once for n and
+    // then this default path re-counted it to derive the same K)
     knnJoinCandidatesAt(spark, dir, nProbe,
-      knnKFor(emb(spark, dir).count()))
+      kOpt.getOrElse(knnKFor(emb(spark, dir).count())))
 
   /** Candidates at an EXPLICIT cell count — [[ScaleStats]] uses this to
     * measure the fixed-K quadratic control next to the adaptive path. */
@@ -1357,8 +1361,9 @@ object Similarity {
   /** The approximate k-NN graph itself (q_id, vec_id, score, rn ≤ k):
     * exact cosine over the IVF candidates, per-query top-k window. */
   private[graft] def knnJoinEdges(
-      spark: SparkSession, dir: String, nProbe: Int = KnnProbes): DataFrame = {
-    val scored = knnJoinCandidates(spark, dir, nProbe)
+      spark: SparkSession, dir: String, nProbe: Int = KnnProbes,
+      kOpt: Option[Int] = None): DataFrame = {
+    val scored = knnJoinCandidates(spark, dir, nProbe, kOpt)
       .withColumn("score",
         round6(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm"))))
     val w = Window.partitionBy(col("q_id"))
@@ -1411,8 +1416,9 @@ object Similarity {
     DotProduct.register(spark)
     val e = emb(spark, dir).withColumn("nrm", norm("embedding"))
     val n = e.count()
-    val nCand = knnCandidateCount(spark, dir, knnKFor(n))
-    val knn = knnJoinEdges(spark, dir).localCheckpoint()
+    val k = knnKFor(n)
+    val nCand = knnCandidateCount(spark, dir, k)
+    val knn = knnJoinEdges(spark, dir, KnnProbes, Some(k)).localCheckpoint()
     val nEdges = knn.count()
     val slice = e.orderBy(col("vec_id")).limit(KnnSliceN)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -1431,7 +1437,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivfSlice).size.toDouble / exact.size
-    val fracBound = knnScoredFracBound(knnKFor(n))
+    val fracBound = knnScoredFracBound(k)
     spark.range(1).select(
       lit(n).as("n_vectors"), lit(KnnK.toLong).as("k"),
       lit(exact.size.toLong).as("n_exact_slice_pairs"),
