@@ -348,6 +348,84 @@ object Similarity {
     cents
   }
 
+  /** Driver-trainer ceiling: above this cell count the sequential
+    * Lloyd pass and its 64·K-row sample collect stop being reasonable
+    * driver work — [[ivfCentroidsDistributed]] takes over. */
+  private[graft] val IvfDriverTrainK = 1024
+
+  /** Fixed-point scale for exact-integer centroid sums: unit-vector
+    * components (|x| ≤ 1) quantize to ±2²⁴ longs, so even a cell
+    * holding the whole 64·4096-row training sample stays ≤ 2⁴² —
+    * no overflow headroom question at any reachable K. */
+  private val IvfFixedPoint = (1L << 24).toDouble
+
+  private def normalizeArr(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Distributed spherical k-means for cell counts past
+    * [[IvfDriverTrainK]] — the production coarse-quantizer training
+    * shape (faiss at scale trains IVF the same way: capped sample,
+    * assignment distributed, recenter from per-cell sums). What moves
+    * off the driver and what stays:
+    *
+    *  - the TRAINING SAMPLE never leaves the cluster: a deterministic
+    *    hash gate keeps ~[[ivfTrainSampleFor]] rows (64/centroid),
+    *    localCheckpoint'ed once, so per-iteration work is
+    *    O(sample·K·dim) — independent of n after the one sampling
+    *    scan no trainer can avoid;
+    *  - only K rows per iteration reach the driver (the per-cell
+    *    sums: K×64 longs ≈ 2 MB at K=4096) vs the driver path's
+    *    64·K-row sample collect (128 MB at K=4096) plus its
+    *    SEQUENTIAL ~2e11-flop Lloyd pass — the r14 ceiling;
+    *  - recenter sums are EXACT-INTEGER: unit-vector components are
+    *    fixed-point-quantized (×2²⁴, half-up) to longs before the
+    *    per-cell sum, so the distributed aggregation is
+    *    order-independent and the trainer bit-deterministic — the
+    *    same exact-sum idiom the rest of the repo uses (a distributed
+    *    double sum depends on partition merge order);
+    *  - init = the K lowest-vec_id sample vectors (the driver path's
+    *    rule); an empty cell keeps its previous centroid. The ±2⁻²⁵
+    *    quantization nudge only perturbs centroids WITHIN Lloyd's own
+    *    approximation — every downstream consumer treats the trained
+    *    centroids as the definition, and index/query assignments use
+    *    the same [[nearestCentroid]] on both paths. */
+  private[graft] def ivfCentroidsDistributed(
+      e0: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val n = e0.count()
+    val gate = math.max(1L, n / ivfTrainSampleFor(k).toLong)
+    val unit = e0
+      .filter(pmod(xxhash64(lit("graft_ivf_train"), col("vec_id")), lit(gate)) === 0)
+      .withColumn("nrm", norm("embedding"))
+      .withColumn("q", transform(col("embedding"),
+        x => round(x.cast("double") / col("nrm") * IvfFixedPoint).cast("long")))
+      .select(col("vec_id"), col("embedding"), col("q"))
+      .localCheckpoint()
+    val dim = unit.select(size(col("q"))).head.getInt(0)
+    var cents = unit.orderBy(col("vec_id")).limit(k)
+      .select(col("q")).collect()
+      .map(r => normalizeArr(
+        r.getSeq[Long](0).map(_.toDouble / IvfFixedPoint).toArray))
+    for (_ <- 1 to iters) {
+      val sums = unit
+        .withColumn("cid", nearestCentroid(cents)(col("embedding")))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("cnt"),
+          (1 to dim).map(i => sum(element_at(col("q"), i)).as(s"s$i")): _*)
+        .collect()
+      val next = cents.clone()
+      sums.foreach { r =>
+        val cid = r.getInt(0)
+        val cnt = r.getLong(1).toDouble
+        next(cid) = normalizeArr(
+          Array.tabulate(dim)(i => r.getLong(2 + i) / IvfFixedPoint / cnt))
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Trained quantizers, one per scale dir — a JVM memo over the
     * PERSISTED index (below): first touch per session loads (or
     * builds) the parquet index; later calls skip the read. Training is
@@ -392,7 +470,11 @@ object Similarity {
       graft.core.Fixtures.exists(dir, ivfCellsName(k))) return
     DotProduct.register(spark) // nrm below uses the registered function
     ivfTrainCount.incrementAndGet()
-    val cents = ivfCentroids(emb(spark, dir), k, IvfIters)
+    // past the driver ceiling, training itself goes distributed —
+    // the r8-verdict task that lifted knnKFor's cap to [[KnnKCeiling]]
+    val cents =
+      if (k > IvfDriverTrainK) ivfCentroidsDistributed(emb(spark, dir), k, IvfIters)
+      else ivfCentroids(emb(spark, dir), k, IvfIters)
     import spark.implicits._
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
       .toDF("cid", "centroid")
@@ -1294,22 +1376,30 @@ object Similarity {
   private val KnnSliceN = 100
   private val KnnRecallBound = 0.7
 
+  /** Ceiling of the adaptive cell count: 4096 cells keeps K = √n
+    * honest to ~16M vectors. Raised from 1024 (r8 verdict task #1) by
+    * switching training past [[IvfDriverTrainK]] to
+    * [[ivfCentroidsDistributed]] — the old cap existed only because
+    * the driver trainer's sample collect and sequential Lloyd pass
+    * stopped scaling, not because the index wanted fewer cells. Past
+    * 4096 the next binding constraint is the probe UDF's K dots per
+    * vector (K·dim flops); production lifts THAT with a hierarchical
+    * two-level quantizer (√K coarse cells route to √K sub-cells),
+    * which this trainer's shape extends to directly. */
+  private[graft] val KnnKCeiling = 4096
+
   /** Cell count for the k-NN-join index: the smallest power of two ≥
-    * √n, floored at the online-search [[IvfK]] and capped at 1024 —
-    * past ~1M vectors the binding constraint is single-driver k-means
-    * training ([[ivfTrainSampleFor]] scales the sample at 64 rows per
-    * centroid; production trains the coarse quantizer distributed or
-    * hierarchically beyond the cap). This is the `srpBitsFor` lesson
-    * applied to IVF: at
-    * FIXED K the cid-join candidate volume is (P/K)·n² — a quadratic
-    * wearing a linear disguise, the exact class of bug ScaleStats
-    * caught twice (fixed-8-bit SRP banding, fixed-16-cell semdedup).
-    * With K ≈ √n and P fixed, candidates = P·n/K per probe side ≈
-    * P·n^{3/2} total — and per-query work P·√n, faiss's standard
-    * nlist ≈ √n sizing. */
+    * √n, floored at the online-search [[IvfK]] and capped at
+    * [[KnnKCeiling]]. This is the `srpBitsFor` lesson applied to IVF:
+    * at FIXED K the cid-join candidate volume is (P/K)·n² — a
+    * quadratic wearing a linear disguise, the exact class of bug
+    * ScaleStats caught twice (fixed-8-bit SRP banding, fixed-16-cell
+    * semdedup). With K ≈ √n and P fixed, candidates = P·n/K per probe
+    * side ≈ P·n^{3/2} total — and per-query work P·√n, faiss's
+    * standard nlist ≈ √n sizing. */
   private[graft] def knnKFor(n: Long): Int = {
     var k = IvfK
-    while (k.toLong * k < n && k < 1024) k *= 2
+    while (k.toLong * k < n && k < KnnKCeiling) k *= 2
     k
   }
 
@@ -1318,8 +1408,10 @@ object Similarity {
     * the sample grows WITH K — capping K by a fixed sample is how the
     * adaptive cell count silently stops adapting (caught by
     * ScaleStats at sf1: K stuck at 64, candidate fraction stopped
-    * falling). The driver collect stays KBs–MBs: 64·K rows of 64
-    * floats ≤ 16 MB at the K=1024 ceiling. */
+    * falling). Up to [[IvfDriverTrainK]] the sample is a driver
+    * collect (≤ 16 MB); past it the sample stays distributed
+    * ([[ivfCentroidsDistributed]]) and only per-cell sums reach the
+    * driver. */
   private[graft] def ivfTrainSampleFor(k: Int): Int =
     math.max(IvfTrainSample, 64 * k)
 

@@ -741,6 +741,54 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("knnKFor: tracks sqrt(n) as powers of two; ceiling lifted to 4096") {
+    assert(llm.Similarity.knnKFor(500L) == 32)
+    assert(llm.Similarity.knnKFor(200000L) == 512)
+    assert(llm.Similarity.knnKFor(2000000L) == 2048,
+      "2M vectors must clear the old 1024 driver-training cap")
+    assert(llm.Similarity.knnKFor(8000000L) == 4096)
+    assert(llm.Similarity.knnKFor(1L << 40) == llm.Similarity.KnnKCeiling)
+  }
+
+  test("distributed IVF trainer: bit-deterministic, unit centroids, Lloyd improves on init") {
+    import TestSpark.{spark => s, Sf}
+    val e = core.Tables.load(s, Sf, "embeddings")
+    val k = 64
+    val a = llm.Similarity.ivfCentroidsDistributed(e, k, 3)
+    val b = llm.Similarity.ivfCentroidsDistributed(e, k, 3)
+    assert(a.length == k)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "two identical training runs must produce bit-identical centroids")
+    a.foreach { c =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"centroid norm $nrm != 1")
+    }
+    // Lloyd must not worsen the assignment objective vs its own init
+    // (exact in real arithmetic; 1e-6 absorbs the 2^-24 fixed-point nudge)
+    val init = llm.Similarity.ivfCentroidsDistributed(e, k, 0)
+    val corpus = e.orderBy(col("vec_id")).collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def objective(cents: Array[Array[Double]]): Double =
+      corpus.map(v => cents.map(c => c.zip(v).map { case (x, y) => x * y }.sum).max).sum / corpus.length
+    assert(objective(a) >= objective(init) - 1e-6,
+      "3 Lloyd rounds must not worsen the spherical k-means objective")
+  }
+
+  test("distributed-path IVF index (k past the driver ceiling): builds once, serves candidates") {
+    import TestSpark.{spark => s, Sf}
+    val k = llm.Similarity.IvfDriverTrainK * 2 // forces the distributed trainer
+    llm.Similarity.ensureIvfIndex(s, Sf, k)
+    val before = llm.Similarity.ivfTrainCount.get()
+    llm.Similarity.clearIvfMemo()
+    val cand = llm.Similarity.knnJoinCandidatesAt(s, Sf, llm.Similarity.KnnProbes, k)
+    assert(cand.count() > 0, "distributed-trained index must serve candidates")
+    assert(llm.Similarity.ivfTrainCount.get() == before,
+      "a persisted distributed-trained index must never retrain")
+  }
+
   test("knn candidate count: the O(n*P) cell-size spelling equals the join count") {
     val n = core.Tables.load(TestSpark.spark, TestSpark.Sf, "embeddings").count()
     val k = llm.Similarity.knnKFor(n)
