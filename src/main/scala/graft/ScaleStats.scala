@@ -119,6 +119,19 @@ object ScaleStats {
       // ~10G-row workload being sized
       val knnAdaptive = llm.Similarity.knnCandidateCount(spark, dir, knnAdaptiveK)
 
+      // link-prediction wedge join (r9 cap): pair volume Σdeg²/2 — the
+      // quantity the block cap spreads, NOT shrinks (the decomposition
+      // is exact) — plus the degree profile that says where the cap
+      // binds (nodes past WedgeBlockCap get multi-block adjacency)
+      val (_, wedgeEdges) = ops.Graph.coOrderEdges(spark, dir)
+      val wedgeCand = ops.Graph.wedgePairs(wedgeEdges).count()
+      val degProfile = wedgeEdges.groupBy(col("src")).count()
+        .agg(max(col("count")),
+          count(when(col("count") > ops.Graph.WedgeBlockCap, lit(1))),
+          count(lit(1))).head()
+      val (wedgeMaxDeg, wedgeHotNodes, wedgeNodes) =
+        (degProfile.getLong(0), degProfile.getLong(1), degProfile.getLong(2))
+
       println(
         s"""{"dir":"$dir","n_docs":$nDocs,""" +
           s""""neardup_band_candidates":$nearCand,""" +
@@ -133,7 +146,11 @@ object ScaleStats {
           s""""semdedup_cell_pairs_adaptive":$semAdaptive,""" +
           s""""knn_candidates_fixed16":$knnFixed16,""" +
           s""""knn_k_adaptive":$knnAdaptiveK,""" +
-          s""""knn_candidates_adaptive":$knnAdaptive}""")
+          s""""knn_candidates_adaptive":$knnAdaptive,""" +
+          s""""jaccard_wedge_pairs":$wedgeCand,""" +
+          s""""jaccard_nodes":$wedgeNodes,""" +
+          s""""jaccard_max_degree":$wedgeMaxDeg,""" +
+          s""""jaccard_hot_nodes_past_cap":$wedgeHotNodes}""")
     }
     spark.stop()
   }

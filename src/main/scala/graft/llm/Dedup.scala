@@ -375,26 +375,13 @@ object Dedup {
     *
     * Output is provably identical to the naive self-join: a pair
     * (a ≤ blocks gx) × (b ≤ gy), gx ≤ gy, joins on exactly one key —
-    * (gx, gy) — and same-block mirrors die on doc_a < doc_b. */
-  private[graft] def bandPairsKeyed(bands: DataFrame): DataFrame = {
-    val cap = BandBucketCap
-    val bucket = Window.partitionBy(col("band_idx"), col("band_hash"))
-    val ranked = bands
-      .withColumn("_g",
-        ((row_number().over(bucket.orderBy(col("doc_id"))) - 1) / cap)
-          .cast("long"))
-      .withColumn("_numG",
-        ((count(lit(1)).over(bucket) + cap - 1) / cap).cast("long"))
-    val x = ranked.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("_g").as("_gx"),
-      explode(sequence(col("_g"), col("_numG") - 1)).as("_gy"))
-    val y = ranked.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"),
-      explode(sequence(lit(0L), col("_g"))).as("_gx"),
-      col("_g").as("_gy"))
-    x.join(y, Seq("band_idx", "band_hash", "_gx", "_gy"))
-      .filter(col("doc_a") < col("doc_b"))
-  }
+    * (gx, gy) — and same-block mirrors die on doc_a < doc_b. The
+    * decomposition itself is [[graft.core.Blocked.selfPairs]] (r9:
+    * factored out so the link-prediction wedge join shares the exact
+    * same machinery — one bounded-self-join definition in the repo). */
+  private[graft] def bandPairsKeyed(bands: DataFrame): DataFrame =
+    graft.core.Blocked.selfPairs(bands, Seq("band_idx", "band_hash"),
+      "doc_id", BandBucketCap, "doc_a", "doc_b")
 
   /** Candidate pairs from band buckets — the bounded-skew spelling of
     * `bands ⋈ bands ON same bucket AND doc_a < doc_b`. */

@@ -960,6 +960,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("capped wedge join equals the naive self-join (cap law), incl. buckets past the cap") {
+    import TestSpark.{spark => s}
+    val (_, edges) = ops.Graph.coOrderEdges(s, Sf)
+    val naive = edges.as("x").join(edges.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("common")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = ops.Graph.wedgePairs(edges)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == naive,
+      "block-capped wedge decomposition must be exactly the naive self-join")
+    // the corpus max degree (25 at sf0.001) sits under the cap, so the
+    // multi-block arm needs a synthetic hub: one node of degree 200
+    // (4 blocks) plus a small bucket — equality must survive blocks
+    import s.implicits._
+    val hub = (0L until 200L).map(d => (1L, d)) ++ Seq((2L, 10L), (2L, 11L))
+    val hubEdges = hub.toDF("src", "dst")
+    val hubNaive = hubEdges.as("x").join(hubEdges.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst"), col("y.dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val hubCapped = ops.Graph.wedgePairs(hubEdges)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(hubCapped == hubNaive,
+      "cap law must hold where the hub spans multiple blocks")
+    assert(hubNaive.length == 200 * 199 / 2 + 1, "synthetic hub sanity")
+  }
+
   test("graph_label_prop: sizes partition the nodes; communities refine graph_cc components; deterministic") {
     val lp = ops.Graph.labelProp(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

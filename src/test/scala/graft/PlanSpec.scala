@@ -386,6 +386,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("graph_jaccard: wedge join is the CAPPED blocked shape (block ids in the join key)") {
+    // same pin as the band join above, same shared machinery
+    // (core.Blocked.selfPairs): block ids in the join key mean a hub
+    // node's deg² wedges spread over (deg/cap)² independent groups —
+    // the r8 verdict's named at-scale gap. The keyed query's plan
+    // starts at the post-localCheckpoint edges scan, so pin the wedge
+    // STAGE itself (the single definition the keyed query composes).
+    val (_, edges) = ops.Graph.coOrderEdges(spark, Sf)
+    val p = ops.Graph.wedgePairs(edges).queryExecution.executedPlan.toString
+    assert(p.matches(
+      "(?s).*Join \\[src#\\d+L?, _gx#\\d+L?, _gy#\\d+L?\\],.*"),
+      s"block ids _gx/_gy missing from the wedge join key:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("graph_triangles: wedge closure is equi-joined; nested loops only for the 1-row scalars") {
     val p = plan("graph_triangles")
     // wedges: e1.b = e2.a (1-key join); closure: e3 probed on BOTH
