@@ -22,11 +22,19 @@ def main():
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out_dir = args[1] if len(args) > 1 else "/root/repo/target/verify_out"
     only = set(args[2:])
+    # --sbt-timeout=N (seconds, default 3000): the sf100 rung's Verify
+    # phase legitimately exceeds the default (29-key subset ≈ 1-2 h);
+    # one flag makes the whole gate one command instead of "run Verify
+    # by hand, then --skip-verify" (r8 verdict #4)
+    sbt_timeout = 3000
+    for a in sys.argv[1:]:
+        if a.startswith("--sbt-timeout="):
+            sbt_timeout = int(a.split("=")[1])
     if "--skip-verify" not in sys.argv:
         keys = " " + " ".join(sorted(only)) if only else ""
         r = subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}{keys}'],
-            cwd="/root/repo", capture_output=True, text=True, timeout=3000)
+            cwd="/root/repo", capture_output=True, text=True, timeout=sbt_timeout)
         sys.stdout.write("\n".join(r.stdout.splitlines()[-3:]) + "\n")
         if r.returncode != 0:
             print(r.stdout[-4000:]); print(r.stderr[-4000:])

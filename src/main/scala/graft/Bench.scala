@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line per run (driver contract).
   *
@@ -122,12 +121,7 @@ object Bench {
     // otherwise contend with executor threads)
     val canaryParSec = canaryPar(cpus.toInt)
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = core.Sessions.build(cpus)
 
     def loadAvg: Double = loadAvgNow()
     // nominal clock stamp — a thermally-throttled or power-capped box
@@ -220,7 +214,7 @@ object Bench {
         if (tot > 0) 100.0 * d(7) / tot else -1.0
       } else -1.0
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended,"stream_sink":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory")}"}"""
     println(line)
     // Self-contained artifact: the driver captures a stdout TAIL, and
     // BENCH_r01–r03 all truncated mid-map, losing per-query timings and

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SparkSession
+
 
 /** Dumps `explain`-style physical plans of the headline queries to
   * PLANS.md — the reviewable evidence for the plan-shape claims made in
@@ -79,12 +79,8 @@ object PlanDump {
     "llm_knn_join" -> "k-NN join: adaptive-K cid equi-join against the cid-partitioned index + per-query top-k window")
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = core.Sessions.build("4",
+      Map("spark.sql.session.timeZone" -> "UTC"))
     spark.sparkContext.setLogLevel("ERROR")
 
     val sb = new StringBuilder

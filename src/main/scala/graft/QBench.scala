@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc single-query timer for iterating on one operator without
   * paying the full all-keys bench: `runMain graft.QBench q1 q2 ...`
@@ -9,18 +8,13 @@ object QBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // big-rung instrument: streaming keys land in a MEMORY sink (the
-      // test harness's sink, not the operator's — production writes
-      // files), whose per-batch task results ship to the driver; at
-      // sf100 they exceed the 1g default. Harness knob, not a tune.
-      .config("spark.driver.maxResultSize",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT", "8g"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // big-rung instrument: streaming keys land in a MEMORY sink (the
+    // test harness's sink, not the operator's — production writes
+    // files), whose per-batch task results ship to the driver; at
+    // sf100 they exceed the 1g default. Harness knob, not a tune.
+    val spark = core.Sessions.build(cpus,
+      Map("spark.driver.maxResultSize" ->
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT", "8g")))
     for (p <- 1 to passes; name <- args) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()

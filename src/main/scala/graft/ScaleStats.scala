@@ -20,12 +20,7 @@ object ScaleStats {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleStats <sfDir> [<sfDir> ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = core.Sessions.build(cpus)
 
     for (dir <- args) {
       val d = core.Tables.load(spark, dir, "documents")

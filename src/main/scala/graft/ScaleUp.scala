@@ -99,27 +99,49 @@ object ScaleUp {
   // ScaleUpSpec re-verifies on the actual corpus)
   private val Letters2 = "bfjkpqvwx"
 
+  /** Level-marker file: records the composition level that PRODUCED a
+    * directory, so the next amplification can derive (and validate)
+    * its own level instead of trusting the caller. The r8 foot-gun
+    * this closes: a level-1 re-composition of level-1 data maps every
+    * shard's token to the SAME image, collapsing shards into exact
+    * duplicates — observed once as a silent 107× near-dup candidate
+    * jump before ScaleStats caught it. Driver-generated testdata has
+    * no marker = level 0. */
+  private val LevelMarker = "_scaleup_level"
+
+  private[graft] def recordedLevel(dir: String): Int = {
+    val f = new java.io.File(dir, LevelMarker)
+    if (f.exists()) new String(
+      java.nio.file.Files.readAllBytes(f.toPath)).trim.toInt
+    else 0
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    val level = if (args.length > 3) args(3).toInt else 1
+    // level derives from the source's marker by default; an explicit
+    // 4th arg is validated against it (fail fast, never compose wrong)
+    val level =
+      if (args.length > 3) args(3).toInt else recordedLevel(src) + 1
     require(factor >= 1 && factor <= 10,
       s"factor must be in [1,10] (have ${Letters.length + 1} disjoint shard alphabets), got $factor")
     require(level >= 1 && level <= 3, s"level must be 1..3, got $level")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = core.Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     run(spark, src, dst, factor, level)
     spark.stop()
   }
 
   def run(spark: SparkSession, src: String, dst: String, factor: Int,
       level: Int = 1): Unit = {
+    // the marker law: composing at any level other than source+1
+    // silently corrupts similarity structure (see [[LevelMarker]]) —
+    // fail before reading a single row
+    val srcLevel = recordedLevel(src)
+    require(level == srcLevel + 1,
+      s"ScaleUp level mismatch: $src records level $srcLevel, so the " +
+        s"next composition must be level ${srcLevel + 1}, got $level " +
+        "(a wrong-level re-composition collapses shards into exact duplicates)")
     // via Tables.load: explicit fail-fast schemas + the ns→µs events
     // timestamp normalization (the output stores plain µs)
     def read(t: String) = core.Tables.load(spark, src, t)
@@ -266,5 +288,11 @@ object ScaleUp {
           pmod(xxhash64(lit(signSeed), col("r") * 64 + i), lit(2)) === 0, x)
           .otherwise(-x)).cast("array<float>").as("embedding"),
       col("label")))
+
+    // stamp the produced level last — a crashed run leaves no marker,
+    // so a re-run re-derives from the SOURCE, never from a partial dst
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dst, LevelMarker),
+      level.toString.getBytes)
   }
 }

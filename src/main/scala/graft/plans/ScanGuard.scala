@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, DenseRank, Expression, Literal, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Catalyst extension surface (SURVEY §7.4 decision record): every
@@ -84,10 +85,55 @@ object GlobalWindowGuardRule extends Rule[LogicalPlan] {
   val ConfKey = "graft.scanGuard.maxGlobalWindowBytes"
   val DefaultMaxBytes: Long = 1L << 30 // 1 GiB
 
+  /** Attributes of `w`'s rank-family window expressions (row_number /
+    * rank / dense_rank) — the functions Spark's InferWindowGroupLimit
+    * can push a limit through. */
+  private def rankAttrs(w: Window): Seq[Attribute] = w.windowExpressions.collect {
+    case a @ Alias(WindowExpression(_: RowNumber | _: Rank | _: DenseRank, _), _) =>
+      a.toAttribute
+  }
+
+  /** True when `cond` bounds one of `ranks` by a literal (`rk <= k`,
+    * `rk < k`, `k >= rk`…) anywhere in its conjunction — the exact
+    * trigger of Spark's WindowGroupLimit rewrite. */
+  private def boundsRank(cond: Expression, ranks: Seq[Attribute]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    def isRank(e: Expression) = e match {
+      case a: Attribute => ranks.exists(_.exprId == a.exprId)
+      case _ => false
+    }
+    cond match {
+      case And(l, r) => boundsRank(l, ranks) || boundsRank(r, ranks)
+      case LessThan(a, _: Literal) => isRank(a)
+      case LessThanOrEqual(a, _: Literal) => isRank(a)
+      case EqualTo(a, _: Literal) => isRank(a)
+      case GreaterThan(_: Literal, a) => isRank(a)
+      case GreaterThanOrEqual(_: Literal, a) => isRank(a)
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val maxBytes = conf.getConfString(ConfKey, DefaultMaxBytes.toString).toLong
+    // RANK-LIMITED global windows are exempt (r9, found wiring the
+    // guard into the shipped sessions): `Filter(rank <= k, Window)` is
+    // exactly the shape Spark's InferWindowGroupLimit executes as a
+    // per-partition top-k BEFORE the single-partition merge — the one
+    // task sees #partitions·k rows, not the input (llm_span_dedup's
+    // global top-40 is this shape at every SF). Recognized both
+    // before the rewrite (Filter over Window, Project-tolerated) and
+    // after (a WindowGroupLimit node under the Window).
+    val exempt = plan.collect {
+      case Filter(cond, w: Window)
+          if w.partitionSpec.isEmpty && boundsRank(cond, rankAttrs(w)) => w
+      case Filter(cond, Project(_, w: Window))
+          if w.partitionSpec.isEmpty && boundsRank(cond, rankAttrs(w)) => w
+      case w @ Window(_, _, _, _: WindowGroupLimit, _)
+          if w.partitionSpec.isEmpty => w
+    }.toSet
     plan.foreach {
-      case w @ Window(_, partitionSpec, _, child, _) if partitionSpec.isEmpty =>
+      case w @ Window(_, partitionSpec, _, child, _)
+          if partitionSpec.isEmpty && !exempt.contains(w) =>
         val sz = child.stats.sizeInBytes
         if (sz > maxBytes) {
           throw new IllegalStateException(

@@ -110,6 +110,16 @@ object Streaming {
     // slices present"
     graft.core.Fixtures.buildAtomic(dir, fixture) { tmpPath =>
       import org.apache.spark.sql.expressions.Window
+      // the global ntile below is a DELIBERATE single-partition sort —
+      // a one-time fixture build (never a query path). With ScanGuard
+      // wired into the shipped sessions (r9) the window lint would
+      // veto it at sf≥10 sizes, so raise its budget for exactly this
+      // build (plans here are constructed AND executed inside this
+      // block, so the scoped raise covers them)
+      val guardKey = graft.plans.GlobalWindowGuardRule.ConfKey
+      val prevGuard = spark.conf.getOption(guardKey)
+      spark.conf.set(guardKey, Long.MaxValue.toString)
+      try {
       val sliced = Tables.load(spark, dir, "events")
         // deterministic slice assignment; single-partition sort is fine
         // for a one-time test-scale fixture build (never a query path)
@@ -126,6 +136,12 @@ object Streaming {
           f.getName.startsWith("part-") && !known.contains(f.getName))
         fresh.foreach(_.setLastModified(1600000000000L + i * 60000L))
         known ++= fresh.map(_.getName)
+      }
+      } finally {
+        prevGuard match {
+          case Some(v) => spark.conf.set(guardKey, v)
+          case None => spark.conf.unset(guardKey)
+        }
       }
     }
     spark.readStream.schema(Tables.events)
@@ -170,7 +186,62 @@ object Streaming {
 
   /** Run a bounded streaming DataFrame to completion into a uniquely
     * named memory sink; return the sink table. */
+  /** Bench sink selector (r8 verdict #3): the memory sink ships every
+    * result row to the driver — at sf100 `stream_ewma`'s 543 s was
+    * ~entirely a 100M-row driver collect, polluting the heavy-tail
+    * evidence with harness cost. `SPARK_GRAFT_STREAM_SINK=parquet`
+    * (env, for Bench/QBench at sf ≥ 10; `graft.stream.sink` sysprop
+    * for the in-JVM equivalence spec) reroutes the bounded run through
+    * foreachBatch → parquet under target/ — fully distributed, zero
+    * driver collect — and returns the files read back. Result-set
+    * equality with the memory sink is law-tested per output mode:
+    * complete re-emits whole state (overwrite keeps the last emission,
+    * like the memory sink's truncate); append/update emit deltas
+    * (parquet append ≡ the memory sink's row appends). Correctness
+    * gates never set the knob, so oracle runs stay memory-sink. */
+  private def streamSinkMode: String =
+    sys.props.getOrElse("graft.stream.sink",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory"))
+
+  private val liveSinkDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def runToParquet(spark: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
+    // sequential-consumption contract (same as liveSinks): by the time
+    // the next streaming query runs, earlier results are consumed —
+    // keep only the most recent dir so sf100 runs don't accumulate
+    // result sets on disk across 19 streaming keys × passes
+    while (liveSinkDirs.size() > 1) {
+      val stale = new java.io.File(liveSinkDirs.poll())
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(stale)
+    }
+    val path = s"target/stream_sink/graft_ps_${ctr.incrementAndGet()}_${System.nanoTime()}"
+    liveSinkDirs.add(path)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val writeMode = if (mode == "complete") "overwrite" else "append"
+    val q =
+      try sdf.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(writeMode).parquet(path)
+        }
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    lastBatchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    lastStateRowsPeak = q.recentProgress
+      .map(p => Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
+      .foldLeft(-1L)(math.max)
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sdf.schema)
+  }
+
   private def runToTable(spark: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
+    if (streamSinkMode == "parquet") return runToParquet(spark, sdf, mode)
     // queries run sequentially: earlier sinks' result sets are consumed
     // by now — drop them so complete-mode outputs don't accumulate in
     // driver memory across a long bench session.

@@ -74,6 +74,66 @@ class ExtensionSpec extends AnyFunSuite {
       row_number().over(Window.orderBy(col("l_orderkey")))))
   }
 
+  test("window guard exempts rank-limited global windows (the WindowGroupLimit shape)") {
+    import org.apache.spark.sql.expressions.Window
+    val li = core.Tables.load(spark, Sf, "lineitem")
+    // budget 1 byte: EVERY global window trips unless exempt
+    spark.conf.set(GlobalWindowGuardRule.ConfKey, "1")
+    try {
+      // `Filter(rank <= k, Window)` executes via InferWindowGroupLimit
+      // as a per-partition top-k before the single-partition merge —
+      // the shape llm_span_dedup's global top-40 plans at every SF —
+      // and must pass even at an absurd budget
+      guard(li
+        .withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))
+        .filter(col("rk") <= 40))
+      // a projection between the filter and the window (column pruning
+      // does this) must not defeat the exemption
+      guard(li
+        .withColumn("rk", rank().over(Window.orderBy(col("l_extendedprice").desc)))
+        .filter(col("rk") < 10)
+        .select(col("l_orderkey"), col("rk")))
+      // but an UNBOUNDED rank (no limit filter) still trips...
+      intercept[IllegalStateException](guard(
+        li.withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))))
+      // ...and so does a non-rank window function even WITH a filter
+      // on some other column (sum over a global frame has no
+      // WindowGroupLimit rewrite — the sort really is one task)
+      intercept[IllegalStateException](guard(
+        li.withColumn("s", sum(col("l_quantity")).over(
+            Window.orderBy(col("l_orderkey"))))
+          .filter(col("l_linenumber") <= 2)))
+    } finally spark.conf.unset(GlobalWindowGuardRule.ConfKey)
+  }
+
+  test("shipped gate session wires GraftExtensions (subprocess Verify run)") {
+    // extensions bind at session construction and this JVM's context
+    // already exists, so the ONLY faithful test of the shipped wiring
+    // is the shipped main itself: run graft.Verify end-to-end in a
+    // fresh JVM and assert the session announced the active extension
+    // (core.Sessions.build's conf `require` + log line)
+    import scala.jdk.CollectionConverters._
+    val outDir = "target/ext_subproc_out"
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val opens = jvmArgs.sliding(2).collect {
+      case scala.collection.Seq("--add-opens", v) => Seq("--add-opens", v)
+    }.flatten.toSeq
+    val cmd = Seq("java") ++ opens ++ Seq("-Xmx2g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.Verify", Sf, outDir, "agg_hash")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    assert(p.waitFor() == 0, s"Verify subprocess failed:\n${out.takeRight(2000)}")
+    assert(out.contains("[graft] ScanGuard extensions active"),
+      s"gate session must announce the active extension:\n${out.takeRight(2000)}")
+    assert(new java.io.File(s"$outDir/agg_hash/_SUCCESS").exists(),
+      "gate run must still produce its parquet dump under the guard")
+  }
+
   test("GraftExtensions registers the rule without touching results") {
     // the entry point must wire cleanly into a fresh extensions registry
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)

@@ -105,6 +105,20 @@ class ScaleUpSpec extends AnyFunSuite {
     }
   }
 
+  test("wrong-level composition fails fast; markers chain 0 -> 1 -> 2") {
+    // the r8 foot-gun: a level-1 re-composition of level-1 data
+    // collapses shards into exact duplicates (observed as a silent
+    // 107x near-dup candidate jump). The marker law refuses it before
+    // reading a row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_scaleup_wl").toString
+    val e = intercept[IllegalArgumentException](
+      ScaleUp.run(spark, out, dir, factor, level = 1))
+    assert(e.getMessage.contains("level mismatch"))
+    assert(ScaleUp.recordedLevel(TestSpark.Sf) == 0, "driver testdata = level 0")
+    assert(ScaleUp.recordedLevel(out) == 1)
+    assert(ScaleUp.recordedLevel(out2) == 2)
+  }
+
   // ——— level-2 composition (sf10 = ScaleUp(sf1, level = 2) — r8):
   // the level-1 map cannot compose with itself (re-mapping the last
   // char collapses shards into exact duplicates), so level 2 maps the

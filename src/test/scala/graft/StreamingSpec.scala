@@ -467,6 +467,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(single.exists(_.getBoolean(4)), "no alarm fired on the whole corpus")
   }
 
+  test("parquet bench sink is result-equal to the memory sink (all three output modes)") {
+    // the sf≥10 bench knob (SPARK_GRAFT_STREAM_SINK=parquet) must be a
+    // pure harness change: one key per output mode, collected result
+    // sets compared exactly. complete → overwrite-per-batch keeps the
+    // final emission (the memory sink's truncate); append/update →
+    // parquet append reproduces the memory sink's row appends.
+    for (key <- Seq("stream_tumbling", "stream_join", "stream_ewma")) {
+      val mem = SparkEntry.queries(key)(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq
+      sys.props("graft.stream.sink") = "parquet"
+      try {
+        val pq = SparkEntry.queries(key)(spark, TestSpark.Sf)
+          .collect().map(_.toString).sorted.toSeq
+        assert(pq == mem, s"$key: parquet sink diverged from memory sink")
+        assert(mem.nonEmpty, s"$key: equivalence vacuous on an empty result")
+      } finally sys.props.remove("graft.stream.sink")
+    }
+  }
+
   test("stream_anomaly: state rows = distinct users, not input rows") {
     val ev = core.Tables.load(spark, TestSpark.Sf, "events")
     val nRows = ev.count()
