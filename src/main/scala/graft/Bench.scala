@@ -122,6 +122,8 @@ object Bench {
     val canaryParSec = canaryPar(cpus.toInt)
 
     val spark = core.Sessions.build(cpus)
+    // the 68 GB lesson as a check, not a runbook note (r8 verdict #6)
+    val scratchWarn = core.ScratchPreflight.check(spark, sfDir).isDefined
 
     def loadAvg: Double = loadAvgNow()
     // nominal clock stamp — a thermally-throttled or power-capped box
@@ -214,7 +216,7 @@ object Bench {
         if (tot > 0) 100.0 * d(7) / tot else -1.0
       } else -1.0
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended,"stream_sink":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory")}"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended,"stream_sink":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory")}","scratch_warn":$scratchWarn}"""
     println(line)
     // Self-contained artifact: the driver captures a stdout TAIL, and
     // BENCH_r01–r03 all truncated mid-map, losing per-query timings and

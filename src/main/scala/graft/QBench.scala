@@ -15,6 +15,7 @@ object QBench {
     val spark = core.Sessions.build(cpus,
       Map("spark.driver.maxResultSize" ->
         sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT", "8g")))
+    core.ScratchPreflight.check(spark, sfDir)
     for (p <- 1 to passes; name <- args) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
