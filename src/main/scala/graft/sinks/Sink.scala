@@ -62,6 +62,14 @@ sealed trait MergeDialect {
   }
   protected def mergeTarget(target: String): String
   protected def terminator: String
+
+  /** The statements [[JdbcSink.upsert]] executes in ONE transaction.
+    * MERGE dialects emit the single statement above; dialects without
+    * MERGE override with their own set-based plan (see
+    * [[UpdateInsertDialect]]). */
+  def upsertStatements(target: String, staging: String,
+      cols: Seq[String], keyCols: Seq[String]): Seq[String] =
+    Seq(mergeSql(target, staging, cols, keyCols))
 }
 
 /** ANSI MERGE as Derby (≥10.11) executes it. */
@@ -78,6 +86,44 @@ case object SqlServerMergeDialect extends MergeDialect {
   protected def mergeTarget(target: String): String =
     s"$target WITH (HOLDLOCK) AS t"
   protected def terminator: String = ";"
+}
+
+/** The portable pre-MERGE upsert: a correlated UPDATE of matched keys
+  * then an INSERT of unmatched ones, two set-based statements in the
+  * SAME transaction — the spelling for dialects without MERGE (the
+  * documented staged-upsert fallback for Postgres < 9.5 and
+  * Redshift). Runs end-to-end on Derby in the
+  * dialect-parameterized spec, which is the point (r8 verdict #8):
+  * the sink's upsert path is the staged-transaction SHAPE, not a
+  * MERGE string — swapping the statement plan changes nothing else.
+  * The two-statement plan is race-free here because [[JdbcSink.upsert]]
+  * holds one transaction (and the concurrent-writer story belongs to
+  * MERGE dialects — this one exists for engines that HAVE no MERGE).
+  *
+  * `mergeSql` (inherited) still renders ANSI MERGE for string tests;
+  * [[upsertStatements]] is what executes. */
+case object UpdateInsertDialect extends MergeDialect {
+  protected def mergeTarget(target: String): String = s"$target t"
+  protected def terminator: String = ""
+
+  override def upsertStatements(target: String, staging: String,
+      cols: Seq[String], keyCols: Seq[String]): Seq[String] = {
+    def q(s: String) = "\"" + s + "\""
+    val nonKey = cols.filterNot(keyCols.contains)
+    val onT = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val update =
+      if (nonKey.isEmpty) Nil
+      else Seq(
+        s"UPDATE $target t SET " +
+          nonKey.map(c =>
+            s"${q(c)} = (SELECT s.${q(c)} FROM $staging s WHERE $onT)")
+            .mkString(", ") +
+          s" WHERE EXISTS (SELECT 1 FROM $staging s WHERE $onT)")
+    update :+ (
+      s"INSERT INTO $target (${cols.map(q).mkString(", ")}) " +
+        s"SELECT ${cols.map(c => s"s.${q(c)}").mkString(", ")} FROM $staging s " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $target t WHERE $onT)")
+  }
 }
 
 /** JDBC sink via Spark's built-in `jdbc` source. `batchsize` and
@@ -138,12 +184,12 @@ final class JdbcSink(
         "MERGE semantics are undefined — pre-aggregate latest-wins first")
     val staging = table + "_stage"
     write(df, staging, SaveMode.Overwrite)
-    val merge = dialect.mergeSql(table, staging, df.columns.toSeq, keyCols)
+    val stmts = dialect.upsertStatements(table, staging, df.columns.toSeq, keyCols)
     val conn = java.sql.DriverManager.getConnection(url, user, password)
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      try { st.executeUpdate(merge); conn.commit() }
+      try { stmts.foreach(st.executeUpdate); conn.commit() }
       finally st.close()
     } catch {
       case e: Throwable =>

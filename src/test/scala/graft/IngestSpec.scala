@@ -41,11 +41,20 @@ class IngestSpec extends AnyFunSuite {
     assert(df.select(sum("k")).as[Long].head() === 4)
   }
 
-  test("jdbc upsert: MERGE is idempotent and touches only its keys") {
+  // dialect-parameterized (r8 verdict #8): the same upsert scenario
+  // runs end-to-end on Derby through BOTH executable statement plans —
+  // ANSI MERGE and the portable two-statement UPDATE+INSERT fallback —
+  // proving the sink's upsert path is the staged-transaction shape,
+  // not a Derby/MERGE-shaped string
+  for ((dialectName, dialect) <- Seq(
+      "ANSI MERGE" -> sinks.AnsiMergeDialect,
+      "UPDATE+INSERT fallback" -> sinks.UpdateInsertDialect))
+  test(s"jdbc upsert [$dialectName]: idempotent and touches only its keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ups").toString
     System.setProperty("derby.stream.error.file", s"$dir/derby.log")
     val url = s"jdbc:derby:$dir/db;create=true"
-    val sink = new sinks.JdbcSink(url, "u", "p", numPartitions = 1)
+    val sink = new sinks.JdbcSink(url, "u", "p", numPartitions = 1,
+      dialect = dialect)
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "bal")
     sink.write(base, "t", org.apache.spark.sql.SaveMode.Overwrite)
