@@ -74,7 +74,7 @@ object PlanDump {
     "llm_dedup_incremental" -> "incremental dedup: batch probes the STORED corpus band index on (band,hash,gx) equi keys — block-capped at build time; candidate-only exact verify, corpus never re-shingled",
     "agg_corr" -> "correlation matrix: all 15 exact-decimal sufficient statistics ride ONE map-side-combined aggregate over one scan",
     "win_drawdown" -> "max drawdown: running-sum and running-max frames share ONE Window node; per-user max is a map-side agg on the same partitioning",
-    "graph_jaccard" -> "link prediction: wedge equi-join on the shared endpoint + anti join vs the edge set, Jaccard row-local",
+    "graph_jaccard" -> "link prediction: block-capped wedge join on (src,_gx,_gy) — a hub's deg^2 pairs spread over (deg/cap)^2 groups — + anti join vs the edge set, Jaccard row-local",
     "scan_skipping" -> "stats-pruned scan: the date-band aggregate reads ONLY the manifest-admitted files (pruned FileScan row-group)",
     "llm_knn_join" -> "k-NN join: adaptive-K cid equi-join against the cid-partitioned index + per-query top-k window")
 
