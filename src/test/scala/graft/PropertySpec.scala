@@ -688,4 +688,37 @@ class PropertySpec extends AnyFunSuite {
     assert(sel > corpus,
       s"weighted sample mean weight $sel not above corpus mean $corpus")
   }
+
+  test("blocked self-join cap law: selfPairs == naive on arbitrary bucket shapes x caps") {
+    // the ONE shared bounded-self-join definition (core.Blocked) now
+    // carries both the dedup band join and the wedge join — so the
+    // exactness law gets a generative proof, not just two fixtures:
+    // for ANY multiset of (bucket, id) rows (ids unique per bucket)
+    // and ANY cap >= 1, the block decomposition must produce exactly
+    // the naive intra-bucket ordered pairs. Adversarial shapes the
+    // fixtures can't reach: cap=1 (every row its own block), buckets
+    // exactly at/one-over the cap, many singleton buckets.
+    val genCase = for {
+      cap <- Gen.oneOf(1, 2, 3, 5, 8)
+      nBuckets <- Gen.choose(1, 4)
+      sizes <- Gen.listOfN(nBuckets, Gen.choose(0, 12))
+    } yield (cap, sizes)
+    check("blocked-cap-law", Prop.forAllNoShrink(genCase) { case (cap, sizes) =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, b) =>
+        (0 until sz).map(i => (b.toLong, (i * 7 % 13).toLong * 100 + i)) // non-monotonic ids
+      }
+      if (rows.isEmpty) true
+      else {
+        val df = rows.toDF("k", "id")
+        val naive = df.as("x").join(df.as("y"),
+            col("x.k") === col("y.k") && col("x.id") < col("y.id"))
+          .select(col("x.k"), col("x.id"), col("y.id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        val capped = core.Blocked.selfPairs(df, Seq("k"), "id", cap, "a", "b")
+          .select(col("k"), col("a"), col("b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        capped == naive
+      }
+    }, cases = 10)
+  }
 }
