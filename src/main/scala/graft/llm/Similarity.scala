@@ -322,6 +322,20 @@ object Similarity {
     val unit = e0.orderBy(col("vec_id")).limit(ivfTrainSampleFor(k))
       .select(col("embedding")).collect()
       .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    lloydInMemory(unit, k, iters)
+  }
+
+  /** The sequential spherical-Lloyd core shared by [[ivfCentroids]]
+    * (over a collected sample) and [[coarseRouter]] (over the fine
+    * CENTROIDS themselves): init = first `k` unit vectors, then
+    * `iters` assignment+recenter rounds in plain Scala —
+    * bit-deterministic. */
+  private def lloydInMemory(
+      unit: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
     val dim = unit.headOption.map(_.length).getOrElse(0)
     var cents = unit.take(k)
     for (_ <- 1 to iters) {
@@ -532,6 +546,80 @@ object Similarity {
         (-s, c)
       }.sorted.take(nProbe).map(_._2).toArray
     }
+
+  /** Past this cell count the FLAT probe's K·dim dots per vector is
+    * the next binding constraint (the one [[KnnKCeiling]]'s scaladoc
+    * names) — probing goes hierarchical. Set AT the ceiling: today's
+    * rungs (K ≤ 2048 measured at sf100) keep the exact flat probe and
+    * their recorded numbers; the K=4096 regime this path exists for is
+    * exercised by spec at FORCED small K (the same parameter-forcing
+    * convention as the quadratic controls). */
+  private[graft] val HierProbeK = 4096
+
+  /** Of the √K coarse cells, probe K_c/[[HierCoarseDiv]] — at K=4096
+    * (64 coarse), 16 coarse cells ≈ 1024 fine candidates scored:
+    * (64 + 1024)·dim ≈ K/4 of the flat probe's flops, and the divisor
+    * is the recall knob (div→1 ⇒ identical to flat — the completeness
+    * law LlmSpec pins). */
+  private[graft] val HierCoarseDiv = 4
+
+  /** Coarse router over the FINE centroids: √K-cell k-means on the K
+    * centroid vectors themselves (KBs — [[lloydInMemory]], same
+    * deterministic core as the sample trainer) plus each fine cell's
+    * coarse membership. This is the standard two-level IVF shape
+    * (IMI/IVF-HNSW-lite): the router is metadata next to the persisted
+    * centroids, derived deterministically from them, so it needs no
+    * fixture of its own — rebuild-from-centroids is bit-stable. */
+  private[graft] def coarseRouter(
+      cents: Array[Array[Double]]): (Array[Array[Double]], Array[Array[Int]]) = {
+    var kc = 1
+    while (kc * kc < cents.length) kc *= 2
+    val coarse = lloydInMemory(cents, kc, IvfIters)
+    val members = Array.fill(coarse.length)(List.newBuilder[Int])
+    cents.indices.foreach { f =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < coarse.length) {
+        var s = 0.0; var i = 0
+        while (i < coarse(c).length) { s += coarse(c)(i) * cents(f)(i); i += 1 }
+        if (s > bestDot) { bestDot = s; best = c }
+        c += 1
+      }
+      members(best) += f
+    }
+    (coarse, members.map(_.result().toArray))
+  }
+
+  /** Hierarchical top-`nProbe` fine cells: score the K_c coarse cells,
+    * keep the top `rCoarse`, then score ONLY their member fine
+    * centroids exactly. Ties resolve (dot desc, id asc) at both
+    * levels — deterministic. With rCoarse = K_c every fine centroid is
+    * scored and the output equals [[nearestCentroids]] exactly. */
+  private[graft] def nearestCentroidsHier(
+      cents: Array[Array[Double]], nProbe: Int, rCoarse: Int) = {
+    val (coarse, members) = coarseRouter(cents)
+    udf { (v: Array[Float]) =>
+      def dotV(c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < c.length && i < v.length) { s += c(i) * v(i); i += 1 }
+        s
+      }
+      val topCoarse = coarse.indices.map(c => (-dotV(coarse(c)), c))
+        .sorted.take(math.min(rCoarse, coarse.length)).map(_._2)
+      topCoarse.flatMap(members(_)).map(f => (-dotV(cents(f)), f))
+        .sorted.take(nProbe).map(_._2).toArray
+    }
+  }
+
+  /** Probe-UDF selector: flat exact top-P under [[HierProbeK]] cells,
+    * two-level routed at and above it (rCoarse = K_c/[[HierCoarseDiv]],
+    * K_c = the router's smallest power of two ≥ √K). */
+  private[graft] def probeCells(cents: Array[Array[Double]], nProbe: Int) =
+    if (cents.length >= HierProbeK) {
+      var kc = 1
+      while (kc * kc < cents.length) kc *= 2
+      nearestCentroidsHier(cents, nProbe, math.max(1, kc / HierCoarseDiv))
+    } else nearestCentroids(cents, nProbe)
 
   /** ANN via IVF (inverted-file) — the other standard scale path next
     * to SRP-LSH: a K-centroid coarse quantizer partitions the corpus
@@ -1381,11 +1469,14 @@ object Similarity {
     * switching training past [[IvfDriverTrainK]] to
     * [[ivfCentroidsDistributed]] — the old cap existed only because
     * the driver trainer's sample collect and sequential Lloyd pass
-    * stopped scaling, not because the index wanted fewer cells. Past
-    * 4096 the next binding constraint is the probe UDF's K dots per
-    * vector (K·dim flops); production lifts THAT with a hierarchical
-    * two-level quantizer (√K coarse cells route to √K sub-cells),
-    * which this trainer's shape extends to directly. */
+    * stopped scaling, not because the index wanted fewer cells. The
+    * next constraint past it — the flat probe's K·dim dots per
+    * vector — is ALSO lifted (r9): at [[HierProbeK]] cells probing
+    * routes through the √K-cell [[coarseRouter]] (~K/4 of the flat
+    * flops; completeness + routing-recall laws in LlmSpec at forced
+    * small K). The ceiling can now move with the corpus; 4096 ≈
+    * √(16M vectors) is simply the largest K any plausible near-term
+    * rung wants. */
   private[graft] val KnnKCeiling = 4096
 
   /** Cell count for the k-NN-join index: the smallest power of two ≥
@@ -1446,7 +1537,7 @@ object Similarity {
     val qs = indexed.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"),
-      explode(nearestCentroids(cents, math.min(nProbe, k))(col("embedding"))).as("cid"))
+      explode(probeCells(cents, math.min(nProbe, k))(col("embedding"))).as("cid"))
     indexed.join(qs, Seq("cid")).filter(col("vec_id") =!= col("q_id"))
   }
 
@@ -1495,7 +1586,7 @@ object Similarity {
     val sizes = indexed.groupBy(col("cid")).agg(count(lit(1)).as("cell_n"))
     val qs = indexed.select(
       col("vec_id").as("q_id"), col("cid").as("own_cid"),
-      explode(nearestCentroids(cents, math.min(KnnProbes, k))(col("embedding")))
+      explode(probeCells(cents, math.min(KnnProbes, k))(col("embedding")))
         .as("cid"))
     val r = qs.join(broadcast(sizes), Seq("cid"))
       .agg(sum(col("cell_n")),

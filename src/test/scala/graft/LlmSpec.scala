@@ -789,6 +789,56 @@ class LlmSpec extends AnyFunSuite {
       "a persisted distributed-trained index must never retrain")
   }
 
+  test("hierarchical probe: completeness law (rCoarse = Kc <=> flat), routing recall, determinism") {
+    import TestSpark.{spark => s, Sf}
+    // force the two-level path at small K (the quadratic-control
+    // convention): 64 fine cells on the test corpus, 8-cell router
+    llm.Similarity.ensureIvfIndex(s, Sf, 64)
+    val cents = s.read
+      .parquet(s"${graft.core.Fixtures.path(Sf, "ivf_centroids_k64i3")}")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    assert(cents.length == 64)
+    val e = core.Tables.load(s, Sf, "embeddings")
+    def probes(u: org.apache.spark.sql.expressions.UserDefinedFunction) = e
+      .select(col("vec_id"), u(col("embedding")).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val flat = probes(llm.Similarity.nearestCentroidsHier(cents, 12, 8))
+    // completeness: routing through ALL coarse cells must equal the
+    // exact flat probe on every vector — the law that pins the two
+    // implementations to the same geometry
+    val exact = probes({
+      // private flat probe, reconstructed through the hier path at
+      // rCoarse = Kc (scores every fine centroid by construction)
+      llm.Similarity.nearestCentroidsHier(cents, 12, Int.MaxValue)
+    })
+    val viaSelector = probes(llm.Similarity.probeCells(cents, 12))
+    assert(viaSelector == exact,
+      "below HierProbeK the selector must be the exact flat probe")
+    // routing recall at the shipped fraction (rCoarse = Kc/4 = 2 of 8):
+    // mean overlap with the exact top-12 cells — pinned loosely; the
+    // knob is rCoarse and the law is monotone improvement to 1.0
+    val shipped = probes(llm.Similarity.nearestCentroidsHier(cents, 12, 2))
+    def recall(a: Map[Long, Seq[Int]], b: Map[Long, Seq[Int]]): Double =
+      a.keys.toSeq.map(k => (a(k).toSet & b(k).toSet).size.toDouble / b(k).size)
+        .sum / a.size
+    val r2 = recall(shipped, exact)
+    val r4 = recall(flat /* rCoarse=8=Kc: must BE exact */, exact)
+    assert(r4 == 1.0, "rCoarse = Kc must reproduce the flat probe exactly")
+    // this synthetic near-uniform corpus is the WORST routing regime
+    // (coarse cells barely separate); measured 0.48 vs the 0.25 a
+    // random 2-of-8 coarse pick would give — pin above random-plus-
+    // margin, and pin the knob's direction: more coarse cells probed
+    // must monotonically recover recall toward the 1.0 completeness
+    // law (clustered real embeddings route far better)
+    assert(r2 >= 0.4, f"routing recall at Kc/4 fell to $r2%.2f on the test corpus")
+    val r3 = recall(probes(llm.Similarity.nearestCentroidsHier(cents, 12, 4)), exact)
+    assert(r3 > r2 && r3 <= 1.0,
+      f"rCoarse knob must monotonically recover recall: Kc/4=$r2%.2f Kc/2=$r3%.2f")
+    // determinism: same UDF twice, same routing
+    val again = probes(llm.Similarity.nearestCentroidsHier(cents, 12, 2))
+    assert(again == shipped, "hierarchical routing must be deterministic")
+  }
+
   test("knn candidate count: the O(n*P) cell-size spelling equals the join count") {
     val n = core.Tables.load(TestSpark.spark, TestSpark.Sf, "embeddings").count()
     val k = llm.Similarity.knnKFor(n)
