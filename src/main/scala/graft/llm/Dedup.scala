@@ -244,11 +244,10 @@ object Dedup {
     *
     * Shape: batch shingles → batch band signature → two candidate
     * sources, both equi-joins: (1) batch probes the stored index on
-    * (band, hash, gx) — corpus side block-capped AT BUILD TIME, so a
-    * hot bucket is ≤ [[BandBucketCap]] corpus rows per join group
-    * (the symmetric batch-side second-level capping is the same
-    * [[bandPairsKeyed]] construction, left as the documented
-    * extension — the batch is the small side by design); (2) the
+    * (band, hash, gx, _gb) — corpus side block-capped AT BUILD TIME
+    * (gx/num_g), batch side capped at probe time by the same ranking
+    * (r9), so a join group is ≤ [[BandBucketCap]]² rows even when the
+    * BATCH lands a hot bucket; (2) the
     * batch self-joins through the capped [[bandPairs]]. Only
     * candidates pay the exact-Jaccard verify. Drop rules: a batch doc
     * near-duplicating ANY corpus doc drops (the stored corpus always
@@ -263,15 +262,39 @@ object Dedup {
   private[graft] def incrementalCandidates(
       batchBands: DataFrame, index: DataFrame): DataFrame = {
     // probe: only buckets the index knows, exploded over the stored
-    // block count — (band, hash, gx) equi join, ≤ Cap rows per group
+    // block count — equi join on (band, hash, gx, _gb), ≤ Cap² rows
+    // per group. BOTH sides are now block-capped (r9 — closing the
+    // scaladoc's "documented extension"): the corpus side at build
+    // time (gx/num_g), the batch side here by the same ranking
+    // (_gb/_numGb), so a hot BATCH bucket can no longer put its m
+    // probes × one corpus block in a single join group; corpus rows
+    // replicate over the batch's block count (1 for the common small
+    // bucket), batch rows over the stored num_g — every (corpus doc,
+    // batch doc) bucket pair meets on exactly one (gx, _gb) key, so
+    // the distinct output is provably unchanged.
+    val cap = BandBucketCap
+    val bWin = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val rankedB = batchBands
+      .withColumn("_gb",
+        ((row_number().over(bWin.orderBy(col("doc_id"))) - 1) / cap).cast("long"))
+      .withColumn("_numGb",
+        ((count(lit(1)).over(bWin) + cap - 1) / cap).cast("long"))
     val numG = index
       .select(col("band_idx"), col("band_hash"), col("num_g")).distinct()
-    val probe = batchBands.join(numG, Seq("band_idx", "band_hash"))
+    val probe = rankedB.join(numG, Seq("band_idx", "band_hash"))
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"),
+        col("_gb"),
         explode(sequence(lit(0L), col("num_g") - 1)).as("gx"))
+    val numGb = rankedB
+      .select(col("band_idx"), col("band_hash"), col("_numGb")).distinct()
+    val corpusSide = index
+      .select(col("band_idx"), col("band_hash"), col("gx"),
+        col("doc_id").as("doc_a"))
+      .join(numGb, Seq("band_idx", "band_hash")) // touched buckets only
+      .select(col("band_idx"), col("band_hash"), col("gx"), col("doc_a"),
+        explode(sequence(lit(0L), col("_numGb") - 1)).as("_gb"))
     val bc = probe
-      .join(index.select(col("band_idx"), col("band_hash"), col("gx"),
-        col("doc_id").as("doc_a")), Seq("band_idx", "band_hash", "gx"))
+      .join(corpusSide, Seq("band_idx", "band_hash", "gx", "_gb"))
       .select(col("doc_a"), col("doc_b")).distinct()
     bc.unionByName(bandPairs(batchBands)).distinct()
   }

@@ -63,13 +63,16 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("incremental probe: capped index join equals the naive bucket join, groups bounded") {
-    // planted skew: a hot corpus bucket with 300 docs (boilerplate
-    // pages) the batch also hits — the case the stored block layout
-    // exists for — plus tails on both sides, some buckets unshared
+    // planted skew ON BOTH SIDES: a hot corpus bucket with 300 docs
+    // (boilerplate pages) that the batch hits with 150 docs of its own
+    // — 5 corpus blocks × 3 batch blocks (r9: the probe join is now
+    // block-capped on the batch side too, so this bucket spreads over
+    // 15 (gx,_gb) join keys) — plus tails on both sides, some buckets
+    // unshared
     val corpusBands = ((0L until 300L).map(i => (i, 0, 777L)) ++
       (300L until 330L).map(i => (i, 1, i % 5))).toDF("doc_id", "band_idx", "band_hash")
-    val batchBands = ((1000L until 1020L).map(i => (i, 0, 777L)) ++
-      (1020L until 1040L).map(i => (i, 1, i % 7))).toDF("doc_id", "band_idx", "band_hash")
+    val batchBands = ((1000L until 1150L).map(i => (i, 0, 777L)) ++
+      (1150L until 1170L).map(i => (i, 1, i % 7))).toDF("doc_id", "band_idx", "band_hash")
     val index = llm.Dedup.indexBlockLayout(corpusBands)
     // law 1: the (band,hash,gx) probe finds EXACTLY the naive bucket
     // join's pairs (capping redistributes work, never drops a pair)

@@ -310,6 +310,26 @@ class OperatorsSpec extends AnyFunSuite {
       assert(vp <= math.min(seq.count(_ == 'v'), seq.count(_ == 'p')))
       assert(r.getAs[Int]("n_error_recovery") <= seq.count(_ == 'e'))
     }
+    // cap law (r9): the adversarial-history guard is cap-free on every
+    // shipped corpus (max per-user history far under the cap, so the
+    // oracle compare above stays exact)...
+    val maxHist = perUser.values.max
+    assert(maxHist < ops.Windows.EventPatternCap / 4,
+      s"corpus max history $maxHist approaching the cap — raise EventPatternCap")
+    // ...and BITES on a planted bot account: a history one over the
+    // cap truncates to the time-earliest cap events
+    import spark.implicits._
+    val n = ops.Windows.EventPatternCap + 1
+    val bot = (0 until n).map(i =>
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00").toInstant
+        .plusSeconds(i.toLong).toString, i.toLong, 9999L, "view"))
+      .toDF("_ts", "event_id", "user_id", "event_type")
+      .select(col("_ts").cast("timestamp").as("ts"), col("event_id"),
+        col("user_id"), col("event_type"))
+    val capped = ops.Windows.eventPatternOf(bot).collect()
+    assert(capped.length == 1)
+    assert(capped.head.getAs[Int]("n_events") == ops.Windows.EventPatternCap,
+      "over-cap history must truncate to exactly the cap")
   }
 
   test("count-min sketch: never undercounts, merge is exact, bounds hold end-to-end") {
