@@ -113,7 +113,24 @@ object ScaleUp {
     val f = new java.io.File(dir, LevelMarker)
     if (f.exists()) new String(
       java.nio.file.Files.readAllBytes(f.toPath)).trim.toInt
-    else 0
+    else {
+      // A marker-less dir is only level 0 when it LOOKS like driver
+      // testdata (single-file parquet per table). ScaleUp output is
+      // always a Spark-written DIRECTORY with a _SUCCESS file — a
+      // pre-r9 marker-less ScaleUp dir read as level 0 would compose
+      // at level 1 over level-1 data, the exact shard collapse the
+      // marker exists to prevent (r10, per advisor). Refuse instead.
+      val docs = new java.io.File(dir, "documents.parquet")
+      val sparkWritten = docs.isDirectory &&
+        new java.io.File(docs, "_SUCCESS").exists()
+      require(!sparkWritten,
+        s"$dir has no $LevelMarker marker but its tables are " +
+          "Spark-written directories — this looks like ScaleUp output " +
+          "from before the marker existed. Deriving level 0 here risks " +
+          "the shard-collapse bug; stamp the dir's true level into " +
+          s"$dir/$LevelMarker (one integer) and re-run")
+      0
+    }
   }
 
   def main(args: Array[String]): Unit = {

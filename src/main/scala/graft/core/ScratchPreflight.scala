@@ -32,6 +32,25 @@ object ScratchPreflight {
         f"shuffle scratch; only ${free / 1e9}%.1f GB free across ${dirs.mkString(",")} — " +
         "set SPARK_LOCAL_DIRS to span more volumes (e.g. tmpfs+disk) before this run")
 
+  /** Usable bytes across `dirs`, deduped by VOLUME, not by path
+    * string: `SPARK_LOCAL_DIRS=/tmp/a,/tmp/b` names two dirs on one
+    * filesystem, and summing `getUsableSpace` per dir would count the
+    * same free bytes twice — silencing the preflight exactly in the
+    * multi-dir configuration its own warning recommends (r10, per
+    * advisor). One representative dir per `FileStore`. */
+  private[graft] def usableAcross(dirs: Seq[String]): Long = {
+    val existing = dirs.distinct.map(new java.io.File(_)).filter(_.exists())
+    existing
+      .groupBy[AnyRef] { d =>
+        // UnixFileStore#equals compares the underlying device id, so
+        // grouping by the store object itself distinguishes two tmpfs
+        // mounts while merging two dirs on one volume
+        try java.nio.file.Files.getFileStore(d.toPath)
+        catch { case _: java.io.IOException => d.getPath }
+      }
+      .values.map(_.head.getUsableSpace).sum
+  }
+
   /** Estimate from the corpus itself (a parquet-footer count — no data
     * read), measure the actual scratch dirs, warn on stderr. Returns
     * the warning so Bench can stamp `scratch_warn` into its artifact. */
@@ -43,7 +62,7 @@ object ScratchPreflight {
       .map(_.split(",").toSeq)
       .orElse(spark.conf.getOption("spark.local.dir").map(_.split(",").toSeq))
       .getOrElse(Seq(System.getProperty("java.io.tmpdir", "/tmp")))
-    val free = dirs.distinct.map(d => new java.io.File(d).getUsableSpace).sum
+    val free = usableAcross(dirs)
     val w = warning(estimateBytes(nDocs), free, dirs)
     w.foreach(System.err.println)
     w

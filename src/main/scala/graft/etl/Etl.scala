@@ -1312,22 +1312,31 @@ object Etl {
     }
     val (na, va) = audit(stageA)
     val (nb, vb) = audit(stageB)
-    // clean batches APPEND to a freshly-cleared published location
-    // (r8 advice: a shared overwrite target meant two clean batches
-    // would silently replace each other, and zero clean batches left
-    // a read of a never-created path) — WAP publishes are per-batch
-    // commits into one table, and the published count is the union of
-    // what landed; the clear makes reruns idempotent
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // clean batches publish via WRITE-TO-TEMP + RENAME (the
+    // Fixtures.buildAtomic idiom — r10, per advisor): the r9 form
+    // deleted the published location BEFORE re-appending, so a crash
+    // mid-publish (or a concurrent reader) saw a missing/partial
+    // table. Now every clean batch lands in a temp dir first and the
+    // published location is swapped in one rename — the closest a
+    // filesystem gets to the metadata-swap commit the scaladoc
+    // describes (the remaining delete→rename window is metadata-only;
+    // a real table format closes it with a manifest pointer). The
+    // filesystem is the PATH's own, not the default FS.
+    val hconf = spark.sparkContext.hadoopConfiguration
     val pubPath = new org.apache.hadoop.fs.Path(pub)
-    fs.delete(pubPath, true)
+    val fs = pubPath.getFileSystem(hconf)
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      pub + ".publish." + ProcessHandle.current().pid())
+    fs.delete(tmpPath, true)
     if (va == 0L)
       spark.read.schema(schema).parquet(stageA)
-        .write.mode("append").parquet(pub)
+        .write.mode("append").parquet(tmpPath.toString)
     if (vb == 0L)
       spark.read.schema(schema).parquet(stageB)
-        .write.mode("append").parquet(pub)
+        .write.mode("append").parquet(tmpPath.toString)
+    fs.delete(pubPath, true) // reruns idempotent; zero clean batches → absent table
+    if (fs.exists(tmpPath))
+      require(fs.rename(tmpPath, pubPath), s"WAP publish rename failed: $tmpPath -> $pubPath")
     val pubRows =
       if (fs.exists(pubPath))
         spark.read.schema(schema).parquet(pub).count()

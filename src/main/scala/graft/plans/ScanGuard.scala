@@ -93,23 +93,41 @@ object GlobalWindowGuardRule extends Rule[LogicalPlan] {
       a.toAttribute
   }
 
-  /** True when `cond` bounds one of `ranks` by a literal (`rk <= k`,
-    * `rk < k`, `k >= rk`…) anywhere in its conjunction — the exact
-    * trigger of Spark's WindowGroupLimit rewrite. */
-  private def boundsRank(cond: Expression, ranks: Seq[Attribute]): Boolean = {
+  /** The tightest LITERAL bound `cond` places on one of `ranks`
+    * (`rk <= k`, `rk < k`, `k >= rk`…) anywhere in its conjunction —
+    * the shape Spark's InferWindowGroupLimit rewrites. Returns the
+    * EFFECTIVE limit (so `rk < k` yields k−1), because the exemption
+    * below must compare it against Spark's rewrite threshold: the
+    * rewrite only fires for `0 < limit <= spark.sql.window.group.
+    * limit.threshold`, so a filter like `rk <= 100000` (or any rank
+    * filter in a session with the threshold lowered or set to −1)
+    * still executes the full single-task global sort and must NOT be
+    * exempted on shape alone (r10, per advisor). */
+  private def rankBound(cond: Expression, ranks: Seq[Attribute]): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
     def isRank(e: Expression) = e match {
       case a: Attribute => ranks.exists(_.exprId == a.exprId)
       case _ => false
     }
+    def lit(l: Literal): Option[Long] = l.value match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case i: java.lang.Long    => Some(i.longValue)
+      case i: java.lang.Short   => Some(i.longValue)
+      case i: java.lang.Byte    => Some(i.longValue)
+      case _ => None
+    }
     cond match {
-      case And(l, r) => boundsRank(l, ranks) || boundsRank(r, ranks)
-      case LessThan(a, _: Literal) => isRank(a)
-      case LessThanOrEqual(a, _: Literal) => isRank(a)
-      case EqualTo(a, _: Literal) => isRank(a)
-      case GreaterThan(_: Literal, a) => isRank(a)
-      case GreaterThanOrEqual(_: Literal, a) => isRank(a)
-      case _ => false
+      case And(l, r) =>
+        (rankBound(l, ranks), rankBound(r, ranks)) match {
+          case (Some(a), Some(b)) => Some(math.min(a, b))
+          case (a, b) => a.orElse(b)
+        }
+      case LessThan(a, l: Literal) if isRank(a) => lit(l).map(_ - 1)
+      case LessThanOrEqual(a, l: Literal) if isRank(a) => lit(l)
+      case EqualTo(a, l: Literal) if isRank(a) => lit(l)
+      case GreaterThan(l: Literal, a) if isRank(a) => lit(l).map(_ - 1)
+      case GreaterThanOrEqual(l: Literal, a) if isRank(a) => lit(l)
+      case _ => None
     }
   }
 
@@ -123,11 +141,21 @@ object GlobalWindowGuardRule extends Rule[LogicalPlan] {
     // global top-40 is this shape at every SF). Recognized both
     // before the rewrite (Filter over Window, Project-tolerated) and
     // after (a WindowGroupLimit node under the Window).
+    // The shape exemption alone is NOT enough: Spark only rewrites to
+    // WindowGroupLimit when the literal limit is within
+    // spark.sql.window.group.limit.threshold (default 1000; -1
+    // disables the rewrite entirely). A rank filter with a huge bound
+    // — or ANY bound when the threshold is -1 — still runs the full
+    // single-task global sort, so it must trip the guard.
+    val rewriteThreshold: Long =
+      conf.getConfString("spark.sql.window.group.limit.threshold", "1000").toLong
+    def withinThreshold(bound: Option[Long]): Boolean =
+      rewriteThreshold != -1L && bound.exists(b => b > 0L && b <= rewriteThreshold)
     val exempt = plan.collect {
       case Filter(cond, w: Window)
-          if w.partitionSpec.isEmpty && boundsRank(cond, rankAttrs(w)) => w
+          if w.partitionSpec.isEmpty && withinThreshold(rankBound(cond, rankAttrs(w))) => w
       case Filter(cond, Project(_, w: Window))
-          if w.partitionSpec.isEmpty && boundsRank(cond, rankAttrs(w)) => w
+          if w.partitionSpec.isEmpty && withinThreshold(rankBound(cond, rankAttrs(w))) => w
       case w @ Window(_, _, _, _: WindowGroupLimit, _)
           if w.partitionSpec.isEmpty => w
     }.toSet

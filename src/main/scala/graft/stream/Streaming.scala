@@ -222,11 +222,20 @@ object Streaming {
     liveSinkDirs.add(path)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val writeMode = if (mode == "complete") "overwrite" else "append"
+    // Batch-replay idempotence (r10, per advisor): foreachBatch offers
+    // NO exactly-once guarantee — a retried micro-batch is re-offered
+    // with the SAME batchId, and a blind `append` would double its
+    // rows into the result the bench reads back. The memory sink
+    // ignores re-offered batchIds; the parquet fold matches it by
+    // keying each batch's write to a batchId directory with
+    // mode=overwrite (a replay rewrites the same dir, byte-for-byte
+    // idempotent). Complete mode re-emits whole state, so a full-path
+    // overwrite is already replay-safe there.
     val q =
       try sdf.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode(writeMode).parquet(path)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (mode == "complete") batch.write.mode("overwrite").parquet(path)
+          else batch.write.mode("overwrite").parquet(s"$path/b$batchId")
         }
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -235,7 +244,12 @@ object Streaming {
     lastStateRowsPeak = q.recentProgress
       .map(p => Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
       .foldLeft(-1L)(math.max)
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    if (new java.io.File(path).exists())
+      // recursiveFileLookup reads the union of the batchId dirs (and
+      // the flat complete-mode layout) WITHOUT partition inference —
+      // `b<id>` must stay a directory name, never a schema column
+      spark.read.schema(sdf.schema)
+        .option("recursiveFileLookup", "true").parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sdf.schema)
   }

@@ -103,6 +103,27 @@ class ExtensionSpec extends AnyFunSuite {
         li.withColumn("s", sum(col("l_quantity")).over(
             Window.orderBy(col("l_orderkey"))))
           .filter(col("l_linenumber") <= 2)))
+      // the exemption is VALUE-aware, not shape-aware (r10, per
+      // advisor): Spark only rewrites to WindowGroupLimit when the
+      // literal limit is within spark.sql.window.group.limit.threshold
+      // (default 1000) — a bound above it still runs the full
+      // single-task global sort and must trip
+      intercept[IllegalStateException](guard(li
+        .withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))
+        .filter(col("rk") <= 100000)))
+      // threshold -1 disables the rewrite entirely: even a tiny bound
+      // is then a real single-task sort
+      spark.conf.set("spark.sql.window.group.limit.threshold", "-1")
+      try intercept[IllegalStateException](guard(li
+        .withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))
+        .filter(col("rk") <= 40)))
+      finally spark.conf.unset("spark.sql.window.group.limit.threshold")
+      // a non-positive bound is unsatisfiable: Spark prunes the whole
+      // subtree to an empty relation, so no Window survives to guard —
+      // silence is correct (nothing sorts)
+      guard(li
+        .withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))
+        .filter(col("rk") <= 0))
     } finally spark.conf.unset(GlobalWindowGuardRule.ConfKey)
   }
 

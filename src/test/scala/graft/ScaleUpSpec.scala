@@ -119,6 +119,24 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(ScaleUp.recordedLevel(out2) == 2)
   }
 
+  test("marker-less ScaleUp-shaped dir refuses a default level (r10 advisor)") {
+    // pre-r9 ScaleUp output has no marker but IS Spark-written
+    // (documents.parquet is a directory with _SUCCESS) — reading it as
+    // level 0 would compose level 1 over level-1 data, the exact shard
+    // collapse the marker prevents. Simulate by stripping the marker.
+    val stripped = java.nio.file.Files.createTempDirectory("graft_scaleup_nm").toFile
+    val docs = new java.io.File(stripped, "documents.parquet"); docs.mkdirs()
+    new java.io.File(docs, "_SUCCESS").createNewFile()
+    val e = intercept[IllegalArgumentException](
+      ScaleUp.recordedLevel(stripped.getPath))
+    assert(e.getMessage.contains("_scaleup_level"),
+      "refusal must name the marker to stamp")
+    // stamping the true level restores normal derivation
+    java.nio.file.Files.write(
+      new java.io.File(stripped, "_scaleup_level").toPath, "2".getBytes)
+    assert(ScaleUp.recordedLevel(stripped.getPath) == 2)
+  }
+
   // ——— level-2 composition (sf10 = ScaleUp(sf1, level = 2) — r8):
   // the level-1 map cannot compose with itself (re-mapping the last
   // char collapses shards into exact duplicates), so level 2 maps the
