@@ -47,7 +47,12 @@ object ScaleStats {
       // same 8-byte shingle fingerprint the keyed query carries (r8)
       val csh = llm.Dedup.fingerprinted(llm.Dedup.shinglesOf(spark, cc))
         .localCheckpoint()
-      val contCand = llm.Dedup.prefixCandidates(csh, 9, 10)
+      // plain-prefix count keeps the r9 series comparable; the
+      // positional count is what the r10 keyed query actually verifies
+      // (PPJoin positional filter — the verify-exchange cut)
+      val contCand = llm.Dedup.prefixCandidates(csh, 9, 10, positional = false)
+        .distinct().count()
+      val contCandPos = llm.Dedup.prefixCandidates(csh, 9, 10)
         .distinct().count()
       // the df-blocked BASELINE the prefix filter replaces is itself
       // quadratic-ish (pairs sharing ≥1 shingle) — the point of
@@ -132,6 +137,7 @@ object ScaleStats {
           s""""neardup_band_candidates":$nearCand,""" +
           s""""incremental_candidates":$incrCand,""" +
           s""""containment_prefix_candidates":$contCand,""" +
+          s""""containment_positional_candidates":$contCandPos,""" +
           s""""containment_sharing_pairs":$shareBlocked,""" +
           s""""n_vectors":$nVec,"all_pairs":${nVec * (nVec - 1) / 2},""" +
           s""""cosine_band_candidates_fixed8":$cosCandFixed,""" +

@@ -768,25 +768,71 @@ object Dedup {
     * set: each doc's n − ⌈t·n⌉ + 1 RAREST shingles joined against the
     * full set — recall-lossless by the prefix-filter theorem. One
     * definition shared by [[containmentPairs]] and
-    * [[graft.ScaleStats]]' candidate counting. Un-distinct'ed. */
+    * [[graft.ScaleStats]]' candidate counting. Un-distinct'ed.
+    *
+    * POSITIONAL filter (r10, PPJoin's second pruning rule — Xiao et
+    * al. WWW'08 §3.2 — adapted to the max-containment predicate): a
+    * candidate row matches A's rank-i shingle to B's rank-j shingle
+    * (both ranked in the ONE global rarity order). Common elements
+    * after the match have rank > i in A and > j in B, so
+    * overlap ≤ min(i−1, j−1) + 1 + min(n_a−i, n_b−j); at the FIRST
+    * common element the left term is 0. The pair needs
+    * overlap ≥ ⌈t·min(n_a, n_b)⌉ to pass verification, and for a TRUE
+    * pair the smaller doc's prefix contains its first common shingle
+    * (prefix-filter theorem), so THAT row satisfies
+    * 1 + min(n_p−rk_p, n_f−rk_f) ≥ ⌈t·min(n_p, n_f)⌉ — dropping rows
+    * that fail the bound prunes candidates, never results (the law
+    * PropertySpec/LlmSpec prove: positional ⊆ plain-prefix candidates,
+    * final output identical). At t = 0.9 the bound bites hard: a
+    * prefix match deep in a long doc against the tail of another can
+    * no longer emit a pair that verification was always going to
+    * reject — this is the verify-exchange cut the sf100 418 s / 68 GB
+    * tail needed, bought with two int columns on the join, no new
+    * shuffle, no new pass (the rank window already existed for the
+    * prefix side; both sides now read the SAME ranked frame). */
   private[graft] def prefixCandidates(
-      sh: DataFrame, thrNum: Int, thrDen: Int): DataFrame = {
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val byRarity = Window.partitionBy(col("doc_id"))
-      .orderBy(col("_df").asc, col("shingle").asc)
-    val perDoc = Window.partitionBy(col("doc_id"))
-    val pfx = sh.join(dfreq, Seq("shingle"))
-      .withColumn("_rk", row_number().over(byRarity))
-      .withColumn("_n", count(lit(1)).over(perDoc))
+      sh: DataFrame, thrNum: Int, thrDen: Int,
+      positional: Boolean = true): DataFrame = {
+    // both join branches read `ranked` — deliberately NOT checkpointed:
+    // a checkpoint would truncate the lineage and hide the rarity
+    // window from the pinned plan (PlanSpec guards the prefix shape),
+    // and Spark's ReuseExchange already dedupes the identical df-join
+    // exchange feeding both branches, so the duplicated work is one
+    // in-memory window pass over exchanged data, not a second shuffle
+    val ranked = rankedByRarity(sh)
+    val pfx = ranked
       // prefix length n − ceil(0.9·n) + 1, integer-exact on both engines
       // (`div`, not `/` — Spark's Column `/` is double division)
       .filter(col("_rk") <=
         col("_n") - expr(s"(_n * $thrNum + ${thrDen - 1}) div $thrDen") + 1)
-      .select(col("doc_id").as("_pd"), col("shingle"))
-    pfx.join(sh.select(col("doc_id").as("_fd"), col("shingle")), Seq("shingle"))
+      .select(col("doc_id").as("_pd"), col("shingle"),
+        col("_rk").as("_prk"), col("_n").as("_pn"))
+    val full = ranked.select(col("doc_id").as("_fd"), col("shingle"),
+      col("_rk").as("_frk"), col("_n").as("_fn"))
+    val joined = pfx.join(full, Seq("shingle"))
       .filter(col("_pd") =!= col("_fd"))
-      .select(least(col("_pd"), col("_fd")).as("doc_a"),
-        greatest(col("_pd"), col("_fd")).as("doc_b"))
+    val kept =
+      if (!positional) joined
+      else joined.filter(
+        lit(1) + least(col("_pn") - col("_prk"), col("_fn") - col("_frk")) >=
+          expr(s"($thrNum * least(_pn, _fn) + ${thrDen - 1}) div $thrDen"))
+    kept.select(least(col("_pd"), col("_fd")).as("doc_a"),
+      greatest(col("_pd"), col("_fd")).as("doc_b"))
+  }
+
+  /** (doc_id, shingle, _rk, _n): every doc's shingles ranked in the
+    * global rarity order (df asc, fingerprint asc) with the doc's set
+    * size — the frame both the prefix AND full sides of the candidate
+    * join read, so the rank window runs once. */
+  private def rankedByRarity(sh: DataFrame): DataFrame = {
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_df").asc, col("shingle").asc)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    sh.join(dfreq, Seq("shingle"))
+      .withColumn("_rk", row_number().over(byRarity))
+      .withColumn("_n", count(lit(1)).over(perDoc))
+      .select(col("doc_id"), col("shingle"), col("_rk"), col("_n"))
   }
 
   /** Exact-containment verification of a candidate pair list against

@@ -414,6 +414,35 @@ class LlmSpec extends AnyFunSuite {
     assert(full.nonEmpty, "fixture should contain organic high-containment pairs")
   }
 
+  test("containment: positional filter prunes candidates, never results (r10)") {
+    // the PPJoin positional-filter law: candidates under the
+    // positional bound are a SUBSET of the plain-prefix candidates,
+    // and the final verified output is identical (the bound only
+    // drops rows verification was going to reject)
+    val d = llm.Dedup.containmentCorpus(spark, Sf)
+    val sh = llm.Dedup.fingerprinted(
+      llm.Dedup.shinglesOf(spark, d, 3)).localCheckpoint()
+    def cands(positional: Boolean): Set[(Long, Long)] =
+      llm.Dedup.prefixCandidates(sh, 9, 10, positional).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = cands(positional = false)
+    val pos = cands(positional = true)
+    assert(pos.subsetOf(plain), "positional candidates must be ⊆ plain prefix")
+    // on the planted-sub-doc corpus the bound must actually bite —
+    // a no-op filter would mean the rank columns aren't wired through
+    assert(pos.size < plain.size,
+      s"positional filter pruned nothing (plain=${plain.size}, pos=${pos.size})")
+    // and every pair the exact verify keeps is still found: the keyed
+    // query (positional path) equals the brute twin — pinned above in
+    // "prefix filter loses no pair", re-checked here on the PLANTED
+    // corpus where true containment pairs are guaranteed
+    val out = llm.Dedup.containment(spark, Sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 10L).forall(i => out.exists(_._2 == i + 400000000L)),
+      "all ten planted sub-docs must survive the positional filter")
+  }
+
   test("dsir: target-domain docs score above the background on average") {
     val out = llm.Text.dsir(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
