@@ -118,6 +118,12 @@ object ScaleStats {
       // keeps this measurable at rungs where the join itself is the
       // ~10G-row workload being sized
       val knnAdaptive = llm.Similarity.knnCandidateCount(spark, dir, knnAdaptiveK)
+      // cell-occupancy skew audit (r10): the P·n^{3/2} candidate math
+      // assumes |cell| ≈ n/K — measure max/mean/p99 at every rung so a
+      // clustered corpus (hot cells = mini all-pairs per probe) shows
+      // up as a number, not an incident
+      val (knnCells, knnCellMax, knnCellMean, knnCellP99) =
+        llm.Similarity.ivfCellOccupancy(spark, dir, knnAdaptiveK)
 
       // link-prediction wedge join (r9 cap): pair volume Σdeg²/2 — the
       // quantity the block cap spreads, NOT shrinks (the decomposition
@@ -148,6 +154,10 @@ object ScaleStats {
           s""""knn_candidates_fixed16":$knnFixed16,""" +
           s""""knn_k_adaptive":$knnAdaptiveK,""" +
           s""""knn_candidates_adaptive":$knnAdaptive,""" +
+          s""""knn_cells":$knnCells,""" +
+          s""""knn_cell_max":$knnCellMax,""" +
+          f""""knn_cell_mean":$knnCellMean%.1f,""" +
+          s""""knn_cell_p99":$knnCellP99,""" +
           s""""jaccard_wedge_pairs":$wedgeCand,""" +
           s""""jaccard_nodes":$wedgeNodes,""" +
           s""""jaccard_max_degree":$wedgeMaxDeg,""" +

@@ -1595,6 +1595,26 @@ object Similarity {
     r.getLong(0) - r.getLong(1)
   }
 
+  /** IVF cell-occupancy profile at cell count `k` — (nCells, max,
+    * mean, p99 of |cell|). The k-NN candidate math (P·n^{3/2})
+    * assumes cells near n/K; real embedding corpora cluster, and a
+    * hot cell turns every probe that routes to it into a mini
+    * all-pairs. ScaleStats emits this at every rung (r10, r9 verdict
+    * #3) so the assumption is MEASURED, not asserted — the remedy, if
+    * a rung ever shows p99 ≫ mean, is re-clustering hot-cell
+    * residuals (split), which changes the index fixture, not the
+    * query. One groupBy over the persisted index, driver gets 4
+    * scalars. */
+  private[graft] def ivfCellOccupancy(
+      spark: SparkSession, dir: String, k: Int): (Long, Long, Double, Long) = {
+    val sizes = indexedCells(spark, dir, k)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val r = sizes.agg(
+      count(lit(1)), max(col("n")), avg(col("n")),
+      expr("approx_percentile(n, 0.99, 10000)")).head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+  }
+
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
     val e = emb(spark, dir).withColumn("nrm", norm("embedding"))

@@ -232,13 +232,14 @@ object Streaming {
     // idempotent). Complete mode re-emits whole state, so a full-path
     // overwrite is already replay-safe there.
     val q =
-      try sdf.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          if (mode == "complete") batch.write.mode("overwrite").parquet(path)
-          else batch.write.mode("overwrite").parquet(s"$path/b$batchId")
-        }
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      try withStateStore(spark) {
+        sdf.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (mode == "complete") batch.write.mode("overwrite").parquet(path)
+            else batch.write.mode("overwrite").parquet(s"$path/b$batchId")
+          }
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     lastBatchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
     lastStateRowsPeak = q.recentProgress
@@ -253,6 +254,41 @@ object Streaming {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sdf.schema)
   }
+
+  /** Big-rung state-store knob (r10, r9 verdict #4):
+    * `SPARK_GRAFT_STATE_STORE=rocksdb` (env, for Bench/QBench at
+    * sf ≥ 10; `graft.stream.stateStore` sysprop for in-JVM tests)
+    * runs every streaming query's state in the RocksDB provider —
+    * off-heap, spillable-to-disk, the store a production cluster runs
+    * stateful streaming on when per-key state outgrows executor heap
+    * (sf100 `stream_session`/`stream_stateful` hold millions of user
+    * states; the default HDFS-backed provider keeps them ALL in JVM
+    * memory maps). Correctness gates never set the knob, so oracle
+    * runs stay on the default provider; `stream_tws` pins RocksDB
+    * itself regardless (transformWithState requires it). The conf is
+    * captured per-query at start, so set-around-start + restore is a
+    * per-query override, not a session mutation. */
+  private def stateStoreConf: Option[String] =
+    sys.props.get("graft.stream.stateStore")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE")) match {
+      case Some("rocksdb") => Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => None
+    }
+
+  private def withStateStore[A](spark: SparkSession)(body: => A): A =
+    stateStoreConf match {
+      case None => body
+      case Some(cls) =>
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, cls)
+        try body
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+    }
 
   private def runToTable(spark: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
     if (streamSinkMode == "parquet") return runToParquet(spark, sdf, mode)
@@ -275,9 +311,10 @@ object Streaming {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
-      try sdf.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      try withStateStore(spark) {
+        sdf.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     lastBatchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
     lastStateRowsPeak = q.recentProgress

@@ -486,6 +486,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("rocksdb state store is result-equal to the default provider (r10)") {
+    // the sf≥10 knob (SPARK_GRAFT_STATE_STORE=rocksdb) must be a pure
+    // provider swap: stateful keys across the operator families —
+    // windowed agg (complete), dedup (append), flatMapGroupsWithState
+    // (update) — produce identical result sets under RocksDB
+    for (key <- Seq("stream_tumbling", "stream_dedup", "stream_session")) {
+      val default = SparkEntry.queries(key)(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq
+      sys.props("graft.stream.stateStore") = "rocksdb"
+      try {
+        val rocks = SparkEntry.queries(key)(spark, TestSpark.Sf)
+          .collect().map(_.toString).sorted.toSeq
+        assert(rocks == default, s"$key: rocksdb store diverged from default")
+        assert(default.nonEmpty, s"$key: equivalence vacuous on an empty result")
+      } finally sys.props.remove("graft.stream.stateStore")
+    }
+  }
+
   test("stream_anomaly: state rows = distinct users, not input rows") {
     val ev = core.Tables.load(spark, TestSpark.Sf, "events")
     val nRows = ev.count()
