@@ -190,8 +190,162 @@ object Multimodal {
        |ORDER BY ALL NULLS FIRST"""
   }
 
+  // ——— perceptual-hash image dedup (r10, r9 verdict #5) ———
+
+  /** 1-D "resize" target: 64 block means → 63 dHash bits. */
+  private[graft] val PHashBlocks = 64
+  private[graft] val PHashBands = 7
+  private[graft] val PHashBandBits = 9 // 7 × 9 = 63 bits, hash stays positive
+  /** Verify threshold. MaxHamming < PHashBands makes the banding
+    * recall-EXACT by pigeonhole: ≤ 6 differing bits cannot touch all
+    * 7 bands, so every true pair shares at least one band verbatim —
+    * same lossless-filter discipline as the containment prefix. */
+  private[graft] val PHashMaxHamming = 6
+  private[graft] val ImageDupOffset = 500000000L // planted perturbed copies
+  /** Min payload bytes: every one of the 64 blocks must be non-empty
+    * (a real image pipeline resizes up; a byte payload this short is
+    * an icon, not an image). */
+  private[graft] val PHashMinBytes = 128
+
+  /** One hashed media row. */
+  final case class PHashRow(doc_id: Long, hash: Long)
+
+  /** dHash over the payload bytes: "resize" to [[PHashBlocks]] block
+    * means (position p → block p·B div n — integer-exact), then bit i
+    * = mean_i > mean_{i+1}, compared as the cross-multiplication
+    * sum_i·cnt_{i+1} > sum_{i+1}·cnt_i so no float division exists on
+    * either engine. Gradient bits are LOCAL: perturbing one block
+    * touches at most its two adjacent bits, which is what makes the
+    * hash perceptual (robust to small edits) rather than
+    * cryptographic. Runs in the same per-partition decoder pass as
+    * [[decodeFeatures]] — in production this is decode + downsample +
+    * hash in one codec visit, no shuffle. */
+  private[graft] def perceptualHash(spark: SparkSession,
+      media: DataFrame): Dataset[PHashRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          val n = p.length
+          val sums = new Array[Long](PHashBlocks)
+          val cnts = new Array[Long](PHashBlocks)
+          var i = 0
+          while (i < n) {
+            val j = ((i.toLong * PHashBlocks) / n).toInt
+            sums(j) += (p(i) & 0xff)
+            cnts(j) += 1
+            i += 1
+          }
+          var h = 0L
+          var b = 0
+          while (b < PHashBlocks - 1) {
+            if (sums(b) * cnts(b + 1) > sums(b + 1) * cnts(b)) h |= 1L << b
+            b += 1
+          }
+          PHashRow(id, h)
+        }
+      }
+  }
+
+  /** The keyed corpus: ASCII text bytes as the stand-in image payload
+    * (≥ [[PHashMinBytes]]), plus PLANTED perturbed copies — each
+    * doc_id < 10 contributes a derivative at id + 5·10⁸ whose FIRST
+    * block is overwritten with 'z' bytes (a deterministic "corner
+    * watermark"): a one-block edit moves at most dHash bit 0, so the
+    * planted pair sits at Hamming ≤ 1, inside the threshold by
+    * construction and replayable in SQL. */
+  private[graft] def imageCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) >= PHashMinBytes)
+      .select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + ImageDupOffset).as("doc_id"),
+        expr("concat(repeat('z', (length(text) + 63) div 64), " +
+          "substring(text, (length(text) + 63) div 64 + 1))").as("text"))
+    d.unionByName(planted)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  /** Perceptual-hash near-duplicate IMAGES — dedup for the binary/
+    * multimodal column (text and embeddings have their own passes;
+    * this is the one for payload bytes: thumbnails, re-encodes,
+    * watermarked copies). Pipeline: per-partition dHash (decode-time
+    * work, no shuffle) → band the 63-bit hash into [[PHashBands]]
+    * 9-bit keys → candidates from the CAPPED band self-join
+    * ([[graft.core.Blocked.selfPairs]], ≤ cap² rows per join group —
+    * a boilerplate band bucket never becomes one straggler task) →
+    * exact Hamming verify (`bit_count(xor)`) at ≤ [[PHashMaxHamming]].
+    * Banding is recall-exact at this threshold (pigeonhole, see
+    * [[PHashMaxHamming]]), and MultimodalSpec pins banded ≡ brute on
+    * the fixture corpus plus the planted-copy recall law. At 100 TB:
+    * hashes are 16 B/row, bands shuffle 7 rows/doc, candidates scale
+    * with true collisions, never n². */
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    // 16 B/row; read by the band explode and both verify sides —
+    // checkpoint so the decode pass runs once
+    val h = perceptualHash(spark, imageCorpus(spark, dir))
+      .toDF().localCheckpoint()
+    val bands = h.select(col("doc_id"),
+        explode(sequence(lit(0), lit(PHashBands - 1))).as("b"),
+        col("hash"))
+      .select(col("b"),
+        expr(s"shiftright(hash, b * $PHashBandBits) & ${(1 << PHashBandBits) - 1}")
+          .as("bv"),
+        col("doc_id"))
+    val cand = graft.core.Blocked
+      .selfPairs(bands, Seq("b", "bv"), "doc_id", graft.llm.Dedup.BandBucketCap,
+        "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b")).distinct()
+    ordered(cand
+      .join(h.select(col("doc_id").as("doc_a"), col("hash").as("_ha")), Seq("doc_a"))
+      .join(h.select(col("doc_id").as("doc_b"), col("hash").as("_hb")), Seq("doc_b"))
+      .withColumn("hamming", expr("cast(bit_count(_ha ^ _hb) as int)"))
+      .filter(col("hamming") <= PHashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming")))
+  }
+
+  private val imageDedupSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE length(text) >= $PHashMinBytes
+       |  UNION ALL
+       |  SELECT doc_id + $ImageDupOffset,
+       |    repeat('z', (length(text) + 63) // 64) ||
+       |      substring(text, (length(text) + 63) // 64 + 1)
+       |  FROM documents WHERE doc_id < 10 AND length(text) >= $PHashMinBytes),
+       |d AS (SELECT doc_id, length(text) AS n,
+       |  list_transform(regexp_split_to_array(text, ''), x -> unicode(x)) AS l
+       |  FROM corpus),
+       |toks AS (SELECT doc_id, n, unnest(l) AS v,
+       |  generate_subscripts(l, 1) AS p FROM d),
+       |blk AS (
+       |  SELECT doc_id, (CAST(p - 1 AS BIGINT) * $PHashBlocks) // n AS j,
+       |    CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |h AS (
+       |  SELECT a.doc_id,
+       |    CAST(SUM(CASE WHEN a.s * b.c > b.s * a.c
+       |      THEN CAST(1 AS BIGINT) << CAST(a.j AS INT) ELSE 0 END) AS BIGINT) AS hash
+       |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+       |  GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, hash, b, (hash >> CAST(9 * b AS INT)) & 511 AS bv
+       |  FROM h, UNNEST(range(0, $PHashBands)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(ha.hash, hb.hash)) AS INT) AS hamming
+       |FROM cand
+       |JOIN h ha ON ha.doc_id = cand.doc_a
+       |JOIN h hb ON hb.doc_id = cand.doc_b
+       |WHERE bit_count(xor(ha.hash, hb.hash)) <= $PHashMaxHamming
+       |${graft.core.OracleDsl.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "llm_multimodal_decode" -> Q(multimodalDecode _, multimodalDecodeSql),
-    "llm_frame_sample" -> Q(frameSample _, frameSampleSql)
+    "llm_frame_sample" -> Q(frameSample _, frameSampleSql),
+    "llm_image_dedup" -> Q(imageDedup _, imageDedupSql)
   )
 }

@@ -71,6 +71,41 @@ class MultimodalSpec extends AnyFunSuite {
       col("f_mean") > col("f_max")).count() === 0)
   }
 
+  test("image dedup: banded candidates ≡ brute Hamming pairs (pigeonhole law)") {
+    // MaxHamming (6) < bands (7) ⇒ ≤6 differing bits leave ≥1 of the
+    // 7 bands identical — banding is recall-EXACT, so the keyed query
+    // must equal the brute all-pairs Hamming filter on the fixture
+    val h = Multimodal.perceptualHash(spark,
+      Multimodal.imageCorpus(spark, Sf)).collect().map(r => r.doc_id -> r.hash)
+    val brute = (for {
+      (a, ha) <- h; (b, hb) <- h
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= Multimodal.PHashMaxHamming
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val banded = Multimodal.imageDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "law vacuous on an empty pair set")
+  }
+
+  test("image dedup: every planted perturbed copy is recalled at Hamming ≤ 1") {
+    // the one-block 'z' overwrite moves only dHash bit 0 (gradient
+    // bits are local) — each planted derivative must pair with its
+    // source inside the threshold
+    val eligible = core.Tables.load(spark, Sf, "documents")
+      .filter(col("doc_id") < 10 &&
+        length(col("text")) >= Multimodal.PHashMinBytes)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(eligible.nonEmpty)
+    val out = Multimodal.imageDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    eligible.foreach { id =>
+      val hit = out.find(p =>
+        p._1 == id && p._2 == id + Multimodal.ImageDupOffset)
+      assert(hit.nonEmpty, s"planted copy of doc $id not recalled")
+      assert(hit.get._3 <= 1, s"planted copy of doc $id at hamming ${hit.get._3}")
+    }
+  }
+
   test("jdbc source: plain and partitioned option plumbing") {
     val src = new JdbcSource("jdbc:sqlserver://host;databaseName=dw", "u", "p",
       fetchSize = 5000)

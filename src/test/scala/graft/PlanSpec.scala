@@ -386,6 +386,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("llm_image_dedup: band join is the CAPPED blocked shape, no all-pairs (r10)") {
+    // the keyed plan starts at the post-localCheckpoint hash scan, so
+    // the banded candidate join IS in the final plan: pin the blocked
+    // join key (b, bv, _gx, _gy) and the absence of any nested-loop
+    // shape — the brute respelling is hashes × hashes, n² rows
+    val p = plan("llm_image_dedup")
+    assert(p.matches(
+      "(?s).*Join \\[b#\\d+, bv#\\d+L?, _gx#\\d+L?, _gy#\\d+L?\\],.*"),
+      s"block ids _gx/_gy missing from the pHash band join key:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"image dedup must stay equi-join shaped:\n$p")
+    assert(p.contains("bit_count"),
+      s"exact Hamming verify must ride bit_count(xor):\n$p")
+  }
+
   test("graph_jaccard: wedge join is the CAPPED blocked shape (block ids in the join key)") {
     // same pin as the band join above, same shared machinery
     // (core.Blocked.selfPairs): block ids in the join key mean a hub
