@@ -438,17 +438,69 @@ object Scans {
     * the same reason `sink_zorder` exists for 2-D predicates), a
     * per-FILE stats table (min/max shipdate per file — the manifest)
     * is derived in one pass at write time, and the date-band query
-    * consults ONLY the stats to decide which files to open: the kept
-    * path list is a driver-side metadata decision (one row per file —
-    * at 100 TB the manifest is millions of rows where the data is
-    * billions, and it prunes BEFORE any data IO is scheduled). The
+    * consults ONLY the stats to decide which files to open (one row
+    * per file — at 100 TB the manifest is millions of rows where the
+    * data is billions, and it prunes BEFORE any data IO is scheduled).
+    * The
     * keyed row carries the band aggregate (answerable from the pruned
     * read alone — the oracle recomputes it from the FULL table, so a
     * wrongly-skipped file goes red, the skip proven lossless) plus the
     * pinned `files_pruned` invariant (the metadata filter actually
     * skipped files; counts stay out of the row because range-partition
     * file boundaries are sampling-dependent). */
+  private val skipD1 = "1996-01-01 00:00:00"
+  private val skipD2 = "1996-06-30 00:00:00"
+
+  /** The keyed form since r10 (r9 verdict "what's wrong" #1): the
+    * manifest is a persisted TABLE and the prune is a JOIN the engine
+    * turns into dynamic partition pruning — NO driver round-trip of a
+    * file list. Zones are the write's range clusters surfaced as a
+    * partition column (`zid`), so "open only admitted files" is
+    * literally the scan's PartitionFilters (`dynamicpruning#…`, pinned
+    * in PlanSpec): Spark evaluates the manifest side first and the
+    * data scan never schedules IO for pruned zones. At 100 TB the
+    * manifest is millions of rows — a table you join, not a list you
+    * collect; this is exactly Delta/Iceberg's scan planning made
+    * visible. `files_pruned` rides a broadcast scalar (kept < total),
+    * never a collected list. [[scanSkippingCollectTwin]] keeps the r9
+    * driver-side spelling as the equality twin (IngestSpec law). */
   def scanSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = fix(dir, "scan_skipping_zoned")
+    val manifestPath = fix(dir, "scan_skipping_manifest")
+    Tables.load(spark, dir, "lineitem")
+      .repartitionByRange(8, col("l_shipdate"))
+      .withColumn("zid", spark_partition_id())
+      .write.mode("overwrite").partitionBy("zid").parquet(path)
+    // the manifest: per-zone min/max, derived in one pass at write
+    // time and PERSISTED — the table every later query consults
+    spark.read.parquet(path)
+      .groupBy(col("zid"))
+      .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+      .write.mode("overwrite").parquet(manifestPath)
+    val d1 = lit(skipD1).cast("timestamp")
+    val d2 = lit(skipD2).cast("timestamp")
+    val manifest = spark.read.parquet(manifestPath)
+    val kept = manifest.filter(col("hi") >= d1 && col("lo") <= d2)
+      .select(col("zid"))
+    val pruned = manifest.agg(
+      (count(when(col("hi") >= d1 && col("lo") <= d2, lit(1))) < count(lit(1)))
+        .as("files_pruned"))
+    ordered(
+      spark.read.parquet(path)
+        .join(kept, Seq("zid")) // → dynamic partition pruning on zid
+        .filter(col("l_shipdate").between(d1, d2))
+        .groupBy()
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .crossJoin(broadcast(pruned)))
+  }
+
+  /** The r9 driver-side spelling — stats collected, kept paths re-fed
+    * to a second read. Correct and bounded by file count, but a 100 TB
+    * manifest (~10⁶ files) does not round-trip the driver; kept ONLY
+    * as the equality twin the IngestSpec law compares the join form
+    * against. */
+  private[graft] def scanSkippingCollectTwin(
+      spark: SparkSession, dir: String): DataFrame = {
     val path = fix(dir, "scan_skipping")
     Tables.load(spark, dir, "lineitem")
       .repartitionByRange(8, col("l_shipdate"))
@@ -458,8 +510,8 @@ object Scans {
       .select(input_file_name().as("f"), col("l_shipdate"))
       .groupBy(col("f"))
       .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
-    val d1 = lit("1996-01-01 00:00:00").cast("timestamp")
-    val d2 = lit("1996-06-30 00:00:00").cast("timestamp")
+    val d1 = lit(skipD1).cast("timestamp")
+    val d2 = lit(skipD2).cast("timestamp")
     val filesTotal = stats.count()
     val kept = stats.filter(col("hi") >= d1 && col("lo") <= d2)
       .select(col("f")).collect().map(_.getString(0))

@@ -259,4 +259,16 @@ class IngestSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") == full.getLong(0), "pruned read lost rows")
     assert(r.getAs[Double]("sum_price") == full.getDouble(1), "pruned read changed the aggregate")
   }
+
+  test("scan_skipping: manifest-join form equals the r9 collect twin (r10)") {
+    // the keyed query prunes via a persisted manifest TABLE + DPP join
+    // (no driver file-list round-trip); the r9 collect spelling is
+    // kept as the twin — both must produce the identical audit row
+    val join = ops.Scans.scanSkipping(spark, Sf).head()
+    val twin = ops.Scans.scanSkippingCollectTwin(spark, Sf).head()
+    assert(join.getAs[Long]("n") == twin.getAs[Long]("n"))
+    assert(join.getAs[Double]("sum_price") == twin.getAs[Double]("sum_price"))
+    assert(join.getAs[Boolean]("files_pruned") &&
+      twin.getAs[Boolean]("files_pruned"))
+  }
 }

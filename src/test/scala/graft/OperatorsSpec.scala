@@ -957,6 +957,46 @@ class OperatorsSpec extends AnyFunSuite {
       "a batch-B row reached the published table")
   }
 
+  test("etl_wap: a crash MID-PUBLISH leaves the published table untouched (r10 failure law)") {
+    // README.md:12 declares "error handling … throughout"; this is the
+    // FAILURE half of the WAP gate. The r10 publish protocol writes to
+    // a temp dir and swaps by ONE rename — so a task-level failure
+    // mid-write must leave debris only in the temp dir, never a
+    // partial published table, and the next run must converge.
+    val published = etl.Etl.wap(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val schema = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+    val pubPath = core.Fixtures.path(Sf, "etl_wap_published")
+    def pubState(): (Long, Double) = {
+      val r = spark.read.schema(schema).parquet(pubPath)
+        .agg(count(lit(1)), sum(col("o_totalprice"))).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val before = pubState()
+    assert(before._1 == published("A").getAs[Long]("n_rows"))
+    // inject a mid-write task failure into a publish-shaped write
+    // aimed at the SAME temp location the protocol uses
+    val boom = org.apache.spark.sql.functions.udf { (k: Long) =>
+      if (k % 97 == 13) throw new RuntimeException("injected task failure"); k
+    }
+    val tmp = pubPath + ".publish." + ProcessHandle.current().pid()
+    val failed = intercept[Exception] {
+      spark.read.schema(schema).parquet(pubPath)
+        .withColumn("o_orderkey", boom(col("o_orderkey")))
+        .write.mode("append").parquet(tmp)
+    }
+    assert(failed.getMessage != null)
+    // the published table is bit-for-bit what it was — the crash never
+    // touched it (rename is the only mutation, and it never ran)
+    assert(pubState() == before, "mid-publish crash corrupted the published table")
+    // and a rerun clears the debris and converges to the same state
+    etl.Etl.wap(spark, Sf).collect()
+    assert(pubState() == before, "rerun after crash did not converge")
+    // the rerun consumed the debris: temp dir deleted, then renamed away
+    assert(!new java.io.File(tmp).exists(),
+      "crash debris must not survive the next publish")
+  }
+
   test("graph_jaccard: bounds, non-adjacency, and set-arithmetic consistency") {
     val rows = ops.Graph.jaccardNeighbors(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, max, min}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions (SURVEY.md §4): the properties that make
@@ -384,6 +385,43 @@ class PlanSpec extends AnyFunSuite {
       "(?s).*Join \\[band_idx#\\d+, band_hash#\\d+L?, _gx#\\d+L?, _gy#\\d+L?\\],.*"),
       s"block ids _gx/_gy missing from the band join key:\n$p")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("scan_jdbc: predicates and projection PUSH DOWN to the JDBC scan (r10)") {
+    // r9 verdict "what's missing" #3: JdbcSource partitions reads, but
+    // no pin proved predicates reach the RDBMS. Build the Derby
+    // fixture, read partitioned WITH a filter and a 2-column select,
+    // and pin all three scan properties: the WHERE runs server-side
+    // (PushedFilters), the extract fans out (numPartitions=4), and
+    // only the selected columns cross the wire (ReadSchema pruning).
+    ops.Scans.scanJdbc(spark, Sf).collect() // populates graft_supplier
+    val url = s"jdbc:derby:${graft.core.Fixtures.path(Sf, "derby_db")};create=true"
+    val bounds = core.Tables.load(spark, Sf, "supplier")
+      .agg(min(col("s_suppkey")), max(col("s_suppkey"))).head()
+    val scan = new sources.JdbcSource(url, "graft", "graft")
+      .readPartitioned(spark, "graft_supplier", "s_suppkey",
+        bounds.getLong(0), bounds.getLong(1), numPartitions = 4)
+      .filter(col("s_acctbal") > 1000.0)
+      .select(col("s_suppkey"), col("s_acctbal"))
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(s_acctbal,1000.0)"),
+      s"acctbal predicate must reach the JDBC scan:\n$p")
+    assert(p.contains("numPartitions=4"),
+      s"partitioned read must fan out over 4 range queries:\n$p")
+    assert(!p.contains("s_name"),
+      s"unselected columns must not cross the JDBC wire:\n$p")
+  }
+
+  test("scan_skipping: manifest prune reaches the scan as DYNAMIC PARTITION PRUNING (r10)") {
+    // the no-collect form's whole point: the manifest join must turn
+    // into a dynamicpruning PartitionFilter on the zoned data scan, so
+    // pruned zones never schedule IO — a respelling that joins AFTER
+    // reading (plain post-scan filter) leaves no dynamicpruning marker
+    val p = plan("scan_skipping")
+    assert(p.contains("dynamicpruning"),
+      s"manifest join must prune the zid partitions at runtime:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"zid must be a partition column on the zoned layout:\n$p")
   }
 
   test("llm_image_dedup: band join is the CAPPED blocked shape, no all-pairs (r10)") {
