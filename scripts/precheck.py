@@ -73,11 +73,14 @@ def main():
                         f"read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    import time
     for name in sorted(oracle):
         if only and name not in only:
             continue
         try:
+            _t0 = time.time()
             exp = con.execute(oracle[name]).fetchdf()
+            _duck_s = time.time() - _t0
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
             if not files:
                 print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -134,7 +137,7 @@ def main():
                       f"spark={gv!r} ({n} diffs)")
                 n_fail += 1
             else:
-                print(f"PASS {name} ({len(exp)} rows)")
+                print(f"PASS {name} ({len(exp)} rows) [duck {_duck_s:.1f}s]")
                 n_pass += 1
         except Exception as ex:
             print(f"FAIL {name}: {type(ex).__name__}: {ex}")
