@@ -17,7 +17,16 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // localCheckpoint BEFORE coalesce(1): a bare coalesce(1)
+        // collapses the WHOLE upstream computation into one task (no
+        // shuffle), which serialized per-row keys at the big rungs
+        // (fn_variant 168 s / project_derive 100 s at sf10, measured
+        // r10). The checkpoint materializes with full parallelism;
+        // coalesce then concatenates checkpointed partitions IN ORDER,
+        // so the ordered() global sort — which the driver's row-order-
+        // sensitive compare depends on — survives, and the one write
+        // task streams rows instead of computing them.
+        fn(spark, sfDir).localCheckpoint().coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // per-key wall time on stderr: the big-rung gates pick their
         // key lists from these lines (r10)
