@@ -1327,16 +1327,40 @@ object Etl {
     val fs = pubPath.getFileSystem(hconf)
     val tmpPath = new org.apache.hadoop.fs.Path(
       pub + ".publish." + ProcessHandle.current().pid())
-    fs.delete(tmpPath, true)
+    val oldPath = new org.apache.hadoop.fs.Path(pub + ".old")
+    // Debris sweep (r11, per advisor): a publish that crashed in a
+    // DIFFERENT JVM left a <pub>.publish.<otherpid> (or a .old from a
+    // crashed swap) that a PID-keyed delete never touches. Concurrent
+    // publishes to one table are unsupported, so every matching
+    // sibling is a dead run's leftovers — sweep them all.
+    val pubName = pubPath.getName
+    if (fs.exists(pubPath.getParent))
+      fs.listStatus(pubPath.getParent).map(_.getPath)
+        .filter(p => p.getName.startsWith(pubName + ".publish.") ||
+          p.getName == pubName + ".old")
+        .foreach(p => fs.delete(p, true))
     if (va == 0L)
       spark.read.schema(schema).parquet(stageA)
         .write.mode("append").parquet(tmpPath.toString)
     if (vb == 0L)
       spark.read.schema(schema).parquet(stageB)
         .write.mode("append").parquet(tmpPath.toString)
-    fs.delete(pubPath, true) // reruns idempotent; zero clean batches → absent table
-    if (fs.exists(tmpPath))
+    if (fs.exists(tmpPath)) {
+      // Two-rename swap (r11, per advisor): the r10 delete→rename left
+      // a window where a crash lost the ONLY copy of the table. Now
+      // the published data is renamed ASIDE first — a crash between
+      // the renames leaves the table absent but recoverable from
+      // <pub>.old (and the next run's debris sweep finishes either
+      // direction). Readers can still observe the absent instant; a
+      // real table format closes that with a manifest pointer, which
+      // a filesystem cannot express.
+      if (fs.exists(pubPath))
+        require(fs.rename(pubPath, oldPath), s"WAP publish rename-aside failed: $pubPath -> $oldPath")
       require(fs.rename(tmpPath, pubPath), s"WAP publish rename failed: $tmpPath -> $pubPath")
+      fs.delete(oldPath, true)
+    } else {
+      fs.delete(pubPath, true) // zero clean batches → absent table
+    }
     val pubRows =
       if (fs.exists(pubPath))
         spark.read.schema(schema).parquet(pub).count()

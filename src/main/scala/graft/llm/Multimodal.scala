@@ -256,7 +256,16 @@ object Multimodal {
     * planted pair sits at Hamming ≤ 1, inside the threshold by
     * construction and replayable in SQL. */
   private[graft] def imageCorpus(spark: SparkSession, dir: String): DataFrame = {
+    // ASCII gate (r11, per advisor): the Scala path hashes UTF-8
+    // BYTES, the SQL mirror hashes CODE POINTS — the two define the
+    // same hash only when byte i == code point i, i.e. pure ASCII.
+    // That invariant was previously assumed of the fixture; now the
+    // corpus DEFINITION enforces it on both engines identically, so a
+    // non-ASCII document is excluded rather than silently hashed to
+    // two different values (and the length-≥-min gate below counts
+    // the same unit on both sides, chars == bytes).
     val d = Tables.load(spark, dir, "documents")
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
       .filter(length(col("text")) >= PHashMinBytes)
       .select(col("doc_id"), col("text"))
     val planted = d.filter(col("doc_id") < 10)
@@ -306,13 +315,17 @@ object Multimodal {
   }
 
   private val imageDedupSql =
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents WHERE length(text) >= $PHashMinBytes
+    s"""WITH ascii_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE regexp_matches(text, '^[\\x00-\\x7F]*$$')
+       |    AND length(text) >= $PHashMinBytes),
+       |corpus AS (
+       |  SELECT doc_id, text FROM ascii_docs
        |  UNION ALL
        |  SELECT doc_id + $ImageDupOffset,
        |    repeat('z', (length(text) + 63) // 64) ||
        |      substring(text, (length(text) + 63) // 64 + 1)
-       |  FROM documents WHERE doc_id < 10 AND length(text) >= $PHashMinBytes),
+       |  FROM ascii_docs WHERE doc_id < 10),
        |d AS (SELECT doc_id, length(text) AS n,
        |  list_transform(regexp_split_to_array(text, ''), x -> unicode(x)) AS l
        |  FROM corpus),

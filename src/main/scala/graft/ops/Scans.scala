@@ -465,18 +465,33 @@ object Scans {
     * never a collected list. [[scanSkippingCollectTwin]] keeps the r9
     * driver-side spelling as the equality twin (IngestSpec law). */
   def scanSkipping(spark: SparkSession, dir: String): DataFrame = {
-    val path = fix(dir, "scan_skipping_zoned")
-    val manifestPath = fix(dir, "scan_skipping_manifest")
-    Tables.load(spark, dir, "lineitem")
-      .repartitionByRange(8, col("l_shipdate"))
-      .withColumn("zid", spark_partition_id())
-      .write.mode("overwrite").partitionBy("zid").parquet(path)
-    // the manifest: per-zone min/max, derived in one pass at write
-    // time and PERSISTED — the table every later query consults
-    spark.read.parquet(path)
-      .groupBy(col("zid"))
-      .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
-      .write.mode("overwrite").parquet(manifestPath)
+    // Build-once (r11, r10 verdict "what's wrong" #2): the zoned
+    // layout and its manifest are pure functions of the corpus, but
+    // the r10 form rewrote BOTH on every invocation — ~10× the read
+    // work, so a big-rung gate timed the fixture write, not the scan
+    // skipping. Now parameter-keyed like the IVF/PQ indexes: the
+    // first call per sf writes (atomically — a crash mid-build can't
+    // publish a manifest that disagrees with the zones), every later
+    // call only reads. The root _SUCCESS is touched by the body only
+    // after both sub-writes finish, so `exists` means zones AND
+    // manifest are complete together.
+    val fixture = "scan_skipping_zones"
+    graft.core.Fixtures.buildAtomic(dir, fixture) { tmp =>
+      Tables.load(spark, dir, "lineitem")
+        .repartitionByRange(8, col("l_shipdate"))
+        .withColumn("zid", spark_partition_id())
+        .write.mode("overwrite").partitionBy("zid").parquet(s"$tmp/zoned")
+      // the manifest: per-zone min/max, derived in one pass at write
+      // time and PERSISTED — the table every later query consults
+      spark.read.parquet(s"$tmp/zoned")
+        .groupBy(col("zid"))
+        .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+        .write.mode("overwrite").parquet(s"$tmp/manifest")
+      require(new java.io.File(tmp, "_SUCCESS").createNewFile(),
+        s"fixture completion marker already present under $tmp")
+    }
+    val path = fix(dir, fixture) + "/zoned"
+    val manifestPath = fix(dir, fixture) + "/manifest"
     val d1 = lit(skipD1).cast("timestamp")
     val d2 = lit(skipD2).cast("timestamp")
     val manifest = spark.read.parquet(manifestPath)

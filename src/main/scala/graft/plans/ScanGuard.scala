@@ -125,6 +125,12 @@ object GlobalWindowGuardRule extends Rule[LogicalPlan] {
       case LessThan(a, l: Literal) if isRank(a) => lit(l).map(_ - 1)
       case LessThanOrEqual(a, l: Literal) if isRank(a) => lit(l)
       case EqualTo(a, l: Literal) if isRank(a) => lit(l)
+      // literal-first mirror of `rk = k` (r11, per advisor). The other
+      // literal-first spellings the advisor flagged — `k < rk`,
+      // `k <= rk` — are LOWER bounds on the rank and must keep
+      // yielding None: only upper bounds make the window a bounded
+      // top-k.
+      case EqualTo(l: Literal, a) if isRank(a) => lit(l)
       case GreaterThan(l: Literal, a) if isRank(a) => lit(l).map(_ - 1)
       case GreaterThanOrEqual(l: Literal, a) if isRank(a) => lit(l)
       case _ => None

@@ -124,6 +124,17 @@ class ExtensionSpec extends AnyFunSuite {
       guard(li
         .withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))
         .filter(col("rk") <= 0))
+      // literal-first spellings (r11, per advisor): `40 = rk` is the
+      // same bounded top-k as `rk = 40` and must be exempt…
+      guard(li
+        .withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))
+        .filter(lit(40) === col("rk")))
+      // …while `5 < rk` literal-first is a LOWER bound — unbounded
+      // above, a genuine single-task global sort, still trips (the
+      // advisor's suggested LessThan mirror must NOT become a limit)
+      intercept[IllegalStateException](guard(li
+        .withColumn("rk", row_number().over(Window.orderBy(col("l_orderkey"))))
+        .filter(lit(5) < col("rk"))))
     } finally spark.conf.unset(GlobalWindowGuardRule.ConfKey)
   }
 

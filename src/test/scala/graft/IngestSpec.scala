@@ -271,4 +271,24 @@ class IngestSpec extends AnyFunSuite {
     assert(join.getAs[Boolean]("files_pruned") &&
       twin.getAs[Boolean]("files_pruned"))
   }
+
+  test("scan_skipping: zoned layout + manifest are built ONCE per sf (r11)") {
+    // r10 verdict: rebuilding the layout on every invocation made the
+    // key's big-rung cost the fixture WRITE (~10× the read). The
+    // fixture is now parameter-keyed build-once — a second call must
+    // not touch the published files.
+    ops.Scans.scanSkipping(spark, Sf).head()
+    val root = new java.io.File(core.Fixtures.path(Sf, "scan_skipping_zones"))
+    assert(new java.io.File(root, "_SUCCESS").exists(), "completion marker missing")
+    def stamp(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(root).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = stamp()
+    val r = ops.Scans.scanSkipping(spark, Sf).head()
+    assert(stamp() === before, "second invocation rewrote the fixture")
+    assert(r.getAs[Boolean]("files_pruned"))
+  }
 }

@@ -106,6 +106,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("imageCorpus excludes non-ASCII docs — the byte/codepoint gate is structural (r11)") {
+    // the Scala hash reads UTF-8 BYTES, the SQL mirror reads CODE
+    // POINTS; the two define the same dHash only for ASCII. The r10
+    // form ASSUMED the fixture was ASCII (advisor) — the corpus
+    // definition now filters to ASCII on both engines identically, so
+    // a non-ASCII doc is excluded rather than hashed to two different
+    // values per engine.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ascii").toString
+    val asciiText = "a" * 200
+    val accented = "é" + ("a" * 200)
+    Seq((1L, asciiText, "en", "web", 200L), (2L, accented, "fr", "web", 201L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ids = Multimodal.imageCorpus(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L), "ASCII doc must stay in the corpus")
+    assert(ids.contains(1L + Multimodal.ImageDupOffset),
+      "planted copy of the ASCII doc must stay")
+    assert(!ids.contains(2L) && !ids.contains(2L + Multimodal.ImageDupOffset),
+      "non-ASCII doc must be excluded by the corpus definition itself")
+  }
+
   test("jdbc source: plain and partitioned option plumbing") {
     val src = new JdbcSource("jdbc:sqlserver://host;databaseName=dw", "u", "p",
       fetchSize = 5000)

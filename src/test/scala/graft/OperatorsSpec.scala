@@ -997,6 +997,28 @@ class OperatorsSpec extends AnyFunSuite {
       "crash debris must not survive the next publish")
   }
 
+  test("etl_wap: debris from a crashed publish in ANOTHER JVM is swept (r11)") {
+    // the r10 cleanup was keyed by the CURRENT pid, so a
+    // <pub>.publish.<otherpid> left by a crashed JVM — or a .old from
+    // a crash between the two swap renames — survived forever
+    // (advisor). The sweep now removes every matching sibling.
+    val pubPath = core.Fixtures.path(Sf, "etl_wap_published")
+    val alien = new java.io.File(pubPath + ".publish.424242")
+    val old = new java.io.File(pubPath + ".old")
+    alien.mkdirs(); old.mkdirs()
+    new java.io.File(alien, "part-junk").createNewFile()
+    new java.io.File(old, "part-junk").createNewFile()
+    val out = etl.Etl.wap(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!alien.exists(), "other-JVM publish debris must be swept")
+    assert(!old.exists(), "crashed-swap .old debris must be swept")
+    val pub = spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+      .parquet(pubPath)
+    assert(pub.count() == out("A").getAs[Long]("n_rows"),
+      "publish did not converge after the sweep")
+  }
+
   test("graph_jaccard: bounds, non-adjacency, and set-arithmetic consistency") {
     val rows = ops.Graph.jaccardNeighbors(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
