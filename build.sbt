@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout defaults to sbt's logger, which prefixes
+// every line with `[info] ` — that prefix is why the driver's JSON
+// parse of Bench's final stdout line has failed every round
+// ("parsed": null in all BENCH_r*.json). Inherit the real stdout
+// instead: program output reaches the parent byte-for-byte.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

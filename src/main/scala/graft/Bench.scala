@@ -216,7 +216,23 @@ object Bench {
         if (tot > 0) 100.0 * d(7) / tot else -1.0
       } else -1.0
     }
-    val meta = s""""sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended,"stream_sink":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory")}","state_store":"${sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default")}","scratch_warn":$scratchWarn"""
+    def metaWith(errsJson: String) = s""""sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errsJson,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended,"stream_sink":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory")}","state_store":"${sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default")}","scratch_warn":$scratchWarn"""
+    val meta = metaWith(errs)
+    // stdout meta must be BOUNDED (r12, per advisor): errs is
+    // unbounded (~170 chars per failing key), so with many errors even
+    // the fully-shrunk queries map could not save the line from the
+    // tail cut. The stdout copy carries at most ErrsCap messages, each
+    // truncated, plus an explicit errors_omitted count; the FULL error
+    // map still lands in bench_out.json / bench_history.jsonl.
+    val ErrsCap = 3
+    val errSeq = errors.toSeq.sortBy(_._1)
+    val errsStdout = errSeq.take(ErrsCap).map { case (k, v) =>
+      "\"" + esc(k) + "\":\"" + esc(v.take(80)) + "\""
+    }.mkString("{", ",", "}")
+    val errsOmitted =
+      if (errSeq.length > ErrsCap)
+        s""","errors_omitted":${errSeq.length - ErrsCap}""" else ""
+    val metaStdout = metaWith(errsStdout) + errsOmitted
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta}"""
     // The driver keeps only the LAST ~2000 chars of stdout, and the
     // full per-key map has exceeded that since round 1 — every
@@ -235,23 +251,35 @@ object Bench {
         }.mkString("{", ",", "}")
         val om = if (omitted > 0)
           s""","queries_omitted":$omitted,"queries_full":"bench_history.jsonl"""" else ""
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,$meta}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,$metaStdout}"""
       }
       val bySlow = names.map(n => n -> best.getOrElse(n, -1.0)).sortBy(-_._2)
       val full = mk(bySlow.sortBy(_._1), 0)
       if (full.length <= budget) full
       else {
-        // largest prefix of the slowest-first ordering that fits
+        // largest prefix of the slowest-first ordering that fits;
+        // k floored at 1 (r12, per advisor: the proportional shrink
+        // could reach 0 and emit an empty map, defeating the
+        // slowest-first-prefix intent)
         var k = bySlow.length
         var out = full
         while (out.length > budget && k > 1) {
-          k = math.min(k - 1, (k * budget) / out.length)
+          k = math.max(1, math.min(k - 1, (k * budget) / out.length))
           out = mk(bySlow.take(k).sortBy(_._1), bySlow.length - k)
         }
         out
       }
     }
-    println(stdoutLine)
+    // Raw write to FD 1: with `run / outputStrategy := StdoutOutput`
+    // (build.sbt) the forked JVM inherits the real stdout, so this
+    // line reaches the driver UNPREFIXED — sbt's default LoggedOutput
+    // re-logged it as `[info] {...`, which is why every committed
+    // BENCH_r*.json has `"parsed": null` (r11 verdict #3). The raw FD
+    // write also sidesteps any System.out wrapper and lands as the
+    // LAST stdout line before sbt's epilogue.
+    val rawOut = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    rawOut.write((stdoutLine + "\n").getBytes("UTF-8"))
+    rawOut.flush()
     // Self-contained artifact: the driver captures a stdout TAIL, and
     // BENCH_r01–r03 all truncated mid-map, losing per-query timings and
     // the total. The file survives regardless of stdout capture.

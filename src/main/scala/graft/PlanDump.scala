@@ -76,7 +76,8 @@ object PlanDump {
     "win_drawdown" -> "max drawdown: running-sum and running-max frames share ONE Window node; per-user max is a map-side agg on the same partitioning",
     "graph_jaccard" -> "link prediction: block-capped wedge join on (src,_gx,_gy) — a hub's deg^2 pairs spread over (deg/cap)^2 groups — + anti join vs the edge set, Jaccard row-local",
     "scan_skipping" -> "stats-pruned scan: the date-band aggregate reads ONLY the manifest-admitted files (pruned FileScan row-group)",
-    "llm_knn_join" -> "k-NN join: adaptive-K cid equi-join against the cid-partitioned index + per-query top-k window")
+    "llm_knn_join" -> "k-NN join: adaptive-K cid equi-join against the cid-partitioned index + per-query top-k window",
+    "llm_image_dedup" -> "perceptual-hash image dedup: partition-local dHash (no shuffle), capped 9-bit band self-join candidates, bit_count Hamming verify — never all-pairs")
 
   def main(args: Array[String]): Unit = {
     val spark = core.Sessions.build("4",

@@ -33,6 +33,34 @@ object Fixtures {
     * win, not an error (stale `.build.<pid>` dirs from crashed
     * builders are inert scratch under target/, cleaned by the next
     * same-pid run or `sbt clean`). */
+  /** Fingerprint of a source table's files (relative path + length +
+    * mtime, order-independent fold), hex-encoded. Build-once fixtures
+    * that are pure functions of a CORPUS key their name with this
+    * (r12, per advisor): regenerating `data/sf*` previously served a
+    * stale zoned layout silently, because the fixture was keyed only
+    * by the sf directory NAME. A regenerated corpus has new mtimes →
+    * a new fixture name → a rebuild; the stale directory becomes
+    * inert scratch under target/, cleaned by `sbt clean`. */
+  def corpusFingerprint(sfDir: String, table: String): String = {
+    val root = {
+      val d = new java.io.File(sfDir, table + ".parquet")
+      if (d.exists()) d else new java.io.File(sfDir, table)
+    }
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    // order-independent (sum of per-file hashes): listFiles order is
+    // filesystem-dependent and must not change the key
+    val h = walk(root).map { f =>
+      var x = 1125899906842597L // prime seed
+      (f.getName + "|" + f.length + "|" + f.lastModified).foreach { c =>
+        x = x * 31 + c
+      }
+      x
+    }.sum
+    java.lang.Long.toHexString(h)
+  }
+
   def buildAtomic(sfDir: String, name: String)(body: String => Unit): Unit = {
     if (exists(sfDir, name)) return
     val fin = new java.io.File(path(sfDir, name))

@@ -1328,11 +1328,21 @@ object Etl {
     val tmpPath = new org.apache.hadoop.fs.Path(
       pub + ".publish." + ProcessHandle.current().pid())
     val oldPath = new org.apache.hadoop.fs.Path(pub + ".old")
+    // Crash restore BEFORE the sweep (r12, per advisor): a crash
+    // between the swap's two renames leaves the table absent with the
+    // previous publish parked at <pub>.old — the sweep alone would
+    // delete the only existing copy without restoring it. Put it back
+    // first; the rebuild below then swaps it out normally, so readers
+    // between the restore and the swap see the PREVIOUS publish, never
+    // an absent table.
+    if (!fs.exists(pubPath) && fs.exists(oldPath))
+      require(fs.rename(oldPath, pubPath),
+        s"WAP crash restore failed: $oldPath -> $pubPath")
     // Debris sweep (r11, per advisor): a publish that crashed in a
     // DIFFERENT JVM left a <pub>.publish.<otherpid> (or a .old from a
-    // crashed swap) that a PID-keyed delete never touches. Concurrent
-    // publishes to one table are unsupported, so every matching
-    // sibling is a dead run's leftovers — sweep them all.
+    // crashed swap whose <pub> survived) that a PID-keyed delete never
+    // touches. Concurrent publishes to one table are unsupported, so
+    // every matching sibling is a dead run's leftovers — sweep them.
     val pubName = pubPath.getName
     if (fs.exists(pubPath.getParent))
       fs.listStatus(pubPath.getParent).map(_.getPath)
@@ -1349,11 +1359,12 @@ object Etl {
       // Two-rename swap (r11, per advisor): the r10 delete→rename left
       // a window where a crash lost the ONLY copy of the table. Now
       // the published data is renamed ASIDE first — a crash between
-      // the renames leaves the table absent but recoverable from
-      // <pub>.old (and the next run's debris sweep finishes either
-      // direction). Readers can still observe the absent instant; a
-      // real table format closes that with a manifest pointer, which
-      // a filesystem cannot express.
+      // the renames leaves the table absent with the previous publish
+      // at <pub>.old, and the next run RESTORES it (the crash-restore
+      // step above) before rebuilding from the stages. Readers can
+      // still observe the absent instant; a real table format closes
+      // that with a manifest pointer, which a filesystem cannot
+      // express.
       if (fs.exists(pubPath))
         require(fs.rename(pubPath, oldPath), s"WAP publish rename-aside failed: $pubPath -> $oldPath")
       require(fs.rename(tmpPath, pubPath), s"WAP publish rename failed: $tmpPath -> $pubPath")

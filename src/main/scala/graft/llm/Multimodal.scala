@@ -264,8 +264,18 @@ object Multimodal {
     // non-ASCII document is excluded rather than silently hashed to
     // two different values (and the length-≥-min gate below counts
     // the same unit on both sides, chars == bytes).
+    //
+    // The gate is spelled ANCHOR-FREE ("contains no non-ASCII char",
+    // r12 per advisor): Java regex `$` (Spark rlike) also matches
+    // BEFORE a final line terminator — including the non-ASCII
+    // U+0085 / U+2028 / U+2029 — while DuckDB RE2 `$` is end-of-text
+    // only, so the anchored form `^[\x00-\x7F]*$` passed a doc ending
+    // in U+2028 on the Spark side but excluded it in the SQL mirror.
+    // Negation has no anchors to diverge on; both engines agree on
+    // every input (fixture doc ending in U+2028 pinned in
+    // MultimodalSpec).
     val d = Tables.load(spark, dir, "documents")
-      .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      .filter(!col("text").rlike("[^\\x00-\\x7F]"))
       .filter(length(col("text")) >= PHashMinBytes)
       .select(col("doc_id"), col("text"))
     val planted = d.filter(col("doc_id") < 10)
@@ -317,7 +327,7 @@ object Multimodal {
   private val imageDedupSql =
     s"""WITH ascii_docs AS (
        |  SELECT doc_id, text FROM documents
-       |  WHERE regexp_matches(text, '^[\\x00-\\x7F]*$$')
+       |  WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
        |    AND length(text) >= $PHashMinBytes),
        |corpus AS (
        |  SELECT doc_id, text FROM ascii_docs

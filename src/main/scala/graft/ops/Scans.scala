@@ -464,6 +464,14 @@ object Scans {
     * visible. `files_pruned` rides a broadcast scalar (kept < total),
     * never a collected list. [[scanSkippingCollectTwin]] keeps the r9
     * driver-side spelling as the equality twin (IngestSpec law). */
+  /** Fixture name keyed by the lineitem corpus FINGERPRINT, not just
+    * the sf dir name (r12, per advisor): regenerating `data/sf*` in
+    * place must invalidate the zoned layout, not silently serve the
+    * stale one. */
+  private[graft] def scanSkippingFixtureName(dir: String): String =
+    "scan_skipping_zones_" +
+      graft.core.Fixtures.corpusFingerprint(dir, "lineitem")
+
   def scanSkipping(spark: SparkSession, dir: String): DataFrame = {
     // Build-once (r11, r10 verdict "what's wrong" #2): the zoned
     // layout and its manifest are pure functions of the corpus, but
@@ -475,7 +483,7 @@ object Scans {
     // call only reads. The root _SUCCESS is touched by the body only
     // after both sub-writes finish, so `exists` means zones AND
     // manifest are complete together.
-    val fixture = "scan_skipping_zones"
+    val fixture = scanSkippingFixtureName(dir)
     graft.core.Fixtures.buildAtomic(dir, fixture) { tmp =>
       Tables.load(spark, dir, "lineitem")
         .repartitionByRange(8, col("l_shipdate"))

@@ -278,7 +278,8 @@ class IngestSpec extends AnyFunSuite {
     // fixture is now parameter-keyed build-once — a second call must
     // not touch the published files.
     ops.Scans.scanSkipping(spark, Sf).head()
-    val root = new java.io.File(core.Fixtures.path(Sf, "scan_skipping_zones"))
+    val root = new java.io.File(
+      core.Fixtures.path(Sf, ops.Scans.scanSkippingFixtureName(Sf)))
     assert(new java.io.File(root, "_SUCCESS").exists(), "completion marker missing")
     def stamp(): Map[String, Long] = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -290,5 +291,29 @@ class IngestSpec extends AnyFunSuite {
     val r = ops.Scans.scanSkipping(spark, Sf).head()
     assert(stamp() === before, "second invocation rewrote the fixture")
     assert(r.getAs[Boolean]("files_pruned"))
+  }
+
+  test("scan_skipping: regenerating the corpus invalidates the fixture (r12)") {
+    // r11 advice: the build-once fixture was keyed only by the sf dir
+    // NAME, so rewriting data/sf* in place silently served the stale
+    // zoned layout. The name now carries a corpus fingerprint (file
+    // name + length + mtime): a regenerated corpus — same rows, new
+    // files — must map to a DIFFERENT fixture, and an untouched one
+    // to the SAME fixture (stability half, or build-once dies).
+    val fp1 = ops.Scans.scanSkippingFixtureName(Sf)
+    assert(fp1 === ops.Scans.scanSkippingFixtureName(Sf),
+      "fingerprint must be deterministic for an unchanged corpus")
+    // copy the corpus and touch one file's mtime — the regeneration
+    // signature (content-identical rewrites still change mtimes)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    val src = core.Tables.load(spark, Sf, "lineitem")
+    src.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val fpA = ops.Scans.scanSkippingFixtureName(dir)
+    val part = Option(new java.io.File(s"$dir/lineitem.parquet").listFiles())
+      .get.filter(_.getName.startsWith("part-")).head
+    assert(part.setLastModified(part.lastModified() + 60000))
+    val fpB = ops.Scans.scanSkippingFixtureName(dir)
+    assert(fpA !== fpB,
+      "a regenerated corpus must produce a different fixture name")
   }
 }

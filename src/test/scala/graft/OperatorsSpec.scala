@@ -1019,6 +1019,33 @@ class OperatorsSpec extends AnyFunSuite {
       "publish did not converge after the sweep")
   }
 
+  test("etl_wap: crash BETWEEN the swap renames is restored from <pub>.old (r12)") {
+    // the r11 two-rename swap parks the previous publish at <pub>.old
+    // before renaming the new one in; a crash between the renames
+    // leaves the table ABSENT with .old holding the only copy. The
+    // r11 debris sweep deleted .old without restoring it (advisor) —
+    // the next run now renames it BACK first, so readers between the
+    // restore and the rebuilt swap see the previous publish, and the
+    // only copy of the table is never deleted.
+    etl.Etl.wap(spark, Sf).collect() // ensure a published table exists
+    val schema = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+    val pubPath = core.Fixtures.path(Sf, "etl_wap_published")
+    val before = spark.read.schema(schema).parquet(pubPath)
+      .agg(count(lit(1)), sum(col("o_totalprice"))).head()
+    // simulate the crash state: pub renamed aside, nothing renamed in
+    val pubFile = new java.io.File(pubPath)
+    val oldFile = new java.io.File(pubPath + ".old")
+    assert(pubFile.renameTo(oldFile), "test setup rename failed")
+    assert(!pubFile.exists() && oldFile.exists())
+    val out = etl.Etl.wap(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!oldFile.exists(), ".old must be consumed by restore + swap")
+    val after = spark.read.schema(schema).parquet(pubPath)
+      .agg(count(lit(1)), sum(col("o_totalprice"))).head()
+    assert(after == before, "restore + republish did not converge")
+    assert(after.getLong(0) == out("A").getAs[Long]("n_rows"))
+  }
+
   test("graph_jaccard: bounds, non-adjacency, and set-arithmetic consistency") {
     val rows = ops.Graph.jaccardNeighbors(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
