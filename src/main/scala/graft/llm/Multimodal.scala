@@ -366,9 +366,192 @@ object Multimodal {
        |WHERE bit_count(xor(ha.hash, hb.hash)) <= $PHashMaxHamming
        |${graft.core.OracleDsl.OrderAll}"""
 
+  // ——— video-level near-dup (r12, r11 verdict #8: the multimodal
+  // composition — frames → per-frame hash → doc-pair coverage) ———
+
+  /** 32-byte frames: every gated doc (≥ [[VideoMinChars]]) yields ≥ 8
+    * full frames, so coverage has a real denominator on this corpus
+    * (document lengths top out at ~560 bytes). */
+  private[graft] val VideoFrameChars = 32
+  /** Per-frame hash = 31 byte-gradient bits (bit i = byte_i >
+    * byte_{i+1}) — [[perceptualHash]]'s dHash at block size 1, where
+    * "resize to block means" degenerates to the bytes themselves.
+    * Banded 3 × 10 bits (bit 30 spare, still Hamming-verified);
+    * [[VideoMaxHamming]] < [[VideoBands]] keeps the banding
+    * recall-EXACT by the same pigeonhole as [[PHashMaxHamming]]. */
+  private[graft] val VideoBands = 3
+  private[graft] val VideoBandBits = 10
+  private[graft] val VideoMaxHamming = 2
+  private[graft] val VideoMinChars = 256
+  /** A pair is a video-level near-dup when ≥ this fraction of the
+    * SHORTER side's frames match at the same timeline position
+    * (re-encode/watermark detection is alignment-preserving). The
+    * planted every-4th-frame watermark sits at 0.714–0.833 coverage
+    * across this corpus's 8–17-frame range — above by construction. */
+  private[graft] val VideoCoverage = 0.7
+  private[graft] val VideoDupOffset = 600000000L
+
+  /** One hashed frame. */
+  final case class FrameHash(doc_id: Long, frame_idx: Int, fhash: Long)
+
+  /** Keyed corpus: gated ASCII docs ≥ [[VideoMinChars]] as stand-in
+    * video payloads, plus PLANTED derivatives of doc_id < 10 — every
+    * 4th frame (idx ≡ 2 mod 4) overwritten with 'z' bytes (a
+    * deterministic "subtitle burn-in"): the perturbed frame's bytes
+    * are constant, so its gradient hash is 0 — far from the original
+    * in Hamming — while the other 3/4 of frames stay bit-identical. */
+  private[graft] def videoCorpus(spark: SparkSession, dir: String): DataFrame = {
+    // same anchor-free ASCII gate as imageCorpus (byte i == char i ==
+    // code point i is what lets DuckDB replay the byte hash)
+    val d = Tables.load(spark, dir, "documents")
+      .filter(!col("text").rlike("[^\\x00-\\x7F]"))
+      .filter(length(col("text")) >= VideoMinChars)
+      .select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") < 10)
+      .select((col("doc_id") + VideoDupOffset).as("doc_id"),
+        expr(s"""concat(array_join(transform(
+          sequence(0, int(length(text) / $VideoFrameChars) - 1),
+          f -> IF(f % 4 = 2, repeat('z', $VideoFrameChars),
+            substring(text, f * $VideoFrameChars + 1, $VideoFrameChars))), ''),
+          substring(text, int(length(text) / $VideoFrameChars) * $VideoFrameChars + 1))""")
+          .as("text"))
+    d.unionByName(planted)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  /** Payload → one gradient hash per full [[VideoFrameChars]]-byte
+    * frame, in the same per-partition decoder pass as [[sampleFrames]]
+    * (decode + per-frame hash in one codec visit; no shuffle, one
+    * frame materialized at a time). */
+  private[graft] def frameHashes(spark: SparkSession,
+      media: DataFrame): Dataset[FrameHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, p) =>
+          val nFrames = p.length / VideoFrameChars
+          Iterator.range(0, nFrames).map { f =>
+            val off = f * VideoFrameChars
+            var h = 0L
+            var i = 0
+            while (i < VideoFrameChars - 1) {
+              if ((p(off + i) & 0xff) > (p(off + i + 1) & 0xff)) h |= 1L << i
+              i += 1
+            }
+            FrameHash(id, f, h)
+          }
+        }
+      }
+  }
+
+  /** Video-level near-duplicates — the end-to-end multimodal
+    * composition: frames → per-frame gradient hash (decode-time, no
+    * shuffle) → per-frame LSH candidates at the SAME timeline index
+    * through the capped band self-join ([[graft.core.Blocked.selfPairs]]
+    * on (frame_idx, band, value) — frame_idx in the key spreads the
+    * small 10-bit band alphabet across the timeline, and the cap
+    * bounds any boilerplate bucket) → exact per-frame Hamming verify
+    * (recall-exact banding, pigeonhole) → group matches by doc pair →
+    * coverage ≥ [[VideoCoverage]] of the shorter side's frames.
+    * MultimodalSpec pins banded ≡ brute per-frame recall and the
+    * planted-derivative coverage law. At 100 TB: 20 B/frame-hash rows,
+    * 3 band rows per frame, candidates track aligned collisions — the
+    * quadratic verify only ever sees banded survivors, never n². */
+  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+    // read by the band explode, both verify sides, and the per-doc
+    // frame counts — checkpoint so the decode pass runs once
+    val h = frameHashes(spark, videoCorpus(spark, dir))
+      .toDF().localCheckpoint()
+    val nf = h.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val bands = h.select(col("frame_idx"),
+        explode(sequence(lit(0), lit(VideoBands - 1))).as("b"),
+        col("fhash"), col("doc_id"))
+      .select(col("frame_idx"), col("b"),
+        expr(s"shiftright(fhash, b * $VideoBandBits) & ${(1 << VideoBandBits) - 1}")
+          .as("bv"),
+        col("doc_id"))
+    val cand = graft.core.Blocked
+      .selfPairs(bands, Seq("frame_idx", "b", "bv"), "doc_id",
+        graft.llm.Dedup.BandBucketCap, "doc_a", "doc_b")
+      .select(col("frame_idx"), col("doc_a"), col("doc_b")).distinct()
+    val matched = cand
+      .join(h.select(col("doc_id").as("doc_a"), col("frame_idx"),
+        col("fhash").as("_ha")), Seq("doc_a", "frame_idx"))
+      .join(h.select(col("doc_id").as("doc_b"), col("frame_idx"),
+        col("fhash").as("_hb")), Seq("doc_b", "frame_idx"))
+      .filter(expr(s"bit_count(_ha ^ _hb) <= $VideoMaxHamming"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("matched_frames"))
+    ordered(matched
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("_na")), Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("_nb")), Seq("doc_b"))
+      .withColumn("coverage", round(
+        col("matched_frames").cast("double") / least(col("_na"), col("_nb")), 6))
+      .filter(col("coverage") >= VideoCoverage)
+      .select(col("doc_a"), col("doc_b"), col("matched_frames"), col("coverage")))
+  }
+
+  private val videoDedupSql =
+    s"""WITH gated AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
+       |    AND length(text) >= $VideoMinChars),
+       |corpus AS (
+       |  SELECT doc_id, text FROM gated
+       |  UNION ALL
+       |  SELECT doc_id + $VideoDupOffset,
+       |    list_aggregate(list_transform(range(0, length(text) // $VideoFrameChars),
+       |      f -> CASE WHEN f % 4 = 2 THEN repeat('z', $VideoFrameChars)
+       |        ELSE substring(text, CAST(f * $VideoFrameChars + 1 AS INT),
+       |          $VideoFrameChars) END),
+       |      'string_agg', '') ||
+       |      substring(text,
+       |        CAST(length(text) // $VideoFrameChars * $VideoFrameChars + 1 AS INT))
+       |  FROM gated WHERE doc_id < 10),
+       |frames AS (
+       |  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       |    list_transform(regexp_split_to_array(
+       |      substring(text, CAST(f * $VideoFrameChars + 1 AS INT),
+       |        $VideoFrameChars), ''), x -> unicode(x)) AS l
+       |  FROM corpus, UNNEST(range(0, length(text) // $VideoFrameChars)) AS t(f)),
+       |h AS (
+       |  SELECT doc_id, frame_idx,
+       |    CAST(list_aggregate(list_transform(range(1, $VideoFrameChars),
+       |      i -> CASE WHEN l[CAST(i AS INT)] > l[CAST(i AS INT) + 1]
+       |        THEN CAST(1 AS BIGINT) << (CAST(i AS INT) - 1)
+       |        ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS fhash
+       |  FROM frames),
+       |nf AS (SELECT doc_id, COUNT(*) AS nf FROM h GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, frame_idx, fhash, b,
+       |    (fhash >> CAST($VideoBandBits * b AS INT)) &
+       |      ${(1 << VideoBandBits) - 1} AS bv
+       |  FROM h, UNNEST(range(0, $VideoBands)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.frame_idx, x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON y.frame_idx = x.frame_idx AND y.b = x.b AND y.bv = x.bv
+       |    AND x.doc_id < y.doc_id),
+       |m AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS matched_frames
+       |  FROM cand
+       |  JOIN h ha ON ha.doc_id = cand.doc_a AND ha.frame_idx = cand.frame_idx
+       |  JOIN h hb ON hb.doc_id = cand.doc_b AND hb.frame_idx = cand.frame_idx
+       |  WHERE bit_count(xor(ha.fhash, hb.fhash)) <= $VideoMaxHamming
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, matched_frames,
+       |  round(CAST(matched_frames AS DOUBLE) / least(na.nf, nb.nf), 6) AS coverage
+       |FROM m
+       |JOIN nf na ON na.doc_id = m.doc_a
+       |JOIN nf nb ON nb.doc_id = m.doc_b
+       |WHERE CAST(matched_frames AS DOUBLE) / least(na.nf, nb.nf) >= $VideoCoverage
+       |${graft.core.OracleDsl.OrderAll}"""
+
   val queries: Map[String, Q] = Map(
     "llm_multimodal_decode" -> Q(multimodalDecode _, multimodalDecodeSql),
     "llm_frame_sample" -> Q(frameSample _, frameSampleSql),
-    "llm_image_dedup" -> Q(imageDedup _, imageDedupSql)
+    "llm_image_dedup" -> Q(imageDedup _, imageDedupSql),
+    "llm_video_dedup" -> Q(videoDedup _, videoDedupSql)
   )
 }

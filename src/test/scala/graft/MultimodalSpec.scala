@@ -139,6 +139,73 @@ class MultimodalSpec extends AnyFunSuite {
         "passed it under the old anchored gate")
   }
 
+  test("video dedup: per-frame banded candidates ≡ brute aligned Hamming (pigeonhole)") {
+    // VideoMaxHamming (2) < VideoBands (3) ⇒ ≤2 differing banded bits
+    // leave ≥1 of the 3 bands identical (the spare bit 30 only lowers
+    // the band-diff count) — per-frame banding is recall-EXACT, so the
+    // keyed query must equal brute coverage over aligned frame pairs
+    val h = Multimodal.frameHashes(spark,
+      Multimodal.videoCorpus(spark, Sf)).collect()
+    val byDoc = h.groupBy(_.doc_id)
+      .map { case (d, fs) => d -> fs.map(f => f.frame_idx -> f.fhash).toMap }
+    val docs = byDoc.keys.toSeq.sorted
+    val brute = (for {
+      a <- docs; b <- docs if a < b
+      fa = byDoc(a); fb = byDoc(b)
+      matched = fa.count { case (idx, ha) =>
+        fb.get(idx).exists(hb =>
+          java.lang.Long.bitCount(ha ^ hb) <= Multimodal.VideoMaxHamming) }
+      cov = matched.toDouble / math.min(fa.size, fb.size)
+      if cov >= Multimodal.VideoCoverage
+    } yield (a, b, matched.toLong,
+      BigDecimal(cov).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val banded = Multimodal.videoDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "law vacuous on an empty pair set")
+  }
+
+  test("video dedup: every planted watermarked derivative is recalled with coverage in [0.7, 1)") {
+    // the every-4th-frame 'z' burn-in leaves 3/4 of frames
+    // bit-identical (coverage 0.714–0.833 on this corpus's 8–17-frame
+    // range) and makes each perturbed frame's gradient hash 0 — so the
+    // planted pair must clear the 0.7 gate WITHOUT reaching 1.0 (if it
+    // hits 1.0 the watermark never landed, e.g. a phase drift put the
+    // 'z' frames outside the doc's full-frame range)
+    val eligible = core.Tables.load(spark, Sf, "documents")
+      .filter(col("doc_id") < 10 &&
+        length(col("text")) >= Multimodal.VideoMinChars &&
+        !col("text").rlike("[^\\x00-\\x7F]"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(eligible.nonEmpty)
+    val out = Multimodal.videoDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    eligible.foreach { id =>
+      val hit = out.find(p =>
+        p._1 == id && p._2 == id + Multimodal.VideoDupOffset)
+      assert(hit.nonEmpty, s"planted derivative of doc $id not recalled")
+      assert(hit.get._3 >= Multimodal.VideoCoverage && hit.get._3 < 1.0,
+        s"planted derivative of doc $id at coverage ${hit.get._3}")
+    }
+  }
+
+  test("frame gradient hash: pinned bits, locality, and the constant-frame zero") {
+    // bit i = byte_i > byte_{i+1}; a one-byte edit can move at most
+    // its two adjacent bits (what makes the hash perceptual), and a
+    // constant frame ('z' burn-in) has no descents ⇒ hash 0
+    val frame = ("ba" * 16).getBytes("UTF-8") // descents at even i
+    def hashOf(bytes: Array[Byte]): Long = {
+      val media = Seq((1L, new String(bytes, "UTF-8"))).toDF("doc_id", "text")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.frameHashes(spark, media).collect().head.fhash
+    }
+    val base = hashOf(frame)
+    assert(base === 0x15555555L * 4 + 1) // bits 0,2,4,…,30 set
+    val edited = frame.clone(); edited(10) = 'c'.toByte
+    assert(java.lang.Long.bitCount(base ^ hashOf(edited)) <= 2)
+    assert(hashOf(Array.fill(32)('z'.toByte)) === 0L)
+  }
+
   test("jdbc source: plain and partitioned option plumbing") {
     val src = new JdbcSource("jdbc:sqlserver://host;databaseName=dw", "u", "p",
       fetchSize = 5000)

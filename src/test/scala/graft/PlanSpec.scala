@@ -440,6 +440,22 @@ class PlanSpec extends AnyFunSuite {
       s"exact Hamming verify must ride bit_count(xor):\n$p")
   }
 
+  test("llm_video_dedup: aligned band join is the CAPPED blocked shape, frame_idx in the key (r12)") {
+    // same machinery as llm_image_dedup one level down the timeline:
+    // the candidate join must carry frame_idx (alignment — and the
+    // spread that keeps the 10-bit band alphabet shuffle-safe) plus
+    // the selfPairs block ids, and stay equi-join shaped
+    val p = plan("llm_video_dedup")
+    assert(p.matches(
+      "(?s).*Join \\[frame_idx#\\d+, b#\\d+, bv#\\d+L?, _gx#\\d+L?, _gy#\\d+L?\\],.*"),
+      s"frame_idx/block ids missing from the video band join key:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"video dedup must stay equi-join shaped:\n$p")
+    assert(p.contains("bit_count"),
+      s"exact per-frame Hamming verify must ride bit_count(xor):\n$p")
+  }
+
   test("graph_jaccard: wedge join is the CAPPED blocked shape (block ids in the join key)") {
     // same pin as the band join above, same shared machinery
     // (core.Blocked.selfPairs): block ids in the join key mean a hub
