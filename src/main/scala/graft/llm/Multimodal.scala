@@ -373,14 +373,27 @@ object Multimodal {
     * full frames, so coverage has a real denominator on this corpus
     * (document lengths top out at ~560 bytes). */
   private[graft] val VideoFrameChars = 32
-  /** Per-frame hash = 31 byte-gradient bits (bit i = byte_i >
-    * byte_{i+1}) — [[perceptualHash]]'s dHash at block size 1, where
-    * "resize to block means" degenerates to the bytes themselves.
-    * Banded 3 × 10 bits (bit 30 spare, still Hamming-verified);
-    * [[VideoMaxHamming]] < [[VideoBands]] keeps the banding
-    * recall-EXACT by the same pigeonhole as [[PHashMaxHamming]]. */
+  /** Per-frame hash = 61 byte-gradient bits: bits 0–30 are the
+    * adjacent gradients (bit i = byte_i > byte_{i+1} —
+    * [[perceptualHash]]'s dHash at block size 1, where "resize to
+    * block means" degenerates to the bytes themselves) and bits
+    * 31–60 the SKIP gradients (bit 31+i = byte_i > byte_{i+2}), the
+    * standard dHash trick of adding a second gradient direction when
+    * one row of comparisons yields too few bits. The width is what
+    * makes the key scale-safe: 3 × 10-bit bands over the 31
+    * adjacent-only bits put ~n/2¹⁰ docs in every (frame, band, value)
+    * bucket — chance collisions grow n²/2¹⁰, the quadratic-in-
+    * disguise regime the adaptive SRP depth exists to kill — while
+    * 3 × 20-bit bands keep expected occupancy ≤ ~2 through the sf100
+    * rung (5M docs). Past ~10⁹ docs the next widening lives in the
+    * same direction: longer frames (64 B → 63+62 gradient bits) or
+    * band chaining on (bv_f, bv_{f+1}). Bit 60 is spare — banded
+    * nowhere, still Hamming-verified; [[VideoMaxHamming]] <
+    * [[VideoBands]] keeps the banding recall-EXACT by the same
+    * pigeonhole as [[PHashMaxHamming]] (a spare-bit diff only lowers
+    * the band-diff count). */
   private[graft] val VideoBands = 3
-  private[graft] val VideoBandBits = 10
+  private[graft] val VideoBandBits = 20
   private[graft] val VideoMaxHamming = 2
   private[graft] val VideoMinChars = 256
   /** A pair is a video-level near-dup when ≥ this fraction of the
@@ -435,8 +448,13 @@ object Multimodal {
             val off = f * VideoFrameChars
             var h = 0L
             var i = 0
-            while (i < VideoFrameChars - 1) {
+            while (i < VideoFrameChars - 1) { // adjacent gradients: bits 0–30
               if ((p(off + i) & 0xff) > (p(off + i + 1) & 0xff)) h |= 1L << i
+              i += 1
+            }
+            i = 0
+            while (i < VideoFrameChars - 2) { // skip gradients: bits 31–60
+              if ((p(off + i) & 0xff) > (p(off + i + 2) & 0xff)) h |= 1L << (31 + i)
               i += 1
             }
             FrameHash(id, f, h)
@@ -520,6 +538,10 @@ object Multimodal {
        |    CAST(list_aggregate(list_transform(range(1, $VideoFrameChars),
        |      i -> CASE WHEN l[CAST(i AS INT)] > l[CAST(i AS INT) + 1]
        |        THEN CAST(1 AS BIGINT) << (CAST(i AS INT) - 1)
+       |        ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)
+       |    + CAST(list_aggregate(list_transform(range(1, ${VideoFrameChars - 1}),
+       |      i -> CASE WHEN l[CAST(i AS INT)] > l[CAST(i AS INT) + 2]
+       |        THEN CAST(1 AS BIGINT) << (CAST(i AS INT) + 30)
        |        ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS fhash
        |  FROM frames),
        |nf AS (SELECT doc_id, COUNT(*) AS nf FROM h GROUP BY 1),

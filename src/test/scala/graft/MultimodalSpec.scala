@@ -190,19 +190,22 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("frame gradient hash: pinned bits, locality, and the constant-frame zero") {
-    // bit i = byte_i > byte_{i+1}; a one-byte edit can move at most
-    // its two adjacent bits (what makes the hash perceptual), and a
+    // bits 0–30: byte_i > byte_{i+1}; bits 31–60: byte_i > byte_{i+2}.
+    // A one-byte edit can move at most 4 bits (two adjacent + two
+    // skip gradients — what keeps the hash perceptual), and a
     // constant frame ('z' burn-in) has no descents ⇒ hash 0
-    val frame = ("ba" * 16).getBytes("UTF-8") // descents at even i
+    val frame = ("ba" * 16).getBytes("UTF-8") // adjacent descents at even i
     def hashOf(bytes: Array[Byte]): Long = {
       val media = Seq((1L, new String(bytes, "UTF-8"))).toDF("doc_id", "text")
         .withColumn("payload", encode(col("text"), "UTF-8"))
       Multimodal.frameHashes(spark, media).collect().head.fhash
     }
     val base = hashOf(frame)
-    assert(base === 0x15555555L * 4 + 1) // bits 0,2,4,…,30 set
+    // bits 0,2,4,…,30 set; every skip comparison is between equal
+    // bytes (b-vs-b, a-vs-a two apart) so bits 31–60 stay 0
+    assert(base === 0x15555555L * 4 + 1)
     val edited = frame.clone(); edited(10) = 'c'.toByte
-    assert(java.lang.Long.bitCount(base ^ hashOf(edited)) <= 2)
+    assert(java.lang.Long.bitCount(base ^ hashOf(edited)) <= 4)
     assert(hashOf(Array.fill(32)('z'.toByte)) === 0L)
   }
 
