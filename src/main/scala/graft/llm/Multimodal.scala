@@ -194,13 +194,25 @@ object Multimodal {
 
   /** 1-D "resize" target: 64 block means → 63 dHash bits. */
   private[graft] val PHashBlocks = 64
-  private[graft] val PHashBands = 7
-  private[graft] val PHashBandBits = 9 // 7 × 9 = 63 bits, hash stays positive
+  /** 3 bands × 21 bits = all 63 hash bits (r12 — was 7 × 9: the sf10
+    * full gate caught the 9-bit alphabet going quadratic, EXACTLY the
+    * regime the adaptive SRP depth kills for embeddings: a (band,
+    * value) bucket holds ~n/2⁹ docs, so chance-collision pairs grow
+    * n²·bands/2¹⁰ — ~1.8G candidates and a 40 GB shuffle spill at
+    * 500k docs, 180G pairs at 5M. At 2²¹ values a bucket holds ~2.4
+    * docs at the 5M-doc rung and candidates track true collisions
+    * again. The price is the verify threshold: recall-exactness needs
+    * MaxHamming < bands, so 6 → 2.) */
+  private[graft] val PHashBands = 3
+  private[graft] val PHashBandBits = 21
   /** Verify threshold. MaxHamming < PHashBands makes the banding
-    * recall-EXACT by pigeonhole: ≤ 6 differing bits cannot touch all
-    * 7 bands, so every true pair shares at least one band verbatim —
-    * same lossless-filter discipline as the containment prefix. */
-  private[graft] val PHashMaxHamming = 6
+    * recall-EXACT by pigeonhole: ≤ 2 differing bits cannot touch all
+    * 3 bands, so every true pair shares at least one band verbatim —
+    * same lossless-filter discipline as the containment prefix.
+    * Hamming ≤ 2 on adjacent-gradient bits = robust to ONE block edit
+    * (a block touches only its two adjacent bits) — the planted
+    * corner watermark sits at ≤ 1 by construction. */
+  private[graft] val PHashMaxHamming = 2
   private[graft] val ImageDupOffset = 500000000L // planted perturbed copies
   /** Min payload bytes: every one of the 64 blocks must be non-empty
     * (a real image pipeline resizes up; a byte payload this short is
@@ -291,14 +303,14 @@ object Multimodal {
     * this is the one for payload bytes: thumbnails, re-encodes,
     * watermarked copies). Pipeline: per-partition dHash (decode-time
     * work, no shuffle) → band the 63-bit hash into [[PHashBands]]
-    * 9-bit keys → candidates from the CAPPED band self-join
+    * 21-bit keys → candidates from the CAPPED band self-join
     * ([[graft.core.Blocked.selfPairs]], ≤ cap² rows per join group —
     * a boilerplate band bucket never becomes one straggler task) →
     * exact Hamming verify (`bit_count(xor)`) at ≤ [[PHashMaxHamming]].
     * Banding is recall-exact at this threshold (pigeonhole, see
     * [[PHashMaxHamming]]), and MultimodalSpec pins banded ≡ brute on
     * the fixture corpus plus the planted-copy recall law. At 100 TB:
-    * hashes are 16 B/row, bands shuffle 7 rows/doc, candidates scale
+    * hashes are 16 B/row, bands shuffle 3 rows/doc, candidates scale
     * with true collisions, never n². */
   def imageDedup(spark: SparkSession, dir: String): DataFrame = {
     // 16 B/row; read by the band explode and both verify sides —
@@ -352,7 +364,9 @@ object Multimodal {
        |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.j = a.j + 1
        |  GROUP BY 1),
        |bands AS (
-       |  SELECT doc_id, hash, b, (hash >> CAST(9 * b AS INT)) & 511 AS bv
+       |  SELECT doc_id, hash, b,
+       |    (hash >> CAST($PHashBandBits * b AS INT)) &
+       |      ${(1 << PHashBandBits) - 1} AS bv
        |  FROM h, UNNEST(range(0, $PHashBands)) AS t(b)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

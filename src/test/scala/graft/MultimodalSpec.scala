@@ -72,8 +72,8 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("image dedup: banded candidates ≡ brute Hamming pairs (pigeonhole law)") {
-    // MaxHamming (6) < bands (7) ⇒ ≤6 differing bits leave ≥1 of the
-    // 7 bands identical — banding is recall-EXACT, so the keyed query
+    // MaxHamming (2) < bands (3) ⇒ ≤2 differing bits leave ≥1 of the
+    // 3 bands identical — banding is recall-EXACT, so the keyed query
     // must equal the brute all-pairs Hamming filter on the fixture
     val h = Multimodal.perceptualHash(spark,
       Multimodal.imageCorpus(spark, Sf)).collect().map(r => r.doc_id -> r.hash)
