@@ -36,6 +36,11 @@ def main():
             ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}{keys}'],
             cwd="/root/repo", capture_output=True, text=True, timeout=sbt_timeout)
         sys.stdout.write("\n".join(r.stdout.splitlines()[-3:]) + "\n")
+        # persist the [verify] per-key wall-time lines (sbt stderr):
+        # BASELINE.md's big-rung tables are built from these
+        with open(f"{out_dir}/verify_log.txt", "w") as f:
+            f.write("\n".join(l for l in r.stderr.splitlines()
+                              if l.startswith("[verify]")) + "\n")
         if r.returncode != 0:
             print(r.stdout[-4000:]); print(r.stderr[-4000:])
             sys.exit(1)

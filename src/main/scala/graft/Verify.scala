@@ -9,8 +9,14 @@ object Verify {
     // passes exactly two args, so it always dumps the full inventory)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // big-rung instrument, same knob as QBench: streaming keys land in
+    // the harness's MEMORY sink, whose per-batch task results ship to
+    // the driver; at sf10 stream_session's exceed the 1g default. The
+    // driver passes no env, so its runs keep Spark's default.
     val spark = core.Sessions.build(cpus,
-      Map("spark.sql.session.timeZone" -> "UTC"))
+      Map("spark.sql.session.timeZone" -> "UTC") ++
+        sys.env.get("SPARK_GRAFT_MAX_RESULT")
+          .map("spark.driver.maxResultSize" -> _))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
