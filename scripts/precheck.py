@@ -46,6 +46,13 @@ def main():
             sys.exit(1)
 
     con = duckdb.connect()
+    # spill instead of hard-OOM: the sf10+ compares run big oracle SQL
+    # alongside a box that may still hold Spark page cache
+    tmp = f"/root/repo/target/duck_tmp_{os.getpid()}"  # per-process:
+    # two concurrent compares must not sweep each other's spill files
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET memory_limit='56GB'")
     for t in TABLES:
         # driver tables are single files; graft.ScaleUp output is a
         # Spark-style directory of part files — glob in that case, and
@@ -79,16 +86,79 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import time
+
+    # Out-of-core compare for results past the pandas memory ceiling
+    # (fn_map at sf10: 15M MAP rows -> python dicts -> tens of GB).
+    # Runs entirely inside DuckDB: schema parity from DESCRIBE (signed
+    # int widths folded like the pandas path; everything else exact),
+    # then count + an order-INSENSITIVE multiset hash of whole rows
+    # over the name-sorted columns. Weaker than the positional driver
+    # compare — acceptable only because both sides carry the same
+    # deterministic global sort, and only used above --big-rows.
+    def duck_kind(t):
+        t = t.upper()
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+            return "int64"
+        if t in ("UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            return "uint64"
+        if t in ("FLOAT", "DOUBLE"):
+            return "float64"
+        if t == "JSON":
+            return "VARCHAR"  # both land as object strings in pandas
+        return t  # HUGEINT stays distinct from int64, like the pandas path
+
+    def bigcmp(name, sql, pq):
+        ecols = {r[0]: r[1] for r in
+                 con.execute(f"DESCRIBE ({sql})").fetchall()}
+        gcols = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE (SELECT * FROM read_parquet('{pq}'))").fetchall()}
+        if sorted(ecols) != sorted(gcols):
+            return f"columns exp={sorted(ecols)} got={sorted(gcols)}"
+        bad = [(c, ecols[c], gcols[c]) for c in sorted(ecols)
+               if duck_kind(ecols[c]) != duck_kind(gcols[c])]
+        if bad:
+            c, e, g = bad[0]
+            return (f"dtype col {c}: oracle={e} spark={g} "
+                    f"({len(bad)} cols differ)")
+        cols = ", ".join(f'"{c}"' for c in sorted(ecols))
+        agg = f"SELECT count(*), sum(hash({cols}))"
+        en, eh = con.execute(f"{agg} FROM ({sql})").fetchone()
+        gn, gh = con.execute(
+            f"{agg} FROM (SELECT * FROM read_parquet('{pq}'))").fetchone()
+        if en != gn:
+            return f"rows exp={en} got={gn}"
+        if eh != gh:
+            return f"multiset row-hash mismatch over {en} rows"
+        return en  # pass: row count
+
+    big_rows = 8_000_000
+    for a in sys.argv[1:]:
+        if a.startswith("--big-rows="):
+            big_rows = int(a.split("=")[1])
+
     for name in sorted(oracle):
         if only and name not in only:
             continue
         try:
-            _t0 = time.time()
-            exp = con.execute(oracle[name]).fetchdf()
-            _duck_s = time.time() - _t0
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
             if not files:
                 print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            pq = f"{out_dir}/{name}/*.parquet"
+            n_spark = con.execute(
+                f"SELECT count(*) FROM read_parquet('{pq}')").fetchone()[0]
+            if n_spark > big_rows:
+                _t0 = time.time()
+                r = bigcmp(name, oracle[name], pq)
+                if isinstance(r, int):
+                    print(f"PASS {name} ({r} rows) [bighash "
+                          f"{time.time() - _t0:.1f}s]")
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name}: {r}"); n_fail += 1
+                continue
+            _t0 = time.time()
+            exp = con.execute(oracle[name]).fetchdf()
+            _duck_s = time.time() - _t0
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
             ).fetchdf()

@@ -447,8 +447,15 @@ object Etl {
       .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
         lit(null).cast("string").as("c_mktsegment"),
         lit(2L).as("_seq"), lit("D").as("_op"))
+    // insert keys live OUTSIDE any rung's keyspace: at sf10 the corpus
+    // passes 1M customers, so a +1e6 offset collided with real keys and
+    // gave the collided key two _seq=1 rows ('CDC-U' update + 'CDC-I'
+    // insert) — a row_number tie the two engines broke differently
+    // (caught by the full sf10 hash gate; 4,476 diverging rows). A real
+    // CDC feed never emits two ops for one key at one sequence number,
+    // so the fixture must keep (key, _seq) unique at every scale.
     val inserts = base.filter(col("c_custkey") % 11 === 0)
-      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+      .select((col("c_custkey") + 10000000000L).as("c_custkey"),
         concat(lit("NEW-"), col("c_name")).as("c_name"),
         lit("CDC-I").as("c_mktsegment"),
         lit(1L).as("_seq"), lit("U").as("_op"))
@@ -473,7 +480,7 @@ object Etl {
        |  UNION ALL
        |  SELECT c_custkey, NULL, NULL, 2, 'D' FROM customer WHERE c_custkey % 7 = 0
        |  UNION ALL
-       |  SELECT c_custkey + 1000000, 'NEW-' || c_name, 'CDC-I', 1, 'U'
+       |  SELECT c_custkey + 10000000000, 'NEW-' || c_name, 'CDC-I', 1, 'U'
        |  FROM customer WHERE c_custkey % 11 = 0),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn

@@ -1142,7 +1142,21 @@ object Similarity {
   private val PqM = 8 // subspaces (codes bytes per vector)
   private val PqK = 256 // centroids per subspace (8-bit codes)
   private val PqIters = 3 // Lloyd rounds (fixed → deterministic)
-  private val PqShortlist = 50 // ADC shortlist per probe, reranked exactly
+  private val PqShortlist = 50 // ADC shortlist floor per probe
+
+  /** Rerank depth must GROW with the corpus: the codebooks fix the ADC
+    * distortion ε, and the number of corpus vectors whose true score
+    * lies within ε of the exact top-5 boundary grows ∝ n (density × ε),
+    * so a fixed shortlist's recall decays with every decade — measured
+    * at the 200k-vector rung, where the fixed-50 shortlist dropped
+    * probe recall below the 0.6 pin that every smaller rung clears
+    * (the full sf10 hash gate caught it, r12). n/1000 keeps the exact
+    * rerank at 0.1% of an exact scan — the same pinned-recall-vs-
+    * scaling trade as the adaptive IVF-K and SRP-bit ladders; faiss
+    * instead fixes k_factor and lets recall drift, which a pinned
+    * recall_ge_bound column cannot do. */
+  private[graft] def pqShortlistFor(n: Long): Int =
+    math.max(PqShortlist, (n / 1000L).toInt)
 
   /** Per-subspace codebooks trained on the SAME deterministic
     * driver-collected sample as the IVF quantizer (the [[IvfTrainSample]]
@@ -1321,11 +1335,12 @@ object Similarity {
     * `scored` must carry (probe_id, vec_id, adc). */
   private def adcShortlistRerank(spark: SparkSession, dir: String,
       scored: DataFrame): DataFrame = {
+    val depth = pqShortlistFor(emb(spark, dir).count())
     val wShort = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     val shortlist = scored
       .withColumn("srn", row_number().over(wShort))
-      .filter(col("srn") <= PqShortlist)
+      .filter(col("srn") <= depth)
       .select(col("probe_id"), col("vec_id"))
     // exact rerank of the tiny shortlist: fetch raw vectors for the
     // ≤ 10×PqShortlist candidates, score true cosine

@@ -1159,7 +1159,10 @@ object Streaming {
     * correctness claim of incremental materialization. */
   def cdcApplyStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fixture = "cdc_stream_src"
+    // parameter-keyed on the change-set's insert offset (1e10): the
+    // fixture derives from cdcChangeSet, so a derivation change must
+    // invalidate it (the scan_skipping staleness lesson, r11 ADVICE)
+    val fixture = "cdc_stream_src_o1e10"
     val path = graft.core.Fixtures.path(dir, fixture)
     graft.core.Fixtures.buildAtomic(dir, fixture) { tmpPath =>
       val all = graft.etl.Etl.cdcChangeSet(spark, dir)

@@ -590,6 +590,20 @@ class LlmSpec extends AnyFunSuite {
     info(f"recall: IVF $rIvf%.2f, IVF-PQ $rIvfPq%.2f")
   }
 
+  test("pqShortlistFor: floor of 50, then a constant 0.1% of the corpus") {
+    // fixed codebooks fix the ADC distortion ε, and the vectors within
+    // ε of the true top-5 boundary grow ∝ n — so pinned recall needs a
+    // rerank depth that scales. The sf10 full gate caught the fixed-50
+    // shortlist dropping below the 0.6 recall pin at 200k vectors.
+    assert(llm.Similarity.pqShortlistFor(550) == 50)
+    assert(llm.Similarity.pqShortlistFor(20050) == 50)
+    assert(llm.Similarity.pqShortlistFor(200050) == 200)
+    assert(llm.Similarity.pqShortlistFor(2000050) == 2000)
+    val ns = Seq(1L, 500L, 50000L, 500000L, 5000000L)
+    assert(ns.map(llm.Similarity.pqShortlistFor) == ns.map(llm.Similarity.pqShortlistFor).sorted,
+      "rerank depth must be monotone in corpus size")
+  }
+
   test("PQ ADC error is bounded by the quantization error (Cauchy–Schwarz)") {
     // on the REAL persisted artifacts: for unit q and unit x,
     // |dot(q,x) − ADC(q,codes(x))| = |dot(q, x − recon(x))| ≤ ‖x − recon(x)‖
