@@ -6,9 +6,12 @@ Usage: python3 scripts/precheck.py [sfDir] [outDir] [--skip-verify] [keys...]
 1. runs `sbt runMain graft.Verify <sfDir> <outDir>` (unless --skip-verify)
 2. registers the ten parquet tables as DuckDB views
 3. for each query in oracle_sql.json: runs the SQL, loads our parquet,
-   sorts columns by name (driver behavior), compares exactly.
+   sorts columns by name (driver behavior), compares exactly — except
+   keys above --big-rows, which use an order-INSENSITIVE multiset row
+   hash plus a positional first/last-K spot check (marked
+   "[order-insensitive]" in the output; see bigcmp).
 """
-import json, subprocess, sys, glob, os
+import json, shutil, subprocess, sys, glob, os
 
 import duckdb
 import pandas as pd
@@ -37,7 +40,11 @@ def main():
             cwd="/root/repo", capture_output=True, text=True, timeout=sbt_timeout)
         sys.stdout.write("\n".join(r.stdout.splitlines()[-3:]) + "\n")
         # persist the [verify] per-key wall-time lines (sbt stderr):
-        # BASELINE.md's big-rung tables are built from these
+        # BASELINE.md's big-rung tables are built from these.
+        # makedirs first: if sbt died before graft.Verify created
+        # out_dir (e.g. a compile error), the open() below would raise
+        # FileNotFoundError and mask the real sbt output printed next.
+        os.makedirs(out_dir, exist_ok=True)
         with open(f"{out_dir}/verify_log.txt", "w") as f:
             f.write("\n".join(l for l in r.stderr.splitlines()
                               if l.startswith("[verify]")) + "\n")
@@ -49,8 +56,20 @@ def main():
     # spill instead of hard-OOM: the sf10+ compares run big oracle SQL
     # alongside a box that may still hold Spark page cache
     tmp = f"/root/repo/target/duck_tmp_{os.getpid()}"  # per-process:
-    # two concurrent compares must not sweep each other's spill files
+    # two concurrent compares must not sweep each other's spill files.
+    # Opportunistic sweep of dirs whose owning PID is dead — the r12
+    # sf10 runs died on ENOSPC and left their spill behind (~30 stale
+    # dirs), and PID keying means nobody else could safely remove them.
+    for stale in glob.glob("/root/repo/target/duck_tmp_*"):
+        pid = stale.rsplit("_", 1)[-1]
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
+    # always remove our own spill dir — atexit fires on normal exit,
+    # sys.exit, and uncaught exceptions (a SIGKILL'd run is caught by
+    # the dead-PID sweep above on the next invocation)
+    import atexit
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     con.execute(f"SET temp_directory='{tmp}'")
     con.execute("SET memory_limit='56GB'")
     for t in TABLES:
@@ -92,17 +111,22 @@ def main():
     # Runs entirely inside DuckDB: schema parity from DESCRIBE (signed
     # int widths folded like the pandas path; everything else exact),
     # then count + an order-INSENSITIVE multiset hash of whole rows
-    # over the name-sorted columns. Weaker than the positional driver
-    # compare — acceptable only because both sides carry the same
-    # deterministic global sort, and only used above --big-rows.
+    # over the name-sorted columns, PLUS a positional first/last-K
+    # spot check (both sides carry the same deterministic global sort;
+    # the spot check verifies that claim instead of assuming it — an
+    # ordering regression in exactly the biggest keys would otherwise
+    # pass here and only fail at the driver). Only used above
+    # --big-rows; output carries an explicit [order-insensitive] tag.
     def duck_kind(t):
         t = t.upper()
         if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
             return "int64"
         if t in ("UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
             return "uint64"
-        if t in ("FLOAT", "DOUBLE"):
-            return "float64"
+        # FLOAT stays distinct from DOUBLE: DuckDB hash(FLOAT) !=
+        # hash(DOUBLE) for equal values, and the pandas path reds
+        # float32-vs-float64 — folding here turned a dtype diagnosis
+        # into an opaque row-hash mismatch.
         if t == "JSON":
             return "VARCHAR"  # both land as object strings in pandas
         return t  # HUGEINT stays distinct from int64, like the pandas path
@@ -129,6 +153,31 @@ def main():
             return f"rows exp={en} got={gn}"
         if eh != gh:
             return f"multiset row-hash mismatch over {en} rows"
+        # Positional spot check: first/last K rows compared exactly.
+        # DuckDB preserves a subquery's ORDER BY through a bare
+        # SELECT..LIMIT wrapper (preserve_insertion_order default), and
+        # read_parquet preserves file order, so LIMIT/OFFSET slices are
+        # positional on both sides — same property the <big-rows pandas
+        # path relies on for the whole result.
+        K = 1000
+        for off in sorted({0, max(0, en - K)}):
+            exp = con.execute(
+                f"SELECT * FROM ({sql}) LIMIT {K} OFFSET {off}").fetchdf()
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{pq}') "
+                f"LIMIT {K} OFFSET {off}").fetchdf()
+            exp = exp[sorted(exp.columns)]
+            got = got[sorted(got.columns)]
+            for c in exp.columns:
+                e, g = exp[c], got[c]
+                try:
+                    eq = (e == g) | (e.isna() & g.isna())
+                except Exception:
+                    eq = e.astype(str) == g.astype(str)
+                if not eq.all():
+                    i = int((~eq).idxmax())
+                    return (f"order spot-check col {c} row {off + i}: "
+                            f"oracle={e.iloc[i]!r} spark={g.iloc[i]!r}")
         return en  # pass: row count
 
     big_rows = 8_000_000
@@ -150,7 +199,8 @@ def main():
                 _t0 = time.time()
                 r = bigcmp(name, oracle[name], pq)
                 if isinstance(r, int):
-                    print(f"PASS {name} ({r} rows) [bighash "
+                    print(f"PASS {name} ({r} rows) [order-insensitive "
+                          f"bighash + first/last-K positional, "
                           f"{time.time() - _t0:.1f}s]")
                     n_pass += 1
                 else:

@@ -216,7 +216,7 @@ object Bench {
         if (tot > 0) 100.0 * d(7) / tot else -1.0
       } else -1.0
     }
-    def metaWith(errsJson: String) = s""""sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errsJson,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended,"stream_sink":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory")}","state_store":"${sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default")}","scratch_warn":$scratchWarn"""
+    def metaWith(errsJson: String) = s""""sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errsJson,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended,"stream_sink":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory")}","state_store":"${sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default")}","scratch_warn":$scratchWarn,"ckpt":"${if (sys.env.contains("SPARK_GRAFT_CHECKPOINT_DIR")) "reliable" else "local"}""""
     val meta = metaWith(errs)
     // stdout meta must be BOUNDED (r12, per advisor): errs is
     // unbounded (~170 chars per failing key), so with many errors even

@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.Lineage.LineageCutOps
 import org.apache.spark.sql.functions._
 
 /** One-shot JDBC parallelism measurement (r10, r9 verdict #7): writes
@@ -22,7 +23,7 @@ object JdbcBench {
     val url = s"jdbc:derby:$dbDir;create=true"
     val orders = core.Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .localCheckpoint() // time JDBC IO, not the parquet scan
+      .lineageCut() // time JDBC IO, not the parquet scan
     val n = orders.count()
     val bounds = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
     def timed(body: => Unit): Double = {

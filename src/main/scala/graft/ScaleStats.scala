@@ -1,4 +1,5 @@
 package graft
+import graft.core.Lineage.LineageCutOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -46,7 +47,7 @@ object ScaleStats {
       val cc = llm.Dedup.containmentCorpus(spark, dir)
       // same 8-byte shingle fingerprint the keyed query carries (r8)
       val csh = llm.Dedup.fingerprinted(llm.Dedup.shinglesOf(spark, cc))
-        .localCheckpoint()
+        .lineageCut()
       // plain-prefix count keeps the r9 series comparable; the
       // positional count is what the r10 keyed query actually verifies
       // (PPJoin positional filter — the verify-exchange cut)

@@ -1,4 +1,5 @@
 package graft
+import graft.core.Lineage.LineageCutOps
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -32,7 +33,7 @@ object Verify {
         // so the ordered() global sort — which the driver's row-order-
         // sensitive compare depends on — survives, and the one write
         // task streams rows instead of computing them.
-        fn(spark, sfDir).localCheckpoint().coalesce(1).write.mode("overwrite")
+        fn(spark, sfDir).lineageCut().coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // per-key wall time on stderr: the big-rung gates pick their
         // key lists from these lines (r10)

@@ -16,8 +16,15 @@ object Sessions {
   val ExtensionsClass = "graft.plans.GraftExtensions"
 
   def build(cpus: String, extra: Map[String, String] = Map.empty): SparkSession = {
+    // local[n, 4]: FOUR task attempts instead of local mode's
+    // fail-fast single attempt. A contended box can fail one task
+    // transiently (GC stall, fetch hiccup) — with maxFailures=1 that
+    // killed the whole query (BENCH_r12's lone graph_pagerank
+    // STAGE_MATERIALIZATION failure); retries cost nothing when no
+    // task fails, and every query here is deterministic and
+    // side-effect-free per task, so a re-run is always safe.
     val b = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$cpus,4]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", ExtensionsClass)
       .config("spark.ui.enabled", "false")

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Lineage.LineageCutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -430,7 +431,7 @@ object Curation {
     // assignment provable rather than dependent on exchange reuse.
     val parted = d.repartitionByRange(16, col("doc_id"))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .lineageCut()
     // exclusive running sum within each range partition
     val localW = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -599,7 +600,7 @@ object Curation {
       .join(broadcast(benchNorms), Seq("_norm"), "left_outer")
       .withColumn("is_member", col("_bm").isNotNull)
       .withColumn("_bloom_hit", hit(col("_norm")))
-      .localCheckpoint() // one probe pass feeds both the rows and the audit agg
+      .lineageCut() // one probe pass feeds both the rows and the audit agg
     val audit = probed.agg(
       max(when(col("is_member") && !col("_bloom_hit"), 1).otherwise(0)).as("_fn"),
       (sum(when(!col("is_member") && col("_bloom_hit"), 1L).otherwise(0L)) /
@@ -644,7 +645,7 @@ object Curation {
         md5(concat(lit("epoch0:"), col("doc_id").cast("string"))))
       .repartitionByRange(16, col("_k"), col("doc_id"))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint() // pin partition ids across the two branches
+      .lineageCut() // pin partition ids across the two branches
     val localW = Window.partitionBy(col("_pid"))
       .orderBy(col("_k"), col("doc_id"))
     val bases = keyed.groupBy(col("_pid")).agg(count(lit(1)).as("_ptot"))

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Lineage.LineageCutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,7 +143,7 @@ object Dedup {
     // twice (once to derive the candidate DOC ID filter, once as the
     // pair probe) — unmaterialized, each read would re-run the blocked
     // band join.
-    val cand = bandPairs(bands).localCheckpoint()
+    val cand = bandPairs(bands).lineageCut()
 
     // verify input: shingle sets of CANDIDATE DOCS ONLY, with the cut
     // applied to the docs themselves (broadcast semi-join ahead of the
@@ -158,7 +159,7 @@ object Dedup {
     // round 2 checkpointed through ordered()'s global sort, which
     // materialized the sort itself into block storage and cost a
     // reproduced ~1.6× slowdown (round-2 verdict finding #2).
-    verifyJaccard(cand, shCand, JaccardThreshold).localCheckpoint()
+    verifyJaccard(cand, shCand, JaccardThreshold).lineageCut()
   }
 
   /** Build-once near-dup pair set for the DERIVED ops
@@ -309,7 +310,7 @@ object Dedup {
     // shingle rows across the verify
     val batchSh = shinglesOf(spark, batch)
     val batchBands = minhashBands(batchSh)
-    val cand = incrementalCandidates(batchBands, index).localCheckpoint()
+    val cand = incrementalCandidates(batchBands, index).lineageCut()
     // verify: batch shingles are in hand; only candidate CORPUS docs
     // are re-shingled (a bounded set — in production these doc reads
     // are the index's payload column)
@@ -374,7 +375,7 @@ object Dedup {
     }
     sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-      .localCheckpoint()
+      .lineageCut()
   }
 
   /** Max docs per block in the blocked band self-join — bounds any
@@ -489,7 +490,7 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     // checkpoint before any sort (see nearDedup): the pair set is tiny.
-    val out = jac.localCheckpoint()
+    val out = jac.lineageCut()
     sh.unpersist()
     out
   }
@@ -551,7 +552,7 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band_idx", "chunk")))
-      .localCheckpoint()
+      .lineageCut()
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.chunk") === col("y.chunk") &&
@@ -601,7 +602,7 @@ object Dedup {
     // the real pipeline over corpus ∪ planted; pairs is small (planted
     // + true near-dups), localCheckpoint'ed so the three flag joins
     // below don't re-run the band join each
-    val pairs = simhashPairs(corpus).localCheckpoint()
+    val pairs = simhashPairs(corpus).lineageCut()
     val zeroPairs = pairs.filter(col("hamming") === 0)
       .select(col("doc_a"), col("doc_b"))
 
@@ -741,7 +742,7 @@ object Dedup {
     // if both colliding shingles meet inside one candidate pair's
     // sets (~1e-16 per pair) — the standard fingerprinting trade
     // (Broder, SEQUENCES '97), accepted by every production near-dup.
-    val sh = fingerprinted(shinglesOf(spark, d, shingleK)).localCheckpoint()
+    val sh = fingerprinted(shinglesOf(spark, d, shingleK)).lineageCut()
     val cand = (if (prefixFilter) {
       prefixCandidates(sh, thrNum, thrDen)
     } else {
@@ -1062,7 +1063,7 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val verts = edges.select(col("doc_a").as("id")).distinct()
-    var labels = verts.withColumn("lbl", col("id")).localCheckpoint()
+    var labels = verts.withColumn("lbl", col("id")).lineageCut()
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var lblSum = labelSum(labels)
@@ -1090,7 +1091,7 @@ object Dedup {
           least(col("lbl"), coalesce(col("_lbl2"), col("lbl"))).as("lbl"))
         // localCheckpoint: materialize + truncate lineage so round N+1
         // doesn't replay rounds 1..N
-        .localCheckpoint()
+        .lineageCut()
       val nextSum = labelSum(jumped)
       labels = jumped
       converged = nextSum == lblSum
@@ -1159,7 +1160,7 @@ object Dedup {
     val e = op.as("x").join(op.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-      .localCheckpoint()
+      .lineageCut()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),

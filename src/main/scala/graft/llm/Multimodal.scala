@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Lineage.LineageCutOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
@@ -316,7 +317,7 @@ object Multimodal {
     // 16 B/row; read by the band explode and both verify sides —
     // checkpoint so the decode pass runs once
     val h = perceptualHash(spark, imageCorpus(spark, dir))
-      .toDF().localCheckpoint()
+      .toDF().lineageCut()
     val bands = h.select(col("doc_id"),
         explode(sequence(lit(0), lit(PHashBands - 1))).as("b"),
         col("hash"))
@@ -481,8 +482,11 @@ object Multimodal {
     * composition: frames → per-frame gradient hash (decode-time, no
     * shuffle) → per-frame LSH candidates at the SAME timeline index
     * through the capped band self-join ([[graft.core.Blocked.selfPairs]]
-    * on (frame_idx, band, value) — frame_idx in the key spreads the
-    * small 10-bit band alphabet across the timeline, and the cap
+    * on (frame_idx, band, value) — [[VideoBands]]×[[VideoBandBits]]
+    * = 3×20-bit bands (widened from 3×10 when the sf10 gate caught the
+    * narrow alphabet's n²/2¹⁰ chance collisions; keep these two
+    * constants and this sentence in sync), frame_idx in the key
+    * spreads each band's alphabet across the timeline, and the cap
     * bounds any boilerplate bucket) → exact per-frame Hamming verify
     * (recall-exact banding, pigeonhole) → group matches by doc pair →
     * coverage ≥ [[VideoCoverage]] of the shorter side's frames.
@@ -494,7 +498,7 @@ object Multimodal {
     // read by the band explode, both verify sides, and the per-doc
     // frame counts — checkpoint so the decode pass runs once
     val h = frameHashes(spark, videoCorpus(spark, dir))
-      .toDF().localCheckpoint()
+      .toDF().lineageCut()
     val nf = h.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val bands = h.select(col("frame_idx"),
         explode(sequence(lit(0), lit(VideoBands - 1))).as("b"),

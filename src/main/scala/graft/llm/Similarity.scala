@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Lineage.LineageCutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,6 +31,18 @@ import graft.functions.DotProduct
 object Similarity {
 
   private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** Corpus row count memoized per scale dir: the adaptive ladders
+    * (IVF-K, SRP bits, PQ shortlist depth, knn-K) all key off n, and
+    * several query paths consult it — one Spark count job per dir per
+    * JVM instead of one per invocation (the r12 advice flagged
+    * adcShortlistRerank re-counting on every call). The table is
+    * immutable per dir, so the memo can never go stale. */
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCount(s: SparkSession, d: String): Long =
+    embCountCache.computeIfAbsent(d,
+      _ => java.lang.Long.valueOf(emb(s, d).count())).longValue()
 
   /** Sequential-order dot product of two float vectors in double math —
     * mirrors the oracle's list_dot_product over DOUBLE[] casts. The
@@ -184,7 +197,7 @@ object Similarity {
     val exact = pairs(simsearch(spark, dir))       // tiny: 10 probes × 5
     // one banding pass: the tagged candidate set feeds the bound
     // counts AND the scoring join (checkpointed — it's pairs-sized)
-    val tagged = simsearchCandidatesTagged(spark, dir).localCheckpoint()
+    val tagged = simsearchCandidatesTagged(spark, dir).lineageCut()
     val cRow = tagged
       .agg(sum(col("_direct")).as("single"), count(lit(1)).as("multi")).head()
     val (cSingle, cMulti) = (cRow.getLong(0), cRow.getLong(1))
@@ -221,7 +234,7 @@ object Similarity {
     // banded once, reused by the probe side (see cosineBandCandidates)
     val banded = emb(spark, dir).select(col("vec_id"),
       posexplode(bandsOf(col("embedding"))).as(Seq("band_idx", "bucket")))
-      .localCheckpoint()
+      .lineageCut()
     val probeBase = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("band_idx"), col("bucket"))
     val probeBands =
@@ -247,7 +260,7 @@ object Similarity {
     // banded once, reused by the probe side (see cosineBandCandidates)
     val banded = emb(spark, dir).select(col("vec_id"),
       posexplode(bandsOf(col("embedding"))).as(Seq("band_idx", "bucket")))
-      .localCheckpoint()
+      .lineageCut()
     val probeBands = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("band_idx"),
         posexplode(array(col("bucket") +: (0 until SimBandBits).map(j =>
@@ -415,7 +428,7 @@ object Similarity {
       .withColumn("q", transform(col("embedding"),
         x => round(x.cast("double") / col("nrm") * IvfFixedPoint).cast("long")))
       .select(col("vec_id"), col("embedding"), col("q"))
-      .localCheckpoint()
+      .lineageCut()
     val dim = unit.select(size(col("q"))).head.getInt(0)
     var cents = unit.orderBy(col("vec_id")).limit(k)
       .select(col("q")).collect()
@@ -678,7 +691,7 @@ object Similarity {
     val exact = pairs(simsearch(spark, dir))
     val ivf = pairs(simsearchIvfTopK(spark, dir))
     val recall = (exact & ivf).size.toDouble / exact.size
-    val n = emb(spark, dir).count()
+    val n = embCount(spark, dir)
     val cand = simsearchIvfCandidates(spark, dir).count()
     val frac = cand.toDouble / (10.0 * (n - 1))
     spark.range(1).select(
@@ -826,7 +839,7 @@ object Similarity {
     // materialize the (tiny) candidate set once: the selectivity count
     // and the verify join read the same blocks
     val cand = cosineBandCandidates(e, srpBitsFor(nRows), DedupBands)
-      .localCheckpoint()
+      .lineageCut()
     cosineVerify(e, cand, DedupThreshold)
       .withColumn("cand_frac_lt_20pct",
         lit(cand.count().toDouble < 0.2 * nPairs))
@@ -877,7 +890,7 @@ object Similarity {
     // join against the stored bands.
     val banded = e0.select(col("vec_id").as("doc_id"),
       posexplode(bandsOf(col("embedding"))).as(Seq("band_idx", "band_hash")))
-      .localCheckpoint()
+      .lineageCut()
     Dedup.bandPairs(banded)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
   }
@@ -1303,17 +1316,19 @@ object Similarity {
     (adc, array(probeVecs.map(p => lit(p._1)).toIndexedSeq: _*))
   }
 
-  /** ADC top-[[PqShortlist]] + exact rerank to top-5 — the full PQ
-    * query pipeline. Asymmetric distance: each probe precomputes a
-    * PqM×PqK lookup table of subspace dots against the codebooks
-    * (driver-side, KBs, rides the UDF closure = broadcast), so scoring
-    * a corpus vector is PqM table lookups over its byte codes — the
-    * scan never touches a float vector. The shortlist (10×[[PqShortlist]]
-    * rows) then joins back to the raw embeddings for EXACT cosine
-    * rerank. At 100 TB: first pass reads the 8-byte-per-vector codes
-    * table (32× less I/O than raw), zero shuffle until the
-    * per-probe TakeOrdered; rerank touches [[PqShortlist]] vectors per
-    * probe regardless of corpus size. */
+  /** ADC shortlist + exact rerank to top-5 — the full PQ query
+    * pipeline. Asymmetric distance: each probe precomputes a PqM×PqK
+    * lookup table of subspace dots against the codebooks (driver-side,
+    * KBs, rides the UDF closure = broadcast), so scoring a corpus
+    * vector is PqM table lookups over its byte codes — the scan never
+    * touches a float vector. The shortlist (10 probes ×
+    * [[pqShortlistFor]](n) rows — ADAPTIVE, n/1000 past the 50 floor;
+    * see that method for why fixed depth broke at sf10) then joins
+    * back to the raw embeddings for EXACT cosine rerank. At 100 TB:
+    * first pass reads the 8-byte-per-vector codes table (32× less I/O
+    * than raw), zero shuffle until the per-probe TakeOrdered; the
+    * exact rerank touches 0.1% of the corpus — constant FRACTION, not
+    * constant count. */
   private[graft] def simsearchPqTopK(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
     val cbs = trainedPq(spark, dir)
@@ -1330,25 +1345,36 @@ object Similarity {
   }
 
   /** Shared tail of both PQ query paths: per-probe ADC shortlist
-    * ([[PqShortlist]]-deep, map-side WindowGroupLimit heaps) → exact
-    * cosine rerank of the ≤ probes×[[PqShortlist]] candidates → top-5.
-    * `scored` must carry (probe_id, vec_id, adc). */
+    * ([[pqShortlistFor]](n)-deep — adaptive, n/1000 past the 50 floor —
+    * map-side WindowGroupLimit heaps) → exact cosine rerank of the
+    * ≤ 10 probes × depth candidates (0.1% of the corpus) → top-5.
+    * `scored` must carry (probe_id, vec_id, adc). The rerank joins the
+    * shortlist back to the raw vectors: broadcast while 10×n/1000 rows
+    * stay driver-tiny (≤ [[PqBroadcastShortlistMax]]), a plain
+    * shuffled equi-join past that — at 1B vectors the shortlist is
+    * 10M rows, a fine shuffle key but not a fine broadcast. */
+  private[graft] val PqBroadcastShortlistMax = 2000000L
+
   private def adcShortlistRerank(spark: SparkSession, dir: String,
       scored: DataFrame): DataFrame = {
-    val depth = pqShortlistFor(emb(spark, dir).count())
+    val n = embCount(spark, dir)
+    val depth = pqShortlistFor(n)
     val wShort = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
-    val shortlist = scored
+    val shortlist0 = scored
       .withColumn("srn", row_number().over(wShort))
       .filter(col("srn") <= depth)
       .select(col("probe_id"), col("vec_id"))
-    // exact rerank of the tiny shortlist: fetch raw vectors for the
-    // ≤ 10×PqShortlist candidates, score true cosine
+    val shortlist =
+      if (10L * depth <= PqBroadcastShortlistMax) broadcast(shortlist0)
+      else shortlist0
+    // exact rerank of the shortlist: fetch raw vectors for the
+    // ≤ 10×depth candidates, score true cosine
     val probeDf = emb(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         norm("embedding").as("probe_nrm"))
     val rerank = emb(spark, dir)
-      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(shortlist, Seq("vec_id"))
       .join(broadcast(probeDf), Seq("probe_id"))
       .withColumn("score",
         round6(dot("probe_emb", "embedding") / (col("probe_nrm") * norm("embedding"))))
@@ -1443,7 +1469,7 @@ object Similarity {
     val exact = pairs(simsearch(spark, dir))
     val ivfpq = pairs(simsearchIvfPqTopK(spark, dir))
     val recall = (exact & ivfpq).size.toDouble / exact.size
-    val n = emb(spark, dir).count()
+    val n = embCount(spark, dir)
     val cand = simsearchIvfCandidates(spark, dir).count()
     val frac = cand.toDouble / (10.0 * (n - 1))
     spark.range(1).select(
@@ -1540,7 +1566,7 @@ object Similarity {
     // (r8 advice: knnJoin counted the embeddings table once for n and
     // then this default path re-counted it to derive the same K)
     knnJoinCandidatesAt(spark, dir, nProbe,
-      kOpt.getOrElse(knnKFor(emb(spark, dir).count())))
+      kOpt.getOrElse(knnKFor(embCount(spark, dir))))
 
   /** Candidates at an EXPLICIT cell count — [[ScaleStats]] uses this to
     * measure the fixed-K quadratic control next to the adaptive path. */
@@ -1636,7 +1662,7 @@ object Similarity {
     val n = e.count()
     val k = knnKFor(n)
     val nCand = knnCandidateCount(spark, dir, k)
-    val knn = knnJoinEdges(spark, dir, KnnProbes, Some(k)).localCheckpoint()
+    val knn = knnJoinEdges(spark, dir, KnnProbes, Some(k)).lineageCut()
     val nEdges = knn.count()
     val slice = e.orderBy(col("vec_id")).limit(KnnSliceN)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -1717,7 +1743,7 @@ object Similarity {
     val cands = relScored
       .orderBy(col("rel").desc, col("vec_id").asc).limit(MmrCands)
       .select(col("vec_id"), col("rel"), col("embedding"), col("nrm"))
-      .localCheckpoint()
+      .lineageCut()
     val x = cands.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
       col("nrm").as("a_nrm"))
     val y = cands.select(col("vec_id").as("b"), col("embedding").as("b_emb"),

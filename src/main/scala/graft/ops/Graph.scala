@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Lineage.LineageCutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
@@ -50,7 +51,7 @@ object Graph {
     val n = deg.count() // scalar: number of nodes
     val base = (Scale * 15L / 100L) / n // (1-d)/n, scaled, exact
     // static out-share side: every edge with its source's out-degree
-    val ed = e.join(deg, "src").localCheckpoint()
+    val ed = e.join(deg, "src").lineageCut()
     var r = deg.select(col("src").as("v"), lit(Scale / n).as("r"))
     for (_ <- 1 to iters) {
       r = ed.join(r, ed("src") === r("v"))
@@ -59,7 +60,7 @@ object Graph {
         .agg(sum(col("c")).as("sc"))
         .select(col("dst").as("v"),
           (lit(base) + expr("(85 * sc) div 100")).as("r"))
-        .localCheckpoint()
+        .lineageCut()
     }
     r
   }
@@ -77,7 +78,7 @@ object Graph {
         col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .lineageCut()
   }
 
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
@@ -143,13 +144,13 @@ object Graph {
     * (v) seed set — exposed for PropertySpec chains/rings where the
     * cap genuinely truncates. Returns (v, d), d = min hops ≤ cap. */
   private[graft] def bfsIterations(e: DataFrame, seeds: DataFrame, cap: Int): DataFrame = {
-    var dist = seeds.select(col("v"), lit(0).as("d")).localCheckpoint()
+    var dist = seeds.select(col("v"), lit(0).as("d")).lineageCut()
     for (r <- 1 to cap) {
       val cand = e.join(dist.filter(col("d") === r - 1), e("src") === dist("v"))
         .select(col("dst").as("v"), lit(r).as("d"))
       dist = dist.unionByName(cand)
         .groupBy(col("v")).agg(min(col("d")).as("d"))
-        .localCheckpoint()
+        .lineageCut()
     }
     dist
   }
@@ -292,7 +293,7 @@ object Graph {
       .filter(col("support") >= 2)
       .select(col("a"), col("b"))
     val edges = pairs.union(pairs.select(col("b"), col("a")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst").lineageCut()
     val init = edges.select(col("src").as("part"))
       .distinct().withColumn("label", col("part"))
     val round = (labels: DataFrame) => {
@@ -366,7 +367,7 @@ object Graph {
       .select(col("x.p").as("a"), col("y.p").as("b"))
       .distinct()
     val edges = pairs.union(pairs.select(col("b"), col("a")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst").lineageCut()
     (pairs, edges)
   }
 

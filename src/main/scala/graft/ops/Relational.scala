@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Lineage.LineageCutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -733,7 +734,7 @@ object Relational {
     val k = 100
     val o = t(spark, dir, "orders")
     val ranked = bottomKRanked(o, k)
-      .localCheckpoint() // one job: reused for the k-th hash and the output
+      .lineageCut() // one job: reused for the k-th hash and the output
     val kth = ranked.agg(max(col("h"))).head().getString(0)
     val u = java.lang.Long.parseLong(kth.substring(0, 15), 16).toDouble /
       math.pow(16, 15)

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Lineage.LineageCutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
@@ -277,7 +278,7 @@ object ScaleJoins {
   def joinBloom(spark: SparkSession, dir: String): DataFrame =
     withBloomConfs(spark) {
       // eager: executes the bloom plan while the confs are in force
-      joinBloomQuery(spark, dir).localCheckpoint(true)
+      joinBloomQuery(spark, dir).lineageCut()
     }
 
   /** The executed plan string of the bloom join, materialized INSIDE
