@@ -126,6 +126,20 @@ object ScaleStats {
       val (knnCells, knnCellMax, knnCellMean, knnCellP99) =
         llm.Similarity.ivfCellOccupancy(spark, dir, knnAdaptiveK)
 
+      // image/video dedup band candidates (r12 verdict #5): both
+      // modalities were re-banded after the sf10 gate caught their
+      // narrow alphabets going quadratic (7×9→3×21 bits image,
+      // 3×10→3×20 video) — these series institutionalize that check
+      // as a per-decade measurement. Counts reuse the keyed queries'
+      // OWN candidate stages ([[llm.Multimodal.imageCandidatesFrom]] /
+      // [[llm.Multimodal.videoCandidatesFrom]]), nothing re-derived.
+      val imgHashes = llm.Multimodal.imageHashes(spark, dir)
+      val imgDocs = imgHashes.count()
+      val imgCand = llm.Multimodal.imageCandidatesFrom(imgHashes).count()
+      val vidHashes = llm.Multimodal.videoFrameHashes(spark, dir)
+      val vidFrames = vidHashes.count()
+      val vidCand = llm.Multimodal.videoCandidatesFrom(vidHashes).count()
+
       // link-prediction wedge join (r9 cap): pair volume Σdeg²/2 — the
       // quantity the block cap spreads, NOT shrinks (the decomposition
       // is exact) — plus the degree profile that says where the cap
@@ -159,6 +173,10 @@ object ScaleStats {
           s""""knn_cell_max":$knnCellMax,""" +
           f""""knn_cell_mean":$knnCellMean%.1f,""" +
           s""""knn_cell_p99":$knnCellP99,""" +
+          s""""image_docs":$imgDocs,""" +
+          s""""image_band_candidates":$imgCand,""" +
+          s""""video_frames":$vidFrames,""" +
+          s""""video_band_candidates":$vidCand,""" +
           s""""jaccard_wedge_pairs":$wedgeCand,""" +
           s""""jaccard_nodes":$wedgeNodes,""" +
           s""""jaccard_max_degree":$wedgeMaxDeg,""" +

@@ -313,11 +313,13 @@ object Multimodal {
     * the fixture corpus plus the planted-copy recall law. At 100 TB:
     * hashes are 16 B/row, bands shuffle 3 rows/doc, candidates scale
     * with true collisions, never n². */
-  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
-    // 16 B/row; read by the band explode and both verify sides —
-    // checkpoint so the decode pass runs once
-    val h = perceptualHash(spark, imageCorpus(spark, dir))
-      .toDF().lineageCut()
+  /** Banded candidate pairs of [[imageDedup]] from its hash table —
+    * THE stage whose cardinality decides whether image dedup is linear
+    * or quadratic at scale (the 3×21-bit re-band exists because the
+    * 7×9-bit alphabet's chance collisions went quadratic at 500k docs).
+    * One definition shared by the keyed query and [[graft.ScaleStats]],
+    * so the per-decade candidate series measures exactly what ships. */
+  private[graft] def imageCandidatesFrom(h: DataFrame): DataFrame = {
     val bands = h.select(col("doc_id"),
         explode(sequence(lit(0), lit(PHashBands - 1))).as("b"),
         col("hash"))
@@ -325,10 +327,22 @@ object Multimodal {
         expr(s"shiftright(hash, b * $PHashBandBits) & ${(1 << PHashBandBits) - 1}")
           .as("bv"),
         col("doc_id"))
-    val cand = graft.core.Blocked
+    graft.core.Blocked
       .selfPairs(bands, Seq("b", "bv"), "doc_id", graft.llm.Dedup.BandBucketCap,
         "doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** The decoded-and-hashed image corpus — shared entry for the keyed
+    * query and ScaleStats (16 B/row; lineage cut so the decode pass
+    * runs once per session). */
+  private[graft] def imageHashes(spark: SparkSession, dir: String): DataFrame =
+    perceptualHash(spark, imageCorpus(spark, dir)).toDF().lineageCut()
+
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    // read by the band explode and both verify sides
+    val h = imageHashes(spark, dir)
+    val cand = imageCandidatesFrom(h)
     ordered(cand
       .join(h.select(col("doc_id").as("doc_a"), col("hash").as("_ha")), Seq("doc_a"))
       .join(h.select(col("doc_id").as("doc_b"), col("hash").as("_hb")), Seq("doc_b"))
@@ -494,12 +508,12 @@ object Multimodal {
     * planted-derivative coverage law. At 100 TB: 20 B/frame-hash rows,
     * 3 band rows per frame, candidates track aligned collisions — the
     * quadratic verify only ever sees banded survivors, never n². */
-  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
-    // read by the band explode, both verify sides, and the per-doc
-    // frame counts — checkpoint so the decode pass runs once
-    val h = frameHashes(spark, videoCorpus(spark, dir))
-      .toDF().lineageCut()
-    val nf = h.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+  /** Aligned banded candidate (frame, doc pair) rows of [[videoDedup]]
+    * from its frame-hash table — the per-decade ScaleStats series for
+    * the video modality (same rationale as [[imageCandidatesFrom]]:
+    * the 3×20-bit re-band was a quadratic caught at sf10; this series
+    * is the measurement that catches the next one). */
+  private[graft] def videoCandidatesFrom(h: DataFrame): DataFrame = {
     val bands = h.select(col("frame_idx"),
         explode(sequence(lit(0), lit(VideoBands - 1))).as("b"),
         col("fhash"), col("doc_id"))
@@ -507,10 +521,24 @@ object Multimodal {
         expr(s"shiftright(fhash, b * $VideoBandBits) & ${(1 << VideoBandBits) - 1}")
           .as("bv"),
         col("doc_id"))
-    val cand = graft.core.Blocked
+    graft.core.Blocked
       .selfPairs(bands, Seq("frame_idx", "b", "bv"), "doc_id",
         graft.llm.Dedup.BandBucketCap, "doc_a", "doc_b")
       .select(col("frame_idx"), col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** The decoded per-frame hash table — shared entry for the keyed
+    * query and ScaleStats (one mapPartitions codec visit, no shuffle;
+    * lineage cut so the decode pass runs once per session). */
+  private[graft] def videoFrameHashes(spark: SparkSession, dir: String): DataFrame =
+    frameHashes(spark, videoCorpus(spark, dir)).toDF().lineageCut()
+
+  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+    // read by the band explode, both verify sides, and the per-doc
+    // frame counts
+    val h = videoFrameHashes(spark, dir)
+    val nf = h.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val cand = videoCandidatesFrom(h)
     val matched = cand
       .join(h.select(col("doc_id").as("doc_a"), col("frame_idx"),
         col("fhash").as("_ha")), Seq("doc_a", "frame_idx"))
