@@ -133,12 +133,23 @@ object ScaleStats {
       // as a per-decade measurement. Counts reuse the keyed queries'
       // OWN candidate stages ([[llm.Multimodal.imageCandidatesFrom]] /
       // [[llm.Multimodal.videoCandidatesFrom]]), nothing re-derived.
+      // verified counts ride along: candidates/verified staying O(1)
+      // is the proof the bands emit true near-dups — on the COMPOSED
+      // rungs, verified pairs themselves grow super-10× per composition
+      // level (ScaleUp's shard replicas are genuine near-duplicate
+      // clusters whose size multiplies per level), so the candidate
+      // slope must be read against the verified slope, not against 10×.
       val imgHashes = llm.Multimodal.imageHashes(spark, dir)
       val imgDocs = imgHashes.count()
-      val imgCand = llm.Multimodal.imageCandidatesFrom(imgHashes).count()
+      val imgCandDf = llm.Multimodal.imageCandidatesFrom(imgHashes).lineageCut()
+      val imgCand = imgCandDf.count()
+      val imgTrue = llm.Multimodal.imageVerifiedFrom(imgHashes, imgCandDf).count()
       val vidHashes = llm.Multimodal.videoFrameHashes(spark, dir)
       val vidFrames = vidHashes.count()
-      val vidCand = llm.Multimodal.videoCandidatesFrom(vidHashes).count()
+      val vidCandDf = llm.Multimodal.videoCandidatesFrom(vidHashes).lineageCut()
+      val vidCand = vidCandDf.count()
+      val vidTrue = llm.Multimodal.videoMatchedFrom(vidHashes, vidCandDf)
+        .agg(coalesce(sum(col("matched_frames")), lit(0L))).head().getLong(0)
 
       // link-prediction wedge join (r9 cap): pair volume Σdeg²/2 — the
       // quantity the block cap spreads, NOT shrinks (the decomposition
@@ -175,8 +186,10 @@ object ScaleStats {
           s""""knn_cell_p99":$knnCellP99,""" +
           s""""image_docs":$imgDocs,""" +
           s""""image_band_candidates":$imgCand,""" +
+          s""""image_verified_pairs":$imgTrue,""" +
           s""""video_frames":$vidFrames,""" +
           s""""video_band_candidates":$vidCand,""" +
+          s""""video_matched_frames":$vidTrue,""" +
           s""""jaccard_wedge_pairs":$wedgeCand,""" +
           s""""jaccard_nodes":$wedgeNodes,""" +
           s""""jaccard_max_degree":$wedgeMaxDeg,""" +

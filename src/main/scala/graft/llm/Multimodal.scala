@@ -339,16 +339,24 @@ object Multimodal {
   private[graft] def imageHashes(spark: SparkSession, dir: String): DataFrame =
     perceptualHash(spark, imageCorpus(spark, dir)).toDF().lineageCut()
 
-  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
-    // read by the band explode and both verify sides
-    val h = imageHashes(spark, dir)
-    val cand = imageCandidatesFrom(h)
-    ordered(cand
+  /** Exact Hamming verify of the banded candidates — the other half
+    * of the ScaleStats pair: candidates vs VERIFIED pairs. Their ratio
+    * staying O(1) per rung is the proof the banding emits true
+    * near-dups (the composed rungs plant shard-replica clusters, so
+    * verified pairs themselves grow super-10× across a composition
+    * level — a data property, not chance-collision garbage). */
+  private[graft] def imageVerifiedFrom(h: DataFrame, cand: DataFrame): DataFrame =
+    cand
       .join(h.select(col("doc_id").as("doc_a"), col("hash").as("_ha")), Seq("doc_a"))
       .join(h.select(col("doc_id").as("doc_b"), col("hash").as("_hb")), Seq("doc_b"))
       .withColumn("hamming", expr("cast(bit_count(_ha ^ _hb) as int)"))
       .filter(col("hamming") <= PHashMaxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming")))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    // read by the band explode and both verify sides
+    val h = imageHashes(spark, dir)
+    ordered(imageVerifiedFrom(h, imageCandidatesFrom(h)))
   }
 
   private val imageDedupSql =
@@ -533,13 +541,12 @@ object Multimodal {
   private[graft] def videoFrameHashes(spark: SparkSession, dir: String): DataFrame =
     frameHashes(spark, videoCorpus(spark, dir)).toDF().lineageCut()
 
-  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
-    // read by the band explode, both verify sides, and the per-doc
-    // frame counts
-    val h = videoFrameHashes(spark, dir)
-    val nf = h.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-    val cand = videoCandidatesFrom(h)
-    val matched = cand
+  /** Per-frame exact Hamming verify of the aligned banded candidates,
+    * grouped to (doc pair, matched_frames) — shared by the keyed query
+    * and ScaleStats (same candidates-vs-verified rationale as
+    * [[imageVerifiedFrom]]). */
+  private[graft] def videoMatchedFrom(h: DataFrame, cand: DataFrame): DataFrame =
+    cand
       .join(h.select(col("doc_id").as("doc_a"), col("frame_idx"),
         col("fhash").as("_ha")), Seq("doc_a", "frame_idx"))
       .join(h.select(col("doc_id").as("doc_b"), col("frame_idx"),
@@ -547,6 +554,13 @@ object Multimodal {
       .filter(expr(s"bit_count(_ha ^ _hb) <= $VideoMaxHamming"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("matched_frames"))
+
+  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+    // read by the band explode, both verify sides, and the per-doc
+    // frame counts
+    val h = videoFrameHashes(spark, dir)
+    val nf = h.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val matched = videoMatchedFrom(h, videoCandidatesFrom(h))
     ordered(matched
       .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("_na")), Seq("doc_a"))
       .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("_nb")), Seq("doc_b"))
