@@ -831,6 +831,31 @@ object Similarity {
     * hash-match vs the brute SQL over the same planted corpus).
     * The loose-threshold shallow-band regime (0.5, 2×16) remains
     * exercised by LlmSpec against the brute twin. */
+  /** Lowest planted-family id — both derived families sit at or above
+    * this offset, and no real/amplified vec_id ever reaches it
+    * (ScaleUp shifts vec_id by the document stride: ≤ 5M at sf100). */
+  private[graft] val PlantedIdFloor = 10000000L
+
+  /** The ORACLE-facing slice of the LSH dedup output: base ids below
+    * [[BruteSliceRows]] plus every planted id — the same r7
+    * bounded-ground-truth design as the brute twin ([[BruteSliceRows]]
+    * there), because the DuckDB oracle must brute ALL pairs of
+    * whatever row set it checks: unsliced, that is n²/2 pairs × three
+    * 64-dim dots = 2·10¹⁰ pairs at sf10, which is what actually killed
+    * the r12 sf10 oracle row (spilled past the disk, would have run
+    * for hours — an infeasible oracle, not a scratch shortfall). The
+    * slice keeps the oracle at a CONSTANT ≈12.7M pairs at every SF and
+    * keeps every planted pair inside it (derived ids ≥
+    * [[PlantedIdFloor]], their sources < 25). Identity below the
+    * bound: at sf ≤ 0.1 the corpus is smaller than the slice, so
+    * emitted rows are unchanged there. The LSH pipeline itself —
+    * banding depth from the FULL corpus count, capped band self-join,
+    * exact verify — still runs over the full corpus (the
+    * `cand_frac_lt_20pct` selectivity column and ScaleStats' candidate
+    * series keep measuring the full-corpus machinery). */
+  private def inLshOracleSlice(id: Column): Column =
+    id < BruteSliceRows.toLong || id >= PlantedIdFloor
+
   def cosineDedupLsh(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
     val e = plantedEmbeddings(emb(spark, dir))
@@ -841,6 +866,7 @@ object Similarity {
     val cand = cosineBandCandidates(e, srpBitsFor(nRows), DedupBands)
       .lineageCut()
     cosineVerify(e, cand, DedupThreshold)
+      .filter(inLshOracleSlice(col("id_a")) && inLshOracleSlice(col("id_b")))
       .withColumn("cand_frac_lt_20pct",
         lit(cand.count().toDouble < 0.2 * nPairs))
   }
@@ -926,12 +952,16 @@ object Similarity {
        |${O.OrderAll}"""
 
   /** Brute ground truth over the SAME planted corpus at the production
-    * threshold — DuckDB rebuilds the two derived families with the
-    * identical double-arithmetic-then-float-cast spelling, so the LSH
-    * result must hash-match it bit-for-bit. */
+    * threshold, restricted to the [[inLshOracleSlice]] row set —
+    * DuckDB rebuilds the two derived families with the identical
+    * double-arithmetic-then-float-cast spelling, so the LSH result
+    * must hash-match it bit-for-bit; pre-filtering the slice INSIDE
+    * the CTE keeps the brute join at ≈12.7M pairs at every SF (the
+    * unsliced spelling was 2·10¹⁰ pairs at sf10 — the r12 open row). */
   private val cosineDedupLshSql =
     s"""WITH planted AS (
        |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < $BruteSliceRows
        |  UNION ALL
        |  SELECT vec_id + 10000000,
        |    list_transform(embedding,
