@@ -52,7 +52,6 @@ def main():
             print(r.stdout[-4000:]); print(r.stderr[-4000:])
             sys.exit(1)
 
-    con = duckdb.connect()
     # spill instead of hard-OOM: the sf10+ compares run big oracle SQL
     # alongside a box that may still hold Spark page cache
     tmp = f"/root/repo/target/duck_tmp_{os.getpid()}"  # per-process:
@@ -70,9 +69,19 @@ def main():
     # the dead-PID sweep above on the next invocation)
     import atexit
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    con.execute(f"SET temp_directory='{tmp}'")
-    con.execute("SET memory_limit='56GB'")
-    for t in TABLES:
+
+    def connect():
+        c = duckdb.connect()
+        c.execute(f"SET temp_directory='{tmp}'")
+        c.execute("SET memory_limit='56GB'")
+        register_tables(c)
+        return c
+
+    def spill_gb():
+        return sum(os.path.getsize(os.path.join(tmp, f))
+                   for f in os.listdir(tmp)) / 1e9
+
+    def register_tables(con):
         # driver tables are single files; graft.ScaleUp output is a
         # Spark-style directory of part files — glob in that case, and
         # MATERIALIZE: DuckDB's optimizer gets no cardinality estimate
@@ -81,27 +90,30 @@ def main():
         # 1-row `base` CTE crossed a 1.5M-edge table against 168k ranks
         # at sf1, turning a 4 s oracle into a >35 min one. A real table
         # has exact stats; sf1 lineitem (6M rows) is ~0.5 GB in memory.
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            # --view-over-mb N: at the sf100 rung, materializing the
-            # 9.3 GB lineitem into DuckDB memory alongside a running
-            # Spark JVM would thrash the box; a glob view is fine for
-            # the simple-aggregate subset keys run there (the
-            # cardinality-misestimate hazard documented above only bit
-            # the recursive pagerank oracle, which is excluded from
-            # big-rung subsets).
-            cap_mb = 1 << 30
-            for a in sys.argv[1:]:
-                if a.startswith("--view-over-mb="):
-                    cap_mb = int(a.split("=")[1])
-            sz_mb = sum(os.path.getsize(os.path.join(path, f))
-                        for f in os.listdir(path)) / 1e6
-            kind_sql = "VIEW" if sz_mb > cap_mb else "TABLE"
-            con.execute(f"CREATE {kind_sql} {t} AS SELECT * FROM "
-                        f"read_parquet('{path}/*.parquet')")
-        else:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{path}')")
+        for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                # --view-over-mb N: at the sf100 rung, materializing
+                # the 9.3 GB lineitem into DuckDB memory alongside a
+                # running Spark JVM would thrash the box; a glob view
+                # is fine for the simple-aggregate subset keys run
+                # there (the cardinality-misestimate hazard documented
+                # above only bit the recursive pagerank oracle, which
+                # is excluded from big-rung subsets).
+                cap_mb = 1 << 30
+                for a in sys.argv[1:]:
+                    if a.startswith("--view-over-mb="):
+                        cap_mb = int(a.split("=")[1])
+                sz_mb = sum(os.path.getsize(os.path.join(path, f))
+                            for f in os.listdir(path)) / 1e6
+                kind_sql = "VIEW" if sz_mb > cap_mb else "TABLE"
+                con.execute(f"CREATE {kind_sql} {t} AS SELECT * FROM "
+                            f"read_parquet('{path}/*.parquet')")
+            else:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{path}')")
+
+    con = connect()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import time
@@ -188,6 +200,21 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        # DuckDB keeps its temp-storage arena allocated for the
+        # CONNECTION's lifetime: one 60 GB-spilling oracle
+        # (llm_containment at sf10) starves every later key in the same
+        # process of disk — r12's "scratch" ENOSPC failures (pagerank /
+        # dup_clusters / dedup_incremental) and this round's first
+        # repeat were exactly this, not those keys' own demand. Recycle
+        # the connection (frees the arena) before the next key once the
+        # spill crosses a threshold; re-registering the tables costs
+        # ~a minute at sf10, paid only after a genuinely huge oracle.
+        if spill_gb() > 8:
+            con.close()
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            con = connect()
+            print(f"[recycle] temp arena freed before {name}")
         try:
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
             if not files:
