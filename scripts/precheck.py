@@ -197,6 +197,85 @@ def main():
         if a.startswith("--big-rows="):
             big_rows = int(a.split("=")[1])
 
+    def recycle(why):
+        nonlocal con
+        con.close()
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        con = connect()
+        print(f"[recycle] fresh connection ({why})")
+
+    # Returns "pass" / an error-description string. Raises only on
+    # connection-level trouble (OOM, ENOSPC spill) — the caller
+    # recycles the connection and retries once, because a DuckDB
+    # OutOfMemoryException POISONS the connection (every later
+    # allocation fails with tiny bad-allocs: 42 cascade-failures
+    # observed at sf10 after one fn_math OOM).
+    def check_one(name):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            return "no spark output"
+        pq = f"{out_dir}/{name}/*.parquet"
+        n_spark = con.execute(
+            f"SELECT count(*) FROM read_parquet('{pq}')").fetchone()[0]
+        if n_spark > big_rows:
+            _t0 = time.time()
+            r = bigcmp(name, oracle[name], pq)
+            if not isinstance(r, int):
+                return r
+            print(f"PASS {name} ({r} rows) [order-insensitive "
+                  f"bighash + first/last-K positional, "
+                  f"{time.time() - _t0:.1f}s]")
+            return "pass"
+        _t0 = time.time()
+        exp = con.execute(oracle[name]).fetchdf()
+        _duck_s = time.time() - _t0
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+        ).fetchdf()
+        exp = exp[sorted(exp.columns)]
+        got = got[sorted(got.columns)]
+        if list(exp.columns) != list(got.columns):
+            return (f"columns exp={list(exp.columns)} "
+                    f"got={list(got.columns)}")
+        if len(exp) != len(got):
+            return f"rows exp={len(exp)} got={len(got)}"
+        # Dtype parity: the driver hashes values dtype-sensitively,
+        # so a DuckDB HUGEINT (surfacing as float64/object) against
+        # Spark int64 must FAIL here even when values compare equal
+        # (the graph_pagerank / sql_tpch_q12 / r3 inverted-index
+        # failure class). Integer WIDTHS are normalized: the driver
+        # greens int32-vs-int64 (23 such keys pass its hash); only
+        # kind mismatches (int vs float vs object/bool/datetime)
+        # are the red-row class.
+        # uintX stays its own kind: only signed-int WIDTH folding is
+        # justified by observed driver greens (23 int32/int64 keys);
+        # uint-vs-int parity under the driver's hash is unverified.
+        def kind(s):
+            d = str(s.dtype)
+            if d.startswith("uint"):
+                return "uint64"
+            return "int64" if d.startswith("int") else d
+        dt_bad = [(c, kind(exp[c]), kind(got[c]))
+                  for c in exp.columns
+                  if kind(exp[c]) != kind(got[c])]
+        if dt_bad:
+            c, ed, gd = dt_bad[0]
+            return (f"dtype col {c}: oracle={ed} "
+                    f"spark={gd} ({len(dt_bad)} cols differ)")
+        for c in exp.columns:
+            e, g = exp[c], got[c]
+            try:
+                eq = (e == g) | (e.isna() & g.isna())
+            except Exception:
+                eq = e.astype(str) == g.astype(str)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                return (f"col {c} row {i}: oracle={e.iloc[i]!r} "
+                        f"spark={g.iloc[i]!r} ({int((~eq).sum())} diffs)")
+        print(f"PASS {name} ({len(exp)} rows) [duck {_duck_s:.1f}s]")
+        return "pass"
+
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -210,89 +289,20 @@ def main():
         # spill crosses a threshold; re-registering the tables costs
         # ~a minute at sf10, paid only after a genuinely huge oracle.
         if spill_gb() > 8:
-            con.close()
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.makedirs(tmp, exist_ok=True)
-            con = connect()
-            print(f"[recycle] temp arena freed before {name}")
+            recycle(f"temp arena freed before {name}")
+        r = None
         try:
-            files = glob.glob(f"{out_dir}/{name}/*.parquet")
-            if not files:
-                print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-            pq = f"{out_dir}/{name}/*.parquet"
-            n_spark = con.execute(
-                f"SELECT count(*) FROM read_parquet('{pq}')").fetchone()[0]
-            if n_spark > big_rows:
-                _t0 = time.time()
-                r = bigcmp(name, oracle[name], pq)
-                if isinstance(r, int):
-                    print(f"PASS {name} ({r} rows) [order-insensitive "
-                          f"bighash + first/last-K positional, "
-                          f"{time.time() - _t0:.1f}s]")
-                    n_pass += 1
-                else:
-                    print(f"FAIL {name}: {r}"); n_fail += 1
-                continue
-            _t0 = time.time()
-            exp = con.execute(oracle[name]).fetchdf()
-            _duck_s = time.time() - _t0
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            ).fetchdf()
-            exp = exp[sorted(exp.columns)]
-            got = got[sorted(got.columns)]
-            if list(exp.columns) != list(got.columns):
-                print(f"FAIL {name}: columns exp={list(exp.columns)} "
-                      f"got={list(got.columns)}"); n_fail += 1; continue
-            if len(exp) != len(got):
-                print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
-                n_fail += 1; continue
-            # Dtype parity: the driver hashes values dtype-sensitively,
-            # so a DuckDB HUGEINT (surfacing as float64/object) against
-            # Spark int64 must FAIL here even when values compare equal
-            # (the graph_pagerank / sql_tpch_q12 / r3 inverted-index
-            # failure class). Integer WIDTHS are normalized: the driver
-            # greens int32-vs-int64 (23 such keys pass its hash); only
-            # kind mismatches (int vs float vs object/bool/datetime)
-            # are the red-row class.
-            # uintX stays its own kind: only signed-int WIDTH folding is
-            # justified by observed driver greens (23 int32/int64 keys);
-            # uint-vs-int parity under the driver's hash is unverified.
-            def kind(s):
-                d = str(s.dtype)
-                if d.startswith("uint"):
-                    return "uint64"
-                return "int64" if d.startswith("int") else d
-            dt_bad = [(c, kind(exp[c]), kind(got[c]))
-                      for c in exp.columns
-                      if kind(exp[c]) != kind(got[c])]
-            if dt_bad:
-                c, ed, gd = dt_bad[0]
-                print(f"FAIL {name}: dtype col {c}: oracle={ed} "
-                      f"spark={gd} ({len(dt_bad)} cols differ)")
-                n_fail += 1; continue
-            bad = None
-            for c in exp.columns:
-                e, g = exp[c], got[c]
-                try:
-                    eq = (e == g) | (e.isna() & g.isna())
-                except Exception:
-                    eq = e.astype(str) == g.astype(str)
-                if not eq.all():
-                    i = int((~eq).idxmax())
-                    bad = (c, i, e.iloc[i], g.iloc[i],
-                           int((~eq).sum()))
-                    break
-            if bad:
-                c, i, ev, gv, n = bad
-                print(f"FAIL {name}: col {c} row {i}: oracle={ev!r} "
-                      f"spark={gv!r} ({n} diffs)")
-                n_fail += 1
-            else:
-                print(f"PASS {name} ({len(exp)} rows) [duck {_duck_s:.1f}s]")
-                n_pass += 1
+            r = check_one(name)
         except Exception as ex:
-            print(f"FAIL {name}: {type(ex).__name__}: {ex}")
+            recycle(f"retrying {name} after {type(ex).__name__}")
+            try:
+                r = check_one(name)
+            except Exception as ex2:
+                r = f"{type(ex2).__name__}: {ex2}"
+        if r == "pass":
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {r}")
             n_fail += 1
     # queries without oracle: rows-only
     run = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*")

@@ -328,10 +328,17 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   }
 
+  // MATERIALIZED on the multiply-referenced CTEs (r13): DuckDB INLINES
+  // a CTE per reference — `jac` twice in drops, `sh` twice in inter,
+  // `toks` three times in sh — so the whole shingle-join tree executed
+  // up to 2x3x2 times concurrently in one query plan and spilled >45 GB
+  // at sf10 where one evaluation runs in ~30 s (the ngram_jaccard twin,
+  // single-referenced downstream, passes untouched). Postgres-standard
+  // syntax, honored by DuckDB >= 0.9.
   private val dedupIncrementalSql =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
-       |sh AS (
+       |toks AS MATERIALIZED (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |sh AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
        |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
@@ -342,7 +349,7 @@ object Dedup {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |jac AS (
+       |jac AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM inter
        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
@@ -1104,10 +1111,13 @@ object Dedup {
   }
 
   private val dupClustersSql =
+    // MATERIALIZED (r13): same inlining hazard as dedupIncrementalSql,
+    // compounded by recursion — un-materialized, `edges` re-derives the
+    // whole shingle tree inside every reach round (ENOSPC at sf10).
     s"""WITH RECURSIVE
        |t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-       |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
-       |sh AS (
+       |toks AS MATERIALIZED (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+       |sh AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
        |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
@@ -1118,11 +1128,11 @@ object Dedup {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM inter
        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
        |reach(src, dst) AS (

@@ -99,13 +99,20 @@ object Graph {
     val steps = (1 to 8)
       .map(i => iter(if (i == 1) "r0" else s"i${i - 1}", s"i$i"))
       .mkString(",\n")
-    s"""WITH op AS (
+    // MATERIALIZED (r13): `e` is referenced by deg + all 8 iterations
+    // and `deg` by every iteration — DuckDB inlines a CTE per
+    // reference, so the un-materialized spelling re-derived the
+    // 15M-edge self-join NINE times concurrently at sf10 and spilled
+    // >60 GB (the r12 "scratch" ENOSPC). One materialization each is
+    // the plan the Spark side already runs (lineageCut on the edge
+    // list).
+    s"""WITH op AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
        |  FROM lineitem WHERE l_orderkey % 16 = 0),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT DISTINCT x.p AS src, y.p AS dst
        |  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
-       |deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+       |deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
        |n AS (SELECT COUNT(*) AS nn FROM deg),
        |base AS (SELECT (1000000000000000 * 15 // 100) // nn AS b FROM n),
        |r0 AS (SELECT v, (SELECT 1000000000000000 // nn FROM n) AS r FROM deg),
