@@ -11,7 +11,7 @@ Usage: python3 scripts/precheck.py [sfDir] [outDir] [--skip-verify] [keys...]
    hash plus a positional first/last-K spot check (marked
    "[order-insensitive]" in the output; see bigcmp).
 """
-import json, shutil, subprocess, sys, glob, os
+import json, re, shutil, subprocess, sys, glob, os
 
 import duckdb
 import pandas as pd
@@ -73,7 +73,13 @@ def main():
     def connect():
         c = duckdb.connect()
         c.execute(f"SET temp_directory='{tmp}'")
-        c.execute("SET memory_limit='56GB'")
+        # 48 GB, not the old 56: the limit governs DuckDB's own ledger,
+        # while the PROCESS also carries pandas frames and sort spikes —
+        # at 56 a 60M-row sort died on a hard OS malloc ("bad
+        # allocation"), which poisons the whole run; at 48 the same
+        # sort spills and finishes. Override via DUCK_MEM for the
+        # sf100 rung's glob-view subsets.
+        c.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
         register_tables(c)
         return c
 
@@ -158,7 +164,13 @@ def main():
                     f"({len(bad)} cols differ)")
         cols = ", ".join(f'"{c}"' for c in sorted(ecols))
         agg = f"SELECT count(*), sum(hash({cols}))"
-        en, eh = con.execute(f"{agg} FROM ({sql})").fetchone()
+        # The multiset hash is order-insensitive by construction, so
+        # strip the oracle's trailing presentation sort: DuckDB does
+        # NOT elide a subquery ORDER BY under an aggregate, and the
+        # full 60M-row sort (fn_math) was a hard-OOM that poisoned the
+        # process. Streaming hash agg needs no sort at all.
+        hsql = re.sub(r"ORDER BY ALL NULLS FIRST\s*$", "", sql)
+        en, eh = con.execute(f"{agg} FROM ({hsql})").fetchone()
         gn, gh = con.execute(
             f"{agg} FROM (SELECT * FROM read_parquet('{pq}'))").fetchone()
         if en != gn:
@@ -166,18 +178,46 @@ def main():
         if eh != gh:
             return f"multiset row-hash mismatch over {en} rows"
         # Positional spot check: first/last K rows compared exactly.
-        # DuckDB preserves a subquery's ORDER BY through a bare
-        # SELECT..LIMIT wrapper (preserve_insertion_order default), and
-        # read_parquet preserves file order, so LIMIT/OFFSET slices are
-        # positional on both sides — same property the <big-rows pandas
-        # path relies on for the whole result.
+        # First K: DuckDB preserves a subquery's ORDER BY through a
+        # bare SELECT..LIMIT wrapper, and LIMIT pushes into the sort as
+        # a streaming top-k. Last K: re-sorting DESC and reversing —
+        # NOT "OFFSET n-K", which materializes the whole sorted result
+        # (a 60M-row fn_math sort drove DuckDB past its limit into a
+        # hard malloc failure). Every oracle's sort is ORDER BY ALL
+        # NULLS FIRST, whose exact inverse on VALUES is ALL DESC NULLS
+        # LAST (ties are interchangeable — values-only compare).
+        # read_parquet preserves file order, so the parquet side uses
+        # plain LIMIT/OFFSET scans (no sort at all).
         K = 1000
-        for off in sorted({0, max(0, en - K)}):
-            exp = con.execute(
-                f"SELECT * FROM ({sql}) LIMIT {K} OFFSET {off}").fetchdf()
-            got = con.execute(
+        checks = [(f"SELECT * FROM ({sql}) LIMIT {K}",
+                   f"SELECT * FROM read_parquet('{pq}') LIMIT {K}",
+                   False, 0)]
+        if en > K and re.search(r"ORDER BY ALL NULLS FIRST\s*$", sql):
+            # the reversal trick is only the exact inverse for the
+            # repo's OrderAll convention; a custom final sort
+            # (sort_multi: priority ASC, totalprice DESC, ...) is NOT
+            # inverted by ALL DESC — first observed as a false-positive
+            # tail mismatch at sf10
+            checks.append((
+                f"SELECT * FROM ({sql}) ORDER BY ALL DESC NULLS LAST "
+                f"LIMIT {K}",
                 f"SELECT * FROM read_parquet('{pq}') "
-                f"LIMIT {K} OFFSET {off}").fetchdf()
+                f"LIMIT {K} OFFSET {en - K}",
+                True, en - K))
+        elif en > K and en <= 20_000_000:
+            # custom-sort oracle: take the tail via OFFSET on the
+            # sorted result — affordable below ~20M rows (the 60M
+            # OFFSET materialization is what OOM'd fn_math)
+            checks.append((
+                f"SELECT * FROM ({sql}) LIMIT {K} OFFSET {en - K}",
+                f"SELECT * FROM read_parquet('{pq}') "
+                f"LIMIT {K} OFFSET {en - K}",
+                False, en - K))
+        for esql, gsql, rev, off in checks:
+            exp = con.execute(esql).fetchdf()
+            if rev:
+                exp = exp.iloc[::-1].reset_index(drop=True)
+            got = con.execute(gsql).fetchdf()
             exp = exp[sorted(exp.columns)]
             got = got[sorted(got.columns)]
             for c in exp.columns:
