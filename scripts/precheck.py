@@ -84,8 +84,17 @@ def main():
         return c
 
     def spill_gb():
-        return sum(os.path.getsize(os.path.join(tmp, f))
-                   for f in os.listdir(tmp)) / 1e9
+        # DuckDB frees spill files from background threads, so a file
+        # listed here can vanish before getsize — treat it as 0 bytes
+        # instead of letting one FileNotFoundError abort the whole
+        # compare run (r13 advisor)
+        total = 0
+        for f in os.listdir(tmp):
+            try:
+                total += os.path.getsize(os.path.join(tmp, f))
+            except OSError:
+                pass
+        return total / 1e9
 
     def register_tables(con):
         # driver tables are single files; graft.ScaleUp output is a

@@ -23,61 +23,15 @@ object Bench {
     // (2026-08-14) before this pin — artifacts self-identify via "cpus".
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    // Fixed-work CPU canary (r4 verdict ask): sorting the same 2M
-    // xorshift-filled longs is pure single-thread CPU with zero Spark
-    // involvement, so every bench artifact carries its own normalizer —
-    // a uniform query slowdown at an UNCHANGED canary is code; at an
-    // inflated canary it's machine drift (r3→r4 drift could only be
-    // inferred from unchanged queries). Warmup rep first (JIT), then
-    // min of 3.
-    def canaryRep(): Double = {
-      val a = new Array[Long](2000000)
-      var x = 0x9e3779b97f4a7c15L
-      var i = 0
-      while (i < a.length) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1
-      }
-      val t0 = System.nanoTime()
-      java.util.Arrays.sort(a)
-      (System.nanoTime() - t0) / 1e9
-    }
-    def canaryMin3(): Double = { canaryRep(); (1 to 3).map(_ => canaryRep()).min }
-
-    // Parallel canary (r7): `cpus` concurrent copies of the same fixed
-    // work, reported as the WALL time of the slowest thread's min-of-3.
-    // Why a second canary: the r7 session measured two same-day VM
-    // instances with INDISTINGUISHABLE single-thread canaries
-    // (0.168–0.182 s) whose Spark throughput differed ~1.5× — a
-    // single-thread probe cannot see host-level effects that only bind
-    // under concurrency (scheduler placement, SMT siblings, cache/
-    // memory-bus sharing). A drifted par-canary at a clean solo canary
-    // says "different host behavior under load", which is exactly the
-    // regime every Spark query runs in. benchdiff prefers this for
+    // Host-identity probes — shared definitions in [[core.HostProbe]]
+    // (scaladoc there: fixed-work canary, parallel canary, boot
+    // epoch), so JdbcBench's artifact self-identifies with the SAME
+    // probes as this one. benchdiff prefers the par-canary for
     // normalization when both runs carry it.
-    def canaryPar(n: Int): Double = {
-      val times = new Array[Double](n)
-      val ts = (0 until n).map { i =>
-        new Thread(() => { times(i) = canaryMin3() })
-      }
-      ts.foreach(_.start()); ts.foreach(_.join())
-      times.max
-    }
-
-    // Host-window identity (r7): steal time over the measurement window
-    // and the VM boot epoch. Two artifacts with different boot epochs
-    // are different VM instances — their absolute totals are not
-    // comparable even at identical canaries (measured: ~1.5× Spark
-    // drift across same-spec instances, all probes clean).
-    def procStat(): Array[Long] = try {
-      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
-        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
-    } catch { case _: Throwable => Array.empty[Long] }
-    val bootEpoch: Long = try {
-      val up = java.nio.file.Files
-        .readString(java.nio.file.Paths.get("/proc/uptime"))
-        .split(" ")(0).toDouble
-      System.currentTimeMillis() / 1000 - up.toLong
-    } catch { case _: Throwable => -1L }
+    def canaryMin3(): Double = core.HostProbe.canaryMin3()
+    def canaryPar(n: Int): Double = core.HostProbe.canaryPar(n)
+    def procStat(): Array[Long] = core.HostProbe.procStat()
+    val bootEpoch: Long = core.HostProbe.bootEpoch()
     val statStart = procStat()
 
     // Self-gating contention check (r6 verdict task #1: TWICE the
@@ -216,7 +170,18 @@ object Bench {
         if (tot > 0) 100.0 * d(7) / tot else -1.0
       } else -1.0
     }
-    def metaWith(errsJson: String) = s""""sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errsJson,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended,"stream_sink":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory")}","state_store":"${sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default")}","scratch_warn":$scratchWarn,"ckpt":"${if (sys.env.contains("SPARK_GRAFT_CHECKPOINT_DIR")) "reliable" else "local"}""""
+    // Durability-mode self-identification (r13 advisor): key off what
+    // the cuts ACTUALLY did (Lineage.lastCutReliable) so a run enabling
+    // reliable mode via the runtime conf key — not just the env var —
+    // labels itself correctly; fall back to env/conf for a run whose
+    // query set happened to hit zero lineage-cut sites.
+    val ckptMode =
+      if (core.Lineage.lastCutReliable ||
+          sys.env.contains("SPARK_GRAFT_CHECKPOINT_DIR") ||
+          spark.conf.getOption(core.Lineage.ConfKey).exists(_.nonEmpty))
+        "reliable"
+      else "local"
+    def metaWith(errsJson: String) = s""""sf":"$sfDir","first_stream_init":$streamInit,"passes":$Passes,"errors":$errsJson,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"canary_sec":$canarySec,"canary_par_sec":$canaryParSec,"steal_pct":$stealPct,"boot_epoch":$bootEpoch,"cpu_mhz":$cpuMhz,"settled_sec":$settledSec,"contended":$contended,"stream_sink":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory")}","state_store":"${sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default")}","scratch_warn":$scratchWarn,"ckpt":"$ckptMode""""
     val meta = metaWith(errs)
     // stdout meta must be BOUNDED (r12, per advisor): errs is
     // unbounded (~170 chars per failing key), so with many errors even

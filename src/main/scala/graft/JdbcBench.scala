@@ -40,10 +40,21 @@ object JdbcBench {
     val readPart = timed(
       assert(src.readPartitioned(spark, "bench_orders_p4", "o_orderkey",
         bounds.getLong(0), bounds.getLong(1), numPartitions = 4).count() == n))
+    // canary/epoch self-identification like every other artifact
+    // (r13 verdict #7): same cross-VM comparability rule — absolute
+    // numbers comparable only within a boot_epoch, normalized by the
+    // canary. NOTE for readers of the numbers: embedded Derby is
+    // single-JVM and saturates quickly — at sf1 the partitioned read
+    // ties the single-stream read because Derby, not the fan-out, is
+    // the wall; the SHAPE claim (partitioned ≥ single) is what this
+    // probe pins, the fan-out BENEFIT needs a server that scales.
+    val canarySec = core.HostProbe.canaryMin3()
+    val bootEpoch = core.HostProbe.bootEpoch()
     println(
       s"""{"metric":"jdbc_parallelism","rows":$n,"sf":"$sfDir",""" +
         writes.map { case (p, t) => f""""write_p$p":$t%.1f""" }.mkString(",") +
-        f""","read_single":$readSingle%.1f,"read_part4":$readPart%.1f}""")
+        f""","read_single":$readSingle%.1f,"read_part4":$readPart%.1f""" +
+        f""","canary_sec":$canarySec%.3f,"boot_epoch":$bootEpoch}""")
     spark.stop()
   }
 }

@@ -31,15 +31,33 @@ import org.apache.spark.sql.Dataset
   * the iterative graph ops, the dedup band joins, and the curation
   * pipelines all cut through here, so a deployment flips ONE knob to
   * trade per-round durable writes for restart-from-scratch risk.
+  *
+  * Cleanup (r13 advisor): reliable checkpoints write one rdd-N dir
+  * per cut — unbounded growth over a long-running deployment unless
+  * cleaned. [[Sessions.build]] sets
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+  * ContextCleaner deletes a cut's files once its RDD is GC'd; a
+  * session built elsewhere should do the same or provision the dir.
   */
 object Lineage {
   /** Conf key mirrored by the SPARK_GRAFT_CHECKPOINT_DIR env var. */
   val ConfKey = "spark.graft.checkpointDir"
 
   /** True if the last cut in this JVM went through reliable
-    * checkpoint() — surfaced by Bench into its artifact so a run
-    * self-identifies which durability mode it measured. */
+    * checkpoint() — surfaced by Bench into its artifact (the `ckpt`
+    * meta field) so a run self-identifies which durability mode it
+    * actually measured, whichever of env var / runtime conf enabled it. */
   @volatile private[graft] var lastCutReliable = false
+
+  /** The dir THIS helper last registered on the context (None = we
+    * never registered one). `sc.getCheckpointDir` cannot serve as the
+    * ledger: setCheckpointDir appends a UUID subdirectory, so the
+    * requested path never round-trips — which is exactly how the r13
+    * "register only while getCheckpointDir is empty" spelling silently
+    * ignored every later change to [[ConfKey]] for the JVM's lifetime
+    * (and sent LineageSpec's 2nd/3rd cuts into the 1st test's deleted
+    * temp dir). */
+  @volatile private var registeredDir: Option[String] = None
 
   /** Enrichment so call sites read like the Dataset API:
     * `df.lineageCut()` = `Lineage.cut(df)`. */
@@ -55,9 +73,23 @@ object Lineage {
     dir match {
       case Some(d) =>
         val sc = spark.sparkContext
-        // setCheckpointDir is idempotent for the same dir; only set on
-        // first use so a session-wide dir (cluster deploy) wins
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        if (registeredDir.contains(d)) {
+          // already registered by us — nothing to do
+        } else if (registeredDir.isEmpty && sc.getCheckpointDir.nonEmpty) {
+          // a dir set OUTSIDE this helper (cluster deploy) wins, but
+          // loudly: the knob's dir is being ignored, and silence here
+          // is how a run believes it checkpointed somewhere it didn't
+          System.err.println(
+            s"[graft] Lineage: $ConfKey=$d IGNORED — the context already " +
+              s"has an externally-set checkpoint dir " +
+              s"(${sc.getCheckpointDir.get}); cuts go there")
+        } else {
+          registeredDir.foreach(old => System.err.println(
+            s"[graft] Lineage: checkpoint dir changed $old -> $d; " +
+              "re-registering (later cuts land under the new dir)"))
+          sc.setCheckpointDir(d)
+          registeredDir = Some(d)
+        }
         lastCutReliable = true
         ds.checkpoint() // eager + reliable: blocks in the checkpoint dir
       case None =>

@@ -21,12 +21,25 @@ object Sessions {
     // transiently (GC stall, fetch hiccup) — with maxFailures=1 that
     // killed the whole query (BENCH_r12's lone graph_pagerank
     // STAGE_MATERIALIZATION failure); retries cost nothing when no
-    // task fails, and every query here is deterministic and
-    // side-effect-free per task, so a re-run is always safe.
+    // task fails, and the query paths are deterministic and
+    // side-effect-free per task, so a re-run is always safe. The ONE
+    // exception to "side-effect-free": JDBC loads (JdbcSink.write,
+    // sink_jdbc_upsert's staging INSERT) commit a transaction per
+    // task, so a task that commits and then fails to REPORT would
+    // duplicate rows on retry. In local mode the commit and the report
+    // are the same in-process thread (no network between them), which
+    // is why the shipped gates tolerate it; a real-cluster deployment
+    // of the JDBC sink should truncate-and-reload per attempt or
+    // stage + MERGE (the upsert path already is a stage + MERGE).
     val b = SparkSession.builder()
       .master(s"local[$cpus,4]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", ExtensionsClass)
+      // reliable lineage cuts (Lineage.cut with a checkpoint dir set)
+      // would otherwise accumulate one rdd-N dir per cut per round,
+      // unbounded over a long-running deployment — let the
+      // ContextCleaner delete checkpoint files once their RDD is GC'd
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
     extra.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()

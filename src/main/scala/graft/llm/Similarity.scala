@@ -36,8 +36,14 @@ object Similarity {
     * (IVF-K, SRP bits, PQ shortlist depth, knn-K) all key off n, and
     * several query paths consult it — one Spark count job per dir per
     * JVM instead of one per invocation (the r12 advice flagged
-    * adcShortlistRerank re-counting on every call). The table is
-    * immutable per dir, so the memo can never go stale. */
+    * adcShortlistRerank re-counting on every call). IMMUTABLE-DIR
+    * ASSUMPTION (r13 advisor): this memo has no invalidation, so an
+    * in-JVM rewrite of a dir's embeddings table would freeze every
+    * adaptive ladder at the stale n. That is the deployment contract
+    * of the whole repo — scale dirs are write-once (ScaleUp stamps a
+    * level marker and never appends; the driver's testdata is static);
+    * a future mutable-corpus mode must key this cache by (dir, table
+    * snapshot/mtime), not silently reuse it. */
   private val embCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def embCount(s: SparkSession, d: String): Long =

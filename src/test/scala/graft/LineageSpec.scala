@@ -18,12 +18,21 @@ class LineageSpec extends AnyFunSuite {
   private def withReliable[T](body: => T): T = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
     spark.conf.set(Lineage.ConfKey, tmp)
-    try body
-    finally {
+    try {
+      val r = body
+      // the cut must land in the dir THIS block configured — the r13
+      // "register only while getCheckpointDir is empty" bug sent every
+      // later test's cuts into the first test's already-deleted dir
+      // (Hadoop mkdirs silently recreated it). setCheckpointDir nests
+      // a UUID subdir, so "landed here" = tmp gained a subdirectory.
+      val sub = new java.io.File(tmp).listFiles()
+      assert(sub != null && sub.exists(_.isDirectory),
+        s"reliable cut did not checkpoint under the configured dir $tmp")
+      r
+    } finally {
       spark.conf.unset(Lineage.ConfKey)
-      // the shared session keeps its checkpoint dir for the JVM's
-      // lifetime (setCheckpointDir has no unset); the dir itself is
-      // temp-rooted, so leaking it between suites is harmless
+      // the dir is re-registered per change now; the temp dir can be
+      // reclaimed as soon as the suite's asserts are done
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }

@@ -914,4 +914,95 @@ class LlmSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(again.toSeq == res.toSeq, "MMR must be deterministic")
   }
+
+  test("lsh oracle slice: LSH == brute within the slice; boundary pairs cut by the FILTER, not recall") {
+    // r13 advisor: cosineDedupLsh post-filters the full-corpus LSH
+    // result to the oracle slice while the DuckDB oracle brutes the
+    // slice — parity therefore additionally rests on LSH recall being
+    // exact for every >=0.9 pair whose endpoints land in the slice.
+    // This law pins that on a fixture BIGGER than the slice (the
+    // shipped sf0.001 corpus is smaller, so the slice boundary was
+    // exercised nowhere below the gated big rungs): 6000 synthetic
+    // vectors with planted near-dup pairs inside the slice, straddling
+    // its boundary, and fully outside it.
+    import TestSpark.spark
+    val spk = spark
+    import spk.implicits._
+    val dims = 64
+    val n = 6000
+    def vec(seed: Long): Array[Float] = {
+      var x = seed * 0x9e3779b97f4a7c15L + 1
+      Array.fill(dims) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        ((x % 1000).toDouble / 1000.0).toFloat
+      }
+    }
+    // tiny relative perturbation => cos ~0.9999, far from both the 0.9
+    // threshold and any rounding edge; deterministic SRP planes make
+    // recall on it reproducible, not probabilistic
+    def near(seed: Long): Array[Float] =
+      vec(seed).zipWithIndex.map { case (v, i) =>
+        (v.toDouble * (1.0 + 0.002 * math.sin(i.toDouble))).toFloat }
+    val rows = (0 until n).map { i =>
+      val e = i match {
+        case 20   => near(10)   // in-slice pair (10, 20)
+        case 5500 => near(30)   // straddles: 30 in slice, 5500 out
+        case 5700 => near(5600) // fully outside the slice
+        case _    => vec(i)
+      }
+      (i.toLong, e, 0)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_slice").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val out = llm.Similarity.cosineDedupLsh(spark, tmp)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute ground truth in plain Scala over the slice members only
+    // (slice = id < BruteSliceRows or id >= PlantedIdFloor), derived
+    // families rebuilt with the identical double-then-float-cast math
+    val base = rows.map { case (id, e, _) => id -> e }
+    val planted = base ++
+      base.filter(_._1 < 25).map { case (id, e) =>
+        (id + 10000000L) -> e.map(x => (x.toDouble * 2.0).toFloat) } ++
+      base.filter(_._1 < 25).map { case (id, e) =>
+        (id + 20000000L) -> e.map(x => (x.toDouble + 0.05 * math.abs(x.toDouble)).toFloat) }
+    val slice = planted.filter { case (id, _) =>
+      id < llm.Similarity.BruteSliceRows.toLong ||
+        id >= llm.Similarity.PlantedIdFloor }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val brute = (for {
+      (ia, ea) <- slice; (ib, eb) <- slice
+      if ia < ib && cos(ea, eb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(out == brute,
+      s"slice recall broken: lsh-only=${(out -- brute).take(5)} " +
+        s"brute-only=${(brute -- out).take(5)}")
+    assert(out.contains((10L, 20L)), "in-slice planted pair lost")
+    assert(!out.contains((30L, 5500L)) && !out.contains((5600L, 5700L)),
+      "pair with an out-of-slice endpoint must be filtered")
+
+    // the boundary pairs were dropped by the slice FILTER, not by an
+    // LSH recall miss: the unsliced full-corpus pipeline finds both
+    val full = llm.Similarity.cosineDedupLshImpl(
+      llm.Similarity.plantedEmbeddings(
+        core.Tables.load(spark, tmp, "embeddings")),
+      llm.Similarity.srpBitsFor(planted.size.toLong), 8, 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((30L, 5500L)) && full.contains((5600L, 5700L)),
+      "full-corpus LSH must find the boundary pairs the slice excludes")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
 }

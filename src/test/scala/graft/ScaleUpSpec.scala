@@ -260,6 +260,52 @@ class ScaleUpSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-shard payload gradients decorrelate: dHash Hamming far past threshold") {
+    // r13 verdict #2: the pre-r14 remap was dHash-INVARIANT — it
+    // shifted every block's byte mean near-uniformly, preserving the
+    // ORDER of adjacent means, so every shard copy of a doc sat within
+    // Hamming <= 2 of its source and image/video dedup pairs grew as
+    // (shards choose 2)·docs (~86x/decade measured). The case-flip
+    // pass must push every cross-shard copy far outside the verify
+    // threshold (PHashMaxHamming = 2 on 63 gradient bits; a ~50 %
+    // flip rate sits near 31). Deterministic corpus + deterministic
+    // flips => this is a fixed number, not a flaky sample.
+    def hashes(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      llm.Multimodal.perceptualHash(spark,
+        df.filter(length(col("text")) >= llm.Multimodal.PHashMinBytes)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+        .collect().map(r => r.doc_id -> r.hash).toMap
+    // per level: that level's SOURCE doc vs its own replica-1 image
+    // (stride = the source corpus's doc count at that level)
+    val levels = Seq(
+      (1, src("documents"), dst("documents")),
+      (2, dst("documents"), dst2("documents")),
+      (3, dst2("documents"), dst3("documents")))
+    for ((lvl, prev, next) <- levels) {
+      val stride = prev.agg(max("doc_id")).head.getLong(0) + 1
+      val h0 = hashes(prev.filter(col("doc_id") < 64))
+      assert(h0.nonEmpty, s"level $lvl: no >=128-byte docs below id 64")
+      val hImg = hashes(next
+        .filter(col("doc_id") >= stride && col("doc_id") < stride + 64)
+        .select((col("doc_id") - stride).as("doc_id"), col("text")))
+      val hams = h0.toSeq.map { case (id, h) =>
+        id -> java.lang.Long.bitCount(h ^ hImg(id)) }
+      // hard law: no shard copy inside the verify threshold (that is
+      // what made verified pairs quadratic); bulk law: mean Hamming
+      // deep in decorrelated territory (case+digit perturbation
+      // measures ~24 of 63 — a short doc can dip to ~6 because its
+      // space-byte alternation is invariant, but must stay > 2)
+      for ((id, ham) <- hams)
+        assert(ham > llm.Multimodal.PHashMaxHamming,
+          s"level $lvl: doc $id shard copy inside the verify threshold " +
+            s"(hamming $ham) — cross-shard dedup pairs would be quadratic")
+      val mean = hams.map(_._2).sum.toDouble / hams.size
+      assert(mean > 15.0,
+        s"level $lvl: mean cross-shard hamming $mean too low — " +
+          "the byte-value perturbation is not decorrelating in bulk")
+    }
+  }
+
   test("cross-shard text similarity is negligible (no spurious near-dups)") {
     // a doc vs its shard-1 image: shared 3-shingles can only be
     // all-stopword trigrams — Jaccard must sit far below any threshold
