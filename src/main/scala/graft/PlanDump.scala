@@ -77,7 +77,7 @@ object PlanDump {
     "graph_jaccard" -> "link prediction: block-capped wedge join on (src,_gx,_gy) — a hub's deg^2 pairs spread over (deg/cap)^2 groups — + anti join vs the edge set, Jaccard row-local",
     "scan_skipping" -> "stats-pruned scan: the date-band aggregate reads ONLY the manifest-admitted files (pruned FileScan row-group)",
     "llm_knn_join" -> "k-NN join: adaptive-K cid equi-join against the cid-partitioned index + per-query top-k window",
-    "llm_image_dedup" -> "perceptual-hash image dedup: partition-local dHash (no shuffle), capped 21-bit band self-join candidates, bit_count Hamming verify — never all-pairs",
+    "llm_image_dedup" -> "perceptual-hash image dedup: partition-local dHash (no shuffle), capped chained-band-triple self-join candidates, bit_count Hamming verify — never all-pairs",
     "llm_video_dedup" -> "video near-dup: partition-local per-frame gradient hash (no shuffle), capped (frame_idx,band,value) self-join, per-frame Hamming verify, coverage agg per doc pair")
 
   def main(args: Array[String]): Unit = {

@@ -128,8 +128,8 @@ object ScaleStats {
 
       // image/video dedup band candidates (r12 verdict #5): both
       // modalities were re-banded after the sf10 gate caught their
-      // narrow alphabets going quadratic (7×9→3×21 bits image,
-      // 3×10→3×20 video) — these series institutionalize that check
+      // narrow alphabets going quadratic (7×9→3×21→chained triples image,
+      // 3×10→3×20→chained triples video) — these series institutionalize that check
       // as a per-decade measurement. Counts reuse the keyed queries'
       // OWN candidate stages ([[llm.Multimodal.imageCandidatesFrom]] /
       // [[llm.Multimodal.videoCandidatesFrom]]), nothing re-derived.

@@ -195,24 +195,39 @@ object Multimodal {
 
   /** 1-D "resize" target: 64 block means → 63 dHash bits. */
   private[graft] val PHashBlocks = 64
-  /** 3 bands × 21 bits = all 63 hash bits (r12 — was 7 × 9: the sf10
-    * full gate caught the 9-bit alphabet going quadratic, EXACTLY the
-    * regime the adaptive SRP depth kills for embeddings: a (band,
-    * value) bucket holds ~n/2⁹ docs, so chance-collision pairs grow
-    * n²·bands/2¹⁰ — ~1.8G candidates and a 40 GB shuffle spill at
-    * 500k docs, 180G pairs at 5M. At 2²¹ values a bucket holds ~2.4
-    * docs at the 5M-doc rung and candidates track true collisions
-    * again. The price is the verify threshold: recall-exactness needs
-    * MaxHamming < bands, so 6 → 2.) */
-  private[graft] val PHashBands = 3
-  private[graft] val PHashBandBits = 21
-  /** Verify threshold. MaxHamming < PHashBands makes the banding
-    * recall-EXACT by pigeonhole: ≤ 2 differing bits cannot touch all
-    * 3 bands, so every true pair shares at least one band verbatim —
-    * same lossless-filter discipline as the containment prefix.
-    * Hamming ≤ 2 on adjacent-gradient bits = robust to ONE block edit
-    * (a block touches only its two adjacent bits) — the planted
-    * corner watermark sits at ≤ 1 by construction. */
+  /** 5 band slices (bit offset, width) covering all 63 hash bits,
+    * joined as chained TRIPLES (r14 — the banding-width ladder's
+    * third rung; r12's 3 × 21 replaced 7 × 9 when the 9-bit alphabet
+    * went chance-quadratic at 500k docs). Why chaining: a 21-bit
+    * slice of this hash carries only ~17 bits of EFFECTIVE entropy —
+    * gradient bits are correlated through the payload's length/
+    * word-boundary structure — so even at 2²¹ nominal values,
+    * chance-collision candidates measured 100×/decade at sf1→sf10
+    * (1.95M candidates against 771 true pairs) once the r14 corpus
+    * fix removed the real cross-shard dups that had been masking
+    * them. Joining on a CHAINED key of three 12–13-bit slices
+    * multiplies effective entropies (~26 bits measured jointly):
+    * candidate series re-measured 71 → 723 → 9.7k over
+    * sf0.1→1→10 ≈ 10–13×/decade, tracking true pairs. Recall stays
+    * EXACT by pigeonhole: Hamming ≤ [[PHashMaxHamming]] = 2 dirties
+    * at most 2 of the 5 bands, leaving ≥ 3 clean — so at least one
+    * of the C(5,3) = 10 enumerated triples is clean verbatim. Past
+    * ~10⁹ docs the next rung in the same direction is quadruple
+    * chaining (needs MaxHamming ≤ 1) or a wider hash (two longs). */
+  private[graft] val PHashSlices: Seq[(Int, Int)] =
+    Seq((0, 13), (13, 13), (26, 13), (39, 12), (51, 12))
+  /** The C(5,3) chained band-triple index combinations — one
+    * definition shared by the Scala stage and the SQL mirror so the
+    * enumerations can never drift. */
+  private[graft] val BandTriples: Seq[(Int, Int, Int)] =
+    for { i <- 0 until 5; j <- i + 1 until 5; k <- j + 1 until 5 }
+      yield (i, j, k)
+  /** Verify threshold. MaxHamming ≤ (bands − 3) keeps the chained-
+    * triple banding recall-EXACT (see [[PHashSlices]]) — same
+    * lossless-filter discipline as the containment prefix. Hamming
+    * ≤ 2 on adjacent-gradient bits = robust to ONE block edit (a
+    * block touches only its two adjacent bits) — the planted corner
+    * watermark sits at ≤ 1 by construction. */
   private[graft] val PHashMaxHamming = 2
   private[graft] val ImageDupOffset = 500000000L // planted perturbed copies
   /** Min payload bytes: every one of the 64 blocks must be non-empty
@@ -303,35 +318,61 @@ object Multimodal {
     * multimodal column (text and embeddings have their own passes;
     * this is the one for payload bytes: thumbnails, re-encodes,
     * watermarked copies). Pipeline: per-partition dHash (decode-time
-    * work, no shuffle) → band the 63-bit hash into [[PHashBands]]
-    * 21-bit keys → candidates from the CAPPED band self-join
+    * work, no shuffle) → chained [[PHashSlices]] band-triple keys
+    * ([[BandTriples]]) → candidates from the CAPPED band self-join
     * ([[graft.core.Blocked.selfPairs]], ≤ cap² rows per join group —
     * a boilerplate band bucket never becomes one straggler task) →
     * exact Hamming verify (`bit_count(xor)`) at ≤ [[PHashMaxHamming]].
     * Banding is recall-exact at this threshold (pigeonhole, see
     * [[PHashMaxHamming]]), and MultimodalSpec pins banded ≡ brute on
     * the fixture corpus plus the planted-copy recall law. At 100 TB:
-    * hashes are 16 B/row, bands shuffle 3 rows/doc, candidates scale
+    * hashes are 16 B/row, bands shuffle 10 rows/doc, candidates scale
     * with true collisions, never n². */
   /** Banded candidate pairs of [[imageDedup]] from its hash table —
     * THE stage whose cardinality decides whether image dedup is linear
-    * or quadratic at scale (the 3×21-bit re-band exists because the
-    * 7×9-bit alphabet's chance collisions went quadratic at 500k docs).
+    * or quadratic at scale (7×9 bands went chance-quadratic at 500k
+    * docs → 3×21 at r12; 3×21 measured 100×/decade on the decorrelated
+    * r14 corpus → chained triples, see [[PHashSlices]]).
     * One definition shared by the keyed query and [[graft.ScaleStats]],
     * so the per-decade candidate series measures exactly what ships. */
+  /** (id cols..., cb, k1, k2, k3): one row per chained band-triple of
+    * `hashCol`, the join key of both modalities' candidate stages. */
+  private def tripleBands(h: DataFrame, hashCol: String,
+      slices: Seq[(Int, Int)], idCols: Seq[String]): DataFrame = {
+    val s = slices.zipWithIndex.map { case ((o, w), i) =>
+      expr(s"shiftright($hashCol, $o) & ${(1 << w) - 1}").as(s"s$i") }
+    val combos = array(BandTriples.map { case (i, j, k) =>
+      struct(col(s"s$i").as("k1"), col(s"s$j").as("k2"), col(s"s$k").as("k3"))
+    }: _*)
+    h.select(idCols.map(col) ++ s: _*)
+      .select(idCols.map(col) :+ posexplode(combos): _*)
+      .withColumnRenamed("pos", "cb")
+      .select(idCols.map(col) ++ Seq(col("cb"),
+        col("col.k1").as("k1"), col("col.k2").as("k2"),
+        col("col.k3").as("k3")): _*)
+  }
+
   private[graft] def imageCandidatesFrom(h: DataFrame): DataFrame = {
-    val bands = h.select(col("doc_id"),
-        explode(sequence(lit(0), lit(PHashBands - 1))).as("b"),
-        col("hash"))
-      .select(col("b"),
-        expr(s"shiftright(hash, b * $PHashBandBits) & ${(1 << PHashBandBits) - 1}")
-          .as("bv"),
-        col("doc_id"))
+    val bands = tripleBands(h.select(col("doc_id"), col("hash")),
+      "hash", PHashSlices, Seq("doc_id"))
     graft.core.Blocked
-      .selfPairs(bands, Seq("b", "bv"), "doc_id", graft.llm.Dedup.BandBucketCap,
-        "doc_a", "doc_b")
+      .selfPairs(bands, Seq("cb", "k1", "k2", "k3"), "doc_id",
+        graft.llm.Dedup.BandBucketCap, "doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b")).distinct()
   }
+
+  /** SQL spellings of the slice list and the triple enumeration —
+    * generated from [[PHashSlices]]/[[BandTriples]] so the oracle
+    * can never drift from the Scala stage. List indices are 1-based
+    * (DuckDB). */
+  private def slicesSql(slices: Seq[(Int, Int)], h: String): String =
+    slices.map { case (o, w) => s"($h >> $o) & ${(1 << w) - 1}" }
+      .mkString("[", ", ", "]")
+  private def combosSql: String =
+    "combos AS (SELECT * FROM (VALUES " +
+      BandTriples.zipWithIndex.map { case ((i, j, k), c) =>
+        s"($c, ${i + 1}, ${j + 1}, ${k + 1})" }.mkString(", ") +
+      ") AS t(cb, ci, cj, ck))"
 
   /** The decoded-and-hashed image corpus — shared entry for the keyed
     * query and ScaleStats (16 B/row; lineage cut so the decode pass
@@ -386,15 +427,17 @@ object Multimodal {
        |      THEN CAST(1 AS BIGINT) << CAST(a.j AS INT) ELSE 0 END) AS BIGINT) AS hash
        |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.j = a.j + 1
        |  GROUP BY 1),
+       |slices AS (
+       |  SELECT doc_id, ${slicesSql(PHashSlices, "hash")} AS s FROM h),
+       |$combosSql,
        |bands AS (
-       |  SELECT doc_id, hash, b,
-       |    (hash >> CAST($PHashBandBits * b AS INT)) &
-       |      ${(1 << PHashBandBits) - 1} AS bv
-       |  FROM h, UNNEST(range(0, $PHashBands)) AS t(b)),
+       |  SELECT doc_id, cb, s[ci] AS k1, s[cj] AS k2, s[ck] AS k3
+       |  FROM slices, combos),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |    ON y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id)
+       |    ON y.cb = x.cb AND y.k1 = x.k1 AND y.k2 = x.k2 AND y.k3 = x.k3
+       |    AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b,
        |  CAST(bit_count(xor(ha.hash, hb.hash)) AS INT) AS hamming
        |FROM cand
@@ -416,21 +459,19 @@ object Multimodal {
     * block means" degenerates to the bytes themselves) and bits
     * 31–60 the SKIP gradients (bit 31+i = byte_i > byte_{i+2}), the
     * standard dHash trick of adding a second gradient direction when
-    * one row of comparisons yields too few bits. The width is what
-    * makes the key scale-safe: 3 × 10-bit bands over the 31
-    * adjacent-only bits put ~n/2¹⁰ docs in every (frame, band, value)
-    * bucket — chance collisions grow n²/2¹⁰, the quadratic-in-
-    * disguise regime the adaptive SRP depth exists to kill — while
-    * 3 × 20-bit bands keep expected occupancy ≤ ~2 through the sf100
-    * rung (5M docs). Past ~10⁹ docs the next widening lives in the
-    * same direction: longer frames (64 B → 63+62 gradient bits) or
-    * band chaining on (bv_f, bv_{f+1}). Bit 60 is spare — banded
-    * nowhere, still Hamming-verified; [[VideoMaxHamming]] <
-    * [[VideoBands]] keeps the banding recall-EXACT by the same
-    * pigeonhole as [[PHashMaxHamming]] (a spare-bit diff only lowers
-    * the band-diff count). */
-  private[graft] val VideoBands = 3
-  private[graft] val VideoBandBits = 20
+    * one row of comparisons yields too few bits. The banding is the
+    * same 5-slice chained-triple scheme as the image hash
+    * ([[PHashSlices]] rationale — r14: the r12 3 × 20-bit bands
+    * measured 80×/decade chance candidates at sf1→sf10 once the
+    * corpus fix removed the masking cross-shard dups, because a
+    * 20-bit slice of 32-byte-frame gradients carries far less
+    * effective entropy; chained triples re-measured 17.5k → 177k →
+    * 1.97M ≈ 10–11×/decade, tracking true matched frames). All 61
+    * bits are banded (the old spare bit 60 now lives in a slice);
+    * [[VideoMaxHamming]] ≤ 2 = 5 − 3 keeps the chained banding
+    * recall-EXACT by the same pigeonhole as [[PHashMaxHamming]]. */
+  private[graft] val VideoSlices: Seq[(Int, Int)] =
+    Seq((0, 13), (13, 12), (25, 12), (37, 12), (49, 12))
   private[graft] val VideoMaxHamming = 2
   private[graft] val VideoMinChars = 256
   /** A pair is a video-level near-dup when ≥ this fraction of the
@@ -504,10 +545,10 @@ object Multimodal {
     * composition: frames → per-frame gradient hash (decode-time, no
     * shuffle) → per-frame LSH candidates at the SAME timeline index
     * through the capped band self-join ([[graft.core.Blocked.selfPairs]]
-    * on (frame_idx, band, value) — [[VideoBands]]×[[VideoBandBits]]
-    * = 3×20-bit bands (widened from 3×10 when the sf10 gate caught the
-    * narrow alphabet's n²/2¹⁰ chance collisions; keep these two
-    * constants and this sentence in sync), frame_idx in the key
+    * on (frame_idx, chained band triple) — [[VideoSlices]] with
+    * [[BandTriples]] (3×10 bands went chance-quadratic at sf10 → 3×20
+    * at r12 → chained triples at r14, see [[VideoSlices]]'s rationale;
+    * keep the constants and this sentence in sync), frame_idx in the key
     * spreads each band's alphabet across the timeline, and the cap
     * bounds any boilerplate bucket) → exact per-frame Hamming verify
     * (recall-exact banding, pigeonhole) → group matches by doc pair →
@@ -515,22 +556,19 @@ object Multimodal {
     * MultimodalSpec pins banded ≡ brute per-frame recall and the
     * planted-derivative coverage law. At 100 TB: 20 B/frame-hash rows,
     * 3 band rows per frame, candidates track aligned collisions — the
-    * quadratic verify only ever sees banded survivors, never n². */
+    * quadratic verify only ever sees banded survivors, never n²
+    * (10 chained band rows per frame). */
   /** Aligned banded candidate (frame, doc pair) rows of [[videoDedup]]
     * from its frame-hash table — the per-decade ScaleStats series for
     * the video modality (same rationale as [[imageCandidatesFrom]]:
-    * the 3×20-bit re-band was a quadratic caught at sf10; this series
-    * is the measurement that catches the next one). */
+    * every band widening so far was a quadratic caught by this
+    * series; it is the measurement that catches the next one). */
   private[graft] def videoCandidatesFrom(h: DataFrame): DataFrame = {
-    val bands = h.select(col("frame_idx"),
-        explode(sequence(lit(0), lit(VideoBands - 1))).as("b"),
-        col("fhash"), col("doc_id"))
-      .select(col("frame_idx"), col("b"),
-        expr(s"shiftright(fhash, b * $VideoBandBits) & ${(1 << VideoBandBits) - 1}")
-          .as("bv"),
-        col("doc_id"))
+    val bands = tripleBands(
+      h.select(col("doc_id"), col("frame_idx"), col("fhash")),
+      "fhash", VideoSlices, Seq("doc_id", "frame_idx"))
     graft.core.Blocked
-      .selfPairs(bands, Seq("frame_idx", "b", "bv"), "doc_id",
+      .selfPairs(bands, Seq("frame_idx", "cb", "k1", "k2", "k3"), "doc_id",
         graft.llm.Dedup.BandBucketCap, "doc_a", "doc_b")
       .select(col("frame_idx"), col("doc_a"), col("doc_b")).distinct()
   }
@@ -605,16 +643,19 @@ object Multimodal {
        |        ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS fhash
        |  FROM frames),
        |nf AS (SELECT doc_id, COUNT(*) AS nf FROM h GROUP BY 1),
+       |slices AS (
+       |  SELECT doc_id, frame_idx,
+       |    ${slicesSql(VideoSlices, "fhash")} AS s FROM h),
+       |$combosSql,
        |bands AS (
-       |  SELECT doc_id, frame_idx, fhash, b,
-       |    (fhash >> CAST($VideoBandBits * b AS INT)) &
-       |      ${(1 << VideoBandBits) - 1} AS bv
-       |  FROM h, UNNEST(range(0, $VideoBands)) AS t(b)),
+       |  SELECT doc_id, frame_idx, cb,
+       |    s[ci] AS k1, s[cj] AS k2, s[ck] AS k3
+       |  FROM slices, combos),
        |cand AS (
        |  SELECT DISTINCT x.frame_idx, x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |    ON y.frame_idx = x.frame_idx AND y.b = x.b AND y.bv = x.bv
-       |    AND x.doc_id < y.doc_id),
+       |    ON y.frame_idx = x.frame_idx AND y.cb = x.cb AND y.k1 = x.k1
+       |    AND y.k2 = x.k2 AND y.k3 = x.k3 AND x.doc_id < y.doc_id),
        |m AS (
        |  SELECT doc_a, doc_b, COUNT(*) AS matched_frames
        |  FROM cand
