@@ -80,6 +80,13 @@ def main():
         # sort spills and finishes. Override via DUCK_MEM for the
         # sf100 rung's glob-view subsets.
         c.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
+        # DUCK_THREADS (r14): big-rung string-heavy oracles (fn_map's
+        # per-doc string_agg at sf10) hard-OOM'd nondeterministically
+        # at the default 32 threads — 32 concurrent pipelines each
+        # carrying sort/agg buffers overshoot the ledger between
+        # accounting points. Fewer threads = smaller peak, same result.
+        if "DUCK_THREADS" in os.environ:
+            c.execute(f"SET threads={int(os.environ['DUCK_THREADS'])}")
         register_tables(c)
         return c
 
