@@ -431,8 +431,8 @@ class PlanSpec extends AnyFunSuite {
     // shape — the brute respelling is hashes × hashes, n² rows
     val p = plan("llm_image_dedup")
     assert(p.matches(
-      "(?s).*Join \\[b#\\d+, bv#\\d+L?, _gx#\\d+L?, _gy#\\d+L?\\],.*"),
-      s"block ids _gx/_gy missing from the pHash band join key:\n$p")
+      "(?s).*Join \\[cb#\\d+, k1#\\d+L?, k2#\\d+L?, k3#\\d+L?, _gx#\\d+L?, _gy#\\d+L?\\],.*"),
+      s"chained-triple band key (cb,k1..k3) + block ids _gx/_gy missing from the pHash band join key:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"image dedup must stay equi-join shaped:\n$p")
@@ -447,8 +447,8 @@ class PlanSpec extends AnyFunSuite {
     // the selfPairs block ids, and stay equi-join shaped
     val p = plan("llm_video_dedup")
     assert(p.matches(
-      "(?s).*Join \\[frame_idx#\\d+, b#\\d+, bv#\\d+L?, _gx#\\d+L?, _gy#\\d+L?\\],.*"),
-      s"frame_idx/block ids missing from the video band join key:\n$p")
+      "(?s).*Join \\[frame_idx#\\d+, cb#\\d+, k1#\\d+L?, k2#\\d+L?, k3#\\d+L?, _gx#\\d+L?, _gy#\\d+L?\\],.*"),
+      s"frame_idx/chained-triple band key/block ids missing from the video band join key:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"video dedup must stay equi-join shaped:\n$p")
