@@ -1067,8 +1067,14 @@ object Dedup {
     * multi-component) can exercise the multi-round convergence paths
     * the test corpus never reaches. */
   private[graft] def components(pairs: DataFrame): DataFrame = {
+    // Materialize the symmetric edge list ONCE (r14): before this cut,
+    // every hook round's neighbor-min join re-evaluated `pairs` — for
+    // graph_cc that meant re-running the support-filtered lineitem
+    // self-join EVERY round of the convergence loop. One cut, read by
+    // all rounds.
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .lineageCut()
     val verts = edges.select(col("doc_a").as("id")).distinct()
     var labels = verts.withColumn("lbl", col("id")).lineageCut()
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =

@@ -50,7 +50,16 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val n = deg.count() // scalar: number of nodes
     val base = (Scale * 15L / 100L) / n // (1-d)/n, scaled, exact
-    // static out-share side: every edge with its source's out-degree
+    // static out-share side: every edge with its source's out-degree.
+    // (r14 note: an attempt to keep a HashPartitioning(src) layout on
+    // ed across rounds — repartition+persist, so the per-round join
+    // stops re-exchanging the static side — was measured SLOWER at
+    // sf0.1: a cached relation opts out of AQE coalescing, so every
+    // round ran 32-task stages against a cache whose build cost
+    // exceeded the ~1.9 MB/round exchange it saved. The per-round
+    // exchange of the static side stands as the known cost; at a real
+    // 100 TB rung the right fix is a pre-bucketed edge table, which is
+    // a storage-layout decision, not a query change.)
     val ed = e.join(deg, "src").lineageCut()
     var r = deg.select(col("src").as("v"), lit(Scale / n).as("r"))
     for (_ <- 1 to iters) {
@@ -314,7 +323,10 @@ object Graph {
         .filter(col("rn") === 1)
         .select(col("src").as("part"), col("label"))
     }
-    val l3 = round(round(round(init)))
+    // cut after the 3 rounds (r14): sizes + the size join both read
+    // l3, so un-materialized each branch replayed all three
+    // join+agg+window rounds
+    val l3 = round(round(round(init))).lineageCut()
     val sizes = l3.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
     ordered(l3.join(sizes, Seq("label"))
       .select(col("part"), col("label").as("community"), col("community_size")))
@@ -369,10 +381,14 @@ object Graph {
     // the full neighborhood sets — here the `common >= 2` candidate
     // floor plays the sparsifier role the support threshold plays for
     // graph_cc/graph_label_prop (a 1-common-neighbor pair is noise)
+    // pairs cut once (r14): both its consumers — the symmetric edge
+    // union below AND jaccardNeighbors' existing-edge anti join — used
+    // to re-run the o-self-join; now each reads the materialization.
     val pairs = op.as("x").join(op.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b"))
       .distinct()
+      .lineageCut()
     val edges = pairs.union(pairs.select(col("b"), col("a")))
       .toDF("src", "dst").lineageCut()
     (pairs, edges)

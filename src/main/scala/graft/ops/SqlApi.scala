@@ -297,19 +297,33 @@ object SqlApi {
     * graphs — exactly what the depth column does here. */
   def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    // Materialize the edge list ONCE behind the recursion (r14, guide
+    // §3.3 "materialising an intermediate truncates the plan"): Spark
+    // inlines a CTE per reference, so the un-materialized spelling
+    // re-derived `op` (lineitem scan + distinct) and `e` (the
+    // self-join) inside EVERY recursive step — JobProf measured the op
+    // scan 8× and the e self-join 5× per run at sf0.1. This is the
+    // exact hazard the DuckDB oracle already guards against with
+    // WITH ... AS MATERIALIZED (dupClustersSql r13 note); Spark has no
+    // MATERIALIZED hint, so the edge list is cut into a temp view and
+    // the recursion — the operator under demonstration — runs over the
+    // materialized relation.
+    import graft.core.Lineage.LineageCutOps
+    spark.sql(
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM graft_lineitem WHERE l_orderkey % 16 = 0)
+         |SELECT DISTINCT x.p AS src, y.p AS dst
+         |FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p""".stripMargin)
+      .lineageCut()
+      .createOrReplaceTempView("graft_recursive_e")
     ordered(spark.sql(
       s"""WITH RECURSIVE
-         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-         |  FROM graft_lineitem WHERE l_orderkey % 16 = 0),
-         |e AS (
-         |  SELECT DISTINCT x.p AS src, y.p AS dst
-         |  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p),
-         |seed AS (SELECT min(src) AS v FROM e),
+         |seed AS (SELECT min(src) AS v FROM graft_recursive_e),
          |reach(v, depth) AS (
          |  SELECT v, 0 FROM seed
          |  UNION ALL
          |  SELECT e.dst, r.depth + 1
-         |  FROM reach r JOIN e ON e.src = r.v
+         |  FROM reach r JOIN graft_recursive_e e ON e.src = r.v
          |  WHERE r.depth < 3)
          |SELECT min_depth, COUNT(*) AS n_parts
          |FROM (SELECT v, min(depth) AS min_depth FROM reach GROUP BY v)
