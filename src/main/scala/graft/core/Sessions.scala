@@ -40,6 +40,16 @@ object Sessions {
       // unbounded over a long-running deployment — let the
       // ContextCleaner delete checkpoint files once their RDD is GC'd
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // r14 (guide §6, file listing): above this many paths Spark
+      // launches a whole JOB to list leaf files in parallel. The
+      // default 32 means every read of a cid-partitioned index fixture
+      // (64 cells) or a 64-file compaction layout pays a 64-task
+      // listing job (~0.2 s each, measured via JobProf) where a
+      // driver-side listing of ≤128 local/HDFS dirs is milliseconds.
+      // 128 keeps the parallel path for genuinely wide tables
+      // (thousands of partitions) on any deployment size — the
+      // threshold is about path COUNT, not cluster size.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       .config("spark.ui.enabled", "false")
     extra.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()

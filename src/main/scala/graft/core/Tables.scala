@@ -81,6 +81,15 @@ object Tables {
     "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
 
+  /** Memoized events-footer probe (r14): whether `$sfDir/events.parquet`
+    * stores ts as raw ns longs is a property of the FILE, immutable for
+    * a test-data dir's lifetime — but the probe costs a driver-side
+    * file listing + footer read, and ~25 event-reading keys paid it on
+    * EVERY load call (2 bench passes × 25 keys). Same immutable-dir
+    * assumption as [[graft.llm.Similarity]]'s embCountCache. */
+  private val eventsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** Read one of the ten tables with its explicit schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
@@ -92,9 +101,11 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the driver's events.parquet stores ns (footer infers LongType
       // under the legacy conf); [[graft.ScaleUp]] output stores plain
-      // µs TimestampType — probe the footer once and take either path
-      val storedNanos = spark.read.parquet(s"$sfDir/events.parquet")
-        .schema("ts").dataType == LongType
+      // µs TimestampType — probe the footer once per dir and take
+      // either path
+      val storedNanos: Boolean = eventsNanosCache.computeIfAbsent(sfDir,
+        _ => spark.read.parquet(s"$sfDir/events.parquet")
+          .schema("ts").dataType == LongType)
       if (storedNanos)
         spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
           .withColumn("ts",

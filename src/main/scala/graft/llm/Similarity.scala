@@ -1607,10 +1607,12 @@ object Similarity {
   /** Candidates at an EXPLICIT cell count — [[ScaleStats]] uses this to
     * measure the fixed-K quadratic control next to the adaptive path. */
   private[graft] def knnJoinCandidatesAt(
-      spark: SparkSession, dir: String, nProbe: Int, k: Int): DataFrame = {
+      spark: SparkSession, dir: String, nProbe: Int, k: Int,
+      indexedOpt: Option[DataFrame] = None): DataFrame = {
     DotProduct.register(spark)
     val cents = trainedCentroids(spark, dir, k)
-    val indexed = indexedCells(spark, dir, k)
+    // r14: share the caller's cell scan (one fixture listing per query)
+    val indexed = indexedOpt.getOrElse(indexedCells(spark, dir, k))
     val qs = indexed.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"),
@@ -1622,8 +1624,12 @@ object Similarity {
     * exact cosine over the IVF candidates, per-query top-k window. */
   private[graft] def knnJoinEdges(
       spark: SparkSession, dir: String, nProbe: Int = KnnProbes,
-      kOpt: Option[Int] = None): DataFrame = {
-    val scored = knnJoinCandidates(spark, dir, nProbe, kOpt)
+      kOpt: Option[Int] = None,
+      indexedOpt: Option[DataFrame] = None): DataFrame = {
+    val scored = (kOpt match {
+      case Some(k) => knnJoinCandidatesAt(spark, dir, nProbe, k, indexedOpt)
+      case None => knnJoinCandidates(spark, dir, nProbe, kOpt)
+    })
       .withColumn("score",
         round6(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm"))))
     val w = Window.partitionBy(col("q_id"))
@@ -1657,9 +1663,13 @@ object Similarity {
     * table. At sf10 this replaced a second pass over the ~1G-row
     * candidate join (the audit was costing as much as the graph). */
   private[graft] def knnCandidateCount(
-      spark: SparkSession, dir: String, k: Int): Long = {
+      spark: SparkSession, dir: String, k: Int,
+      indexedOpt: Option[DataFrame] = None): Long = {
     val cents = trainedCentroids(spark, dir, k)
-    val indexed = indexedCells(spark, dir, k)
+    // r14: callers that already hold the cell scan pass it in, so the
+    // audit shares ONE file index with the edge build instead of
+    // re-listing the cid-partitioned fixture (64 leaf dirs) per read
+    val indexed = indexedOpt.getOrElse(indexedCells(spark, dir, k))
     val sizes = indexed.groupBy(col("cid")).agg(count(lit(1)).as("cell_n"))
     val qs = indexed.select(
       col("vec_id").as("q_id"), col("cid").as("own_cid"),
@@ -1695,15 +1705,28 @@ object Similarity {
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
     val e = emb(spark, dir).withColumn("nrm", norm("embedding"))
-    val n = e.count()
+    // memoized metadata count (r14 — the r8 advice already routed the
+    // OTHER n-derivations through embCount; this was the last direct
+    // full-scan count of the embeddings table in this key)
+    val n = embCount(spark, dir)
     val k = knnKFor(n)
-    val nCand = knnCandidateCount(spark, dir, k)
-    val knn = knnJoinEdges(spark, dir, KnnProbes, Some(k)).lineageCut()
+    // one cell scan shared by the audit count and the edge build: the
+    // cid-partitioned index fixture is listed once per query, not once
+    // per read (r14 — JobProf showed two 64-path listing jobs per pass)
+    val indexed = indexedCells(spark, dir, k)
+    val nCand = knnCandidateCount(spark, dir, k, Some(indexed))
+    val knn = knnJoinEdges(spark, dir, KnnProbes, Some(k), Some(indexed))
+      .lineageCut()
     val nEdges = knn.count()
     val slice = e.orderBy(col("vec_id")).limit(KnnSliceN)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val exScored = e.join(broadcast(slice), col("vec_id") =!= col("q_id"))
+    // parallelism floor on the brute audit (r14, Spread's documented
+    // purpose): the embeddings scan is 1–2 splits at small SF, so the
+    // slice×corpus exact pass ran on one core (JobProf: 0.5 s single
+    // task); no-op at scale where the scan already splits ≥ cores
+    val exScored = graft.core.Spread.cpuBound(spark, e)
+      .join(broadcast(slice), col("vec_id") =!= col("q_id"))
       .withColumn("score",
         round6(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm"))))
     val w = Window.partitionBy(col("q_id"))
