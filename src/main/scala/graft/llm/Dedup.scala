@@ -954,7 +954,11 @@ object Dedup {
     * 64-bit before the shuffle (8 bytes vs ~50) and keep the string
     * only for the report join — noted, not needed at test scale. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
-    val spans = docs(spark, dir)
+    // parallelism floor (r14, Spread's documented purpose): the span
+    // HOF is CPU-bound and the documents scan is 1–2 splits at small
+    // SF — JobProf showed the whole span-generation map on ONE task
+    // (0.8 s of the key); no-op where the scan already splits ≥ cores
+    val spans = graft.core.Spread.cpuBound(spark, docs(spark, dir))
       // tokenize ONCE into a named column; the window HOF references it
       .select(col("doc_id"),
         split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ").as("_toks"))

@@ -777,8 +777,17 @@ object Similarity {
   private[graft] def cosineDedupImpl(e0: DataFrame, thr: Double): DataFrame = {
     DotProduct.register(e0.sparkSession)
     val withNorm = e0.withColumn("nrm", norm("embedding"))
-    val a = withNorm.select(col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    // parallelism floor on the STREAM side of the nested-loop pair join
+    // (r14): the slice arrives as ONE partition (TakeOrdered output),
+    // so the whole O(slice²) dot-product pass ran on one core — 2.2 s
+    // of the key's 2.4 s at sf0.1, and the scaladoc's 16 s worst case
+    // at the 5 000-row bound would serialize the same way. Spreading
+    // the probe side divides the pair work by the core count; the
+    // broadcast side is unchanged.
+    val a = graft.core.Spread
+      .cpuBound(e0.sparkSession, withNorm)
+      .select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = withNorm.select(col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     ordered(
