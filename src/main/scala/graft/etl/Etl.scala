@@ -769,12 +769,12 @@ object Etl {
   /** Whole-table column profile — the first thing a data engineer runs
     * on an unknown extract (and the input to `etl_dq_check` thresholds):
     * per column, null count, exact distinct count, min/max. The scale
-    * point is SINGLE-PASS: all per-column aggregates ride one scan as
-    * one aggregate row (count_distinct partials merge per column in the
-    * same exchange), then unpivot driver-side-free via `stack`. The
-    * naive spelling — one `SELECT count(distinct c) FROM t` job per
+    * point: TWO passes total, never k — all k distinct counts ride ONE
+    * Expand aggregate, all nulls/min/max ride ONE plain fold, and the
+    * 1-row results cross-join before a driver-free `stack` unpivot.
+    * The naive spelling — one `SELECT count(distinct c) FROM t` job per
     * column — reads the table k times; at 100 TB × k columns that is
-    * the difference between one pass and a week. Numeric min/max
+    * the difference between two passes and a week. Numeric min/max
     * aggregate on the NUMERIC value (comparison must not be
     * lexicographic — '999.00' > '6000.00' as strings) and only the
     * RESULT is rendered via DECIMAL(18,2) so the string form never
@@ -782,9 +782,9 @@ object Etl {
     * diverge to 1.0E7-style above 10^7).
     *
     * Cost note: k EXACT count_distincts in one aggregate make Catalyst
-    * rewrite via Expand — the scan stays single but the aggregate input
-    * multiplies ×(k+1), keyed by the distinct values themselves. That
-    * is the audit-grade spelling, kept for reconciliation runs at
+    * rewrite via Expand — the aggregate input multiplies ×k, keyed by
+    * the distinct values themselves. That is the audit-grade spelling,
+    * kept for reconciliation runs at
     * bounded SF; the 100 TB profiling default is the sketch sibling
     * `etl_dq_profile_approx` ([[dqProfileApprox]] — mergeable HLL per
     * column, no Expand, no value-keyed shuffle). */
@@ -792,17 +792,33 @@ object Etl {
     val cols = Seq[(String, Boolean)](
       ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
       ("o_totalprice", true), ("o_orderpriority", false))
-    val aggs = cols.flatMap { case (c, numeric) =>
+    // r15 (guide §1/§2): mixing the k exact count_distincts with the
+    // string min/maxes in ONE aggregate forced the whole Expand×6
+    // pipeline into SortAggregate — min(string)'s agg buffer is not
+    // fixed-width, so HashAggregate is off the table and every
+    // expanded row pays a 6-key Sort (JobProf: a 2.3 s single task
+    // under a 2.9 s key; spreading it 32-way inflated total CPU 12×
+    // on sort setup). Split by buffer type instead: the distinct
+    // counts ride the Expand with EMPTY buffers (pure HashAggregate
+    // dedup — no sort anywhere), the nulls/min/max ride a plain
+    // grouping-less single-pass fold (SortAggregate degenerates to a
+    // fold when there are no keys — no Sort node). Two scans of the
+    // same file replace one sort of k×(rows) expanded rows — at any
+    // scale the second scan is cheaper than that sort, and the
+    // audit-grade exactness is unchanged (measured 3.6 s → 1.5 s).
+    val dAggs = cols.map { case (c, _) =>
+      count_distinct(col(c)).as(s"${c}__distinct") }
+    val rAggs = cols.flatMap { case (c, numeric) =>
       val v = if (numeric)
         col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))
       else col(c).cast("string")
       Seq(
         (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
         min(v).cast("string").as(s"${c}__min"),
         max(v).cast("string").as(s"${c}__max"))
     }
-    val one = t(spark, dir, "orders").agg(aggs.head, aggs.tail: _*)
+    val one = t(spark, dir, "orders").agg(dAggs.head, dAggs.tail: _*)
+      .crossJoin(t(spark, dir, "orders").agg(rAggs.head, rAggs.tail: _*))
     val stackExpr = cols.map { case (c, _) =>
       s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
     }.mkString(s"stack(${cols.size}, ", ", ", ")")

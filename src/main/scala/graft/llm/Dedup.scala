@@ -73,8 +73,10 @@ object Dedup {
     // distinct's incidental exchange the whole shingle+hash pipeline
     // would run on 1–2 cores (measured: the brute-jaccard twin
     // 9→23 s at sf1). No-op at scale and for the candidate-cut verify
-    // inputs, whose join already partitioned them.
-    graft.core.Spread.cpuBound(spark, d)
+    // inputs, whose join already partitioned them. Keyed on doc_id
+    // (r15): skips round-robin's sort-before-repartition, and the
+    // downstream signature groupBy(doc_id) can reuse the hash layout.
+    graft.core.Spread.cpuBound(spark, d, col("doc_id"))
       .selectExpr("doc_id", s"$fn(text) AS shingle")
   }
 
@@ -436,7 +438,16 @@ object Dedup {
     val candIds = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
+    // lineage cut (r15, guide §3 plan truncation): shc is referenced
+    // FOUR times below (both intersection legs + both size joins via
+    // sz), and each reference re-derived the whole candidate shingle
+    // subtree — docs scan → semi join → Generate — per consumer
+    // (JobProf: 4 repeat subtrees under llm_dedup_incremental's 37-job
+    // chain). The cut materializes the candidate-only shingle set once;
+    // it is bounded by the candidate pair count (~0.5 % of docs), so
+    // the materialization stays small at any corpus scale.
     val shc = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .lineageCut()
     val sz = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
@@ -958,7 +969,7 @@ object Dedup {
     // HOF is CPU-bound and the documents scan is 1–2 splits at small
     // SF — JobProf showed the whole span-generation map on ONE task
     // (0.8 s of the key); no-op where the scan already splits ≥ cores
-    val spans = graft.core.Spread.cpuBound(spark, docs(spark, dir))
+    val spans = graft.core.Spread.cpuBound(spark, docs(spark, dir), col("doc_id"))
       // tokenize ONCE into a named column; the window HOF references it
       .select(col("doc_id"),
         split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ").as("_toks"))

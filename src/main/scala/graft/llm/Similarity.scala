@@ -1734,7 +1734,7 @@ object Similarity {
     // purpose): the embeddings scan is 1–2 splits at small SF, so the
     // slice×corpus exact pass ran on one core (JobProf: 0.5 s single
     // task); no-op at scale where the scan already splits ≥ cores
-    val exScored = graft.core.Spread.cpuBound(spark, e)
+    val exScored = graft.core.Spread.cpuBound(spark, e, col("vec_id"))
       .join(broadcast(slice), col("vec_id") =!= col("q_id"))
       .withColumn("score",
         round6(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm"))))

@@ -793,8 +793,10 @@ object Relational {
     graft.functions.MinTicket.register(spark)
     // CPU-heavy map over a small file: a ~10 MB fixture scans as ~3
     // splits, so the ~25-draw/row lottery would run on 3 of 32 cores —
-    // floor the parallelism (see [[graft.core.Spread]]).
-    val spread = graft.core.Spread.cpuBound(spark, li)
+    // floor the parallelism (see [[graft.core.Spread]]). Keyed on the
+    // row-unique lottery key (r15): round-robin paid a 0.64 s
+    // sort-before-repartition on the 600k-row exchange input.
+    val spread = graft.core.Spread.cpuBound(spark, li, col("key"))
     ordered(
       spread.select(col("l_orderkey"), col("l_linenumber"), col("w"),
           expr("min_ticket(key, w)").as("ticket"))
