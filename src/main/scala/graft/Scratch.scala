@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Throwaway experiment harness for optimization rounds — NOT a bench
   * surface; deleted or inert when a round ends. */
@@ -12,52 +11,21 @@ object Scratch {
     val spark = core.Sessions.build(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    val cols = Seq[(String, Boolean)](
-      ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
-      ("o_totalprice", true), ("o_orderpriority", false))
-    val aggs = cols.flatMap { case (c, numeric) =>
-      val v = if (numeric)
-        col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))
-      else col(c).cast("string")
-      Seq(
-        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
-        min(v).cast("string").as(s"${c}__min"),
-        max(v).cast("string").as(s"${c}__max"))
-    }
-    def base: DataFrame = core.Tables.load(spark, sfDir, "orders")
-    def time(label: String)(df: => DataFrame): Unit = {
-      for (p <- 1 to 2) {
+    def time(label: String, key: String): Unit = {
+      for (p <- 1 to 3) {
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        println(f"[scratch] $label pass $p: ${(System.nanoTime() - t0) / 1e9}%.3fs")
+        val n = SparkEntry.queries(key)(spark, sfDir).count()
+        println(f"[scratch] $label/$key pass $p: ${(System.nanoTime() - t0) / 1e9}%.3fs ($n rows)")
       }
     }
-    time("agg_rr8") { base.repartition(8).agg(aggs.head, aggs.tail: _*) }
-    // split: distinct counts alone (hash-friendly Expand), rest separate
-    val dAggs = cols.map { case (c, _) =>
-      count_distinct(col(c)).as(s"${c}__distinct")
-    }
-    val rAggs = cols.flatMap { case (c, numeric) =>
-      val v = if (numeric)
-        col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))
-      else col(c).cast("string")
-      Seq(
-        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-        min(v).cast("string").as(s"${c}__min"),
-        max(v).cast("string").as(s"${c}__max"))
-    }
-    time("split") {
-      base.agg(dAggs.head, dAggs.tail: _*)
-        .crossJoin(base.agg(rAggs.head, rAggs.tail: _*))
-    }
-    time("split_rr32") {
-      base.repartition(32).agg(dAggs.head, dAggs.tail: _*)
-        .crossJoin(base.agg(rAggs.head, rAggs.tail: _*))
-    }
-    println("=== split plan ===")
-    base.agg(dAggs.head, dAggs.tail: _*)
-      .crossJoin(base.agg(rAggs.head, rAggs.tail: _*)).explain()
+    val keys = Seq("stream_tumbling_append_mb", "stream_join", "stream_heavy_hitters")
+    keys.foreach(k => time("default", k))
+    // route temp streaming checkpoints (offset/commit logs + state
+    // store) to tmpfs and compare
+    new java.io.File("/dev/shm/graft_ckpt").mkdirs()
+    spark.conf.set("spark.sql.streaming.checkpointLocation", "/dev/shm/graft_ckpt")
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    keys.foreach(k => time("shm", k))
     spark.stop()
   }
 }

@@ -203,6 +203,50 @@ object Streaming {
     sys.props.getOrElse("graft.stream.sink",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory"))
 
+  /** Scratch base for the bounded harness runs' checkpoints (r15,
+    * guide §6 / §1 "time the computation, not the sink"): every
+    * bounded run writes an offset log + commit log + one state-store
+    * delta PER PARTITION PER MICRO-BATCH, each fsync'd — on the
+    * sandbox's disk that I/O was 2-3× the query (measured:
+    * stream_tumbling_append_mb 18.0 s → 5.1 s, stream_join 7.1 → 3.3,
+    * stream_heavy_hitters 4.3 → 3.3 same session). These checkpoints
+    * are EPHEMERAL BY DESIGN — the harness sink is a memory table and
+    * the checkpoint is deleted right after the bounded run — so tmpfs
+    * costs no durability the harness ever had; a production deployment
+    * sets a durable location explicitly (exactly what
+    * `stream_checkpoint_resume` does with its own fixture-dir
+    * checkpoint, which this base never touches). Knob:
+    * `SPARK_GRAFT_STREAM_CKPT=<dir>` reroutes (e.g. at a big rung
+    * whose state outgrows tmpfs); unset and no writable /dev/shm →
+    * Spark's own temp-dir behavior, as before. */
+  private lazy val streamCkptBase: Option[String] =
+    sys.env.get("SPARK_GRAFT_STREAM_CKPT").filter(_.nonEmpty)
+      .orElse {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite)
+          Some("/dev/shm/graft_stream_ckpt")
+        else None
+      }
+
+  /** Run `body` with a per-query scratch checkpoint dir (or None →
+    * Spark's default temp checkpoint), deleting the dir afterwards. */
+  private def withScratchCkpt[A](name: String)(
+      body: Option[String] => A): A = {
+    val dir = streamCkptBase.map { base =>
+      val d = new java.io.File(base, name)
+      d.mkdirs()
+      d.getAbsolutePath
+    }
+    try body(dir)
+    finally dir.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(d))
+    }
+  }
+
   private val liveSinkDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private def runToParquet(spark: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
@@ -231,14 +275,17 @@ object Streaming {
     // mode=overwrite (a replay rewrites the same dir, byte-for-byte
     // idempotent). Complete mode re-emits whole state, so a full-path
     // overwrite is already replay-safe there.
+    withScratchCkpt(s"pq_${ctr.get()}") { ckptDir =>
     val q =
       try withStateStore(spark) {
-        sdf.writeStream
+        val w = sdf.writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             if (mode == "complete") batch.write.mode("overwrite").parquet(path)
             else batch.write.mode("overwrite").parquet(s"$path/b$batchId")
           }
-          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+          .outputMode(mode).trigger(Trigger.AvailableNow())
+        ckptDir.foreach(d => w.option("checkpointLocation", d))
+        w.start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     lastBatchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
@@ -253,6 +300,7 @@ object Streaming {
         .option("recursiveFileLookup", "true").parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sdf.schema)
+    }
   }
 
   /** Big-rung state-store knob (r10, r9 verdict #4):
@@ -310,10 +358,13 @@ object Streaming {
     // sizes it to keys × state row size ÷ executor memory.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    withScratchCkpt(name) { ckptDir =>
     val q =
       try withStateStore(spark) {
-        sdf.writeStream.format("memory").queryName(name)
-          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        val w = sdf.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow())
+        ckptDir.foreach(d => w.option("checkpointLocation", d))
+        w.start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     lastBatchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
@@ -321,6 +372,7 @@ object Streaming {
       .map(p => Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
       .foldLeft(-1L)(math.max)
     spark.table(name)
+    }
   }
 
   /** Tumbling 10-min window × event_type with a 30-min watermark.
@@ -667,15 +719,20 @@ object Streaming {
     val src = eventsStreamMultiBatch(spark, dir)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    withScratchCkpt("feb") { ckptDir =>
     val q =
-      try src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      try {
+        val w = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .trigger(Trigger.AvailableNow())
+        ckptDir.foreach(d => w.option("checkpointLocation", d))
+        w.start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     lastBatchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    }
     ordered(
       spark.read.parquet(out)
         .groupBy(col("event_type"))
