@@ -62,14 +62,18 @@ object Graph {
     // a storage-layout decision, not a query change.)
     val ed = e.join(deg, "src").lineageCut()
     var r = deg.select(col("src").as("v"), lit(Scale / n).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       r = ed.join(r, ed("src") === r("v"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("sc"))
         .select(col("dst").as("v"),
           (lit(base) + expr("(85 * sc) div 100")).as("r"))
-        .lineageCut()
+      // cut every SECOND round (r15): one cut per round made each
+      // round its own job round-trip; a 2-round lineage is still a
+      // bounded plan (2 joins deep) and halves the eager-materialize
+      // latency of the loop. Ranks are exact integers either way.
+      if (i % 2 == 0 || i == iters) r = r.lineageCut()
     }
     r
   }
@@ -166,7 +170,10 @@ object Graph {
         .select(col("dst").as("v"), lit(r).as("d"))
       dist = dist.unionByName(cand)
         .groupBy(col("v")).agg(min(col("d")).as("d"))
-        .lineageCut()
+      // cut every SECOND round (r15, same rationale as
+      // [[pageRankIterations]]): bounded 2-round lineage, half the
+      // eager-materialize round-trips. Distances are exact ints.
+      if (r % 2 == 0 || r == cap) dist = dist.lineageCut()
     }
     dist
   }
