@@ -11,21 +11,18 @@ object Scratch {
     val spark = core.Sessions.build(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(label: String, key: String): Unit = {
-      for (p <- 1 to 3) {
+    def time(label: String, key: String, passes: Int = 3): Unit = {
+      for (p <- 1 to passes) {
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(key)(spark, sfDir).count()
         println(f"[scratch] $label/$key pass $p: ${(System.nanoTime() - t0) / 1e9}%.3fs ($n rows)")
       }
     }
-    val keys = Seq("stream_tumbling_append_mb", "stream_join", "stream_heavy_hitters")
-    keys.foreach(k => time("default", k))
-    // route temp streaming checkpoints (offset/commit logs + state
-    // store) to tmpfs and compare
-    new java.io.File("/dev/shm/graft_ckpt").mkdirs()
-    spark.conf.set("spark.sql.streaming.checkpointLocation", "/dev/shm/graft_ckpt")
-    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
-    keys.foreach(k => time("shm", k))
+    // interleave to cancel slow host drift
+    for (r <- 1 to 3) {
+      time(s"r$r", "graph_pagerank", 2)
+      time(s"r$r", "graph_bfs", 2)
+    }
     spark.stop()
   }
 }

@@ -78,7 +78,13 @@ object Scans {
     * lists a single directory — partition pruning), aggregate it. */
   def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
     val path = fix(dir, "sink_partitioned")
-    Tables.load(spark, dir, "lineitem")
+    // parallelism floor on the parquet ENCODE (r15): the lineitem scan
+    // is 3 splits at bench SF, so the partitioned write's encode ran on
+    // 3 of 32 cores (JobProf: 1.4 s CPU on 3 tasks = ~80% of the key).
+    // Keyed spread, no-op at scale where the scan already splits ≥
+    // cores — there file sizing is governed by the ~128 MB scan splits.
+    graft.core.Spread.cpuBound(spark,
+        Tables.load(spark, dir, "lineitem"), col("l_orderkey"))
       .withColumn("ship_year", year(col("l_shipdate")))
       .write.mode("overwrite").partitionBy("ship_year").parquet(path)
     ordered(

@@ -794,13 +794,18 @@ class PlanSpec extends AnyFunSuite {
   test("sample_weighted: row-local replica-min + TakeOrdered heap, no explode/regroup") {
     // the replica lottery must never explode or re-group: the only
     // wide ops allowed are the k-row TakeOrdered heap merge, the
-    // presentation sort, and the single round-robin spread that sizes
-    // the CPU-bound lottery map when the scan under-splits (roundrobin
-    // carries each row ONCE — never the w× amplification the pin bans)
+    // presentation sort, and the single keyed spread that sizes the
+    // CPU-bound lottery map when the scan under-splits (r15: a
+    // REPARTITION_BY_NUM hash spread on the row-unique key — carries
+    // each row ONCE, never the w× amplification the pin bans, and
+    // skips round-robin's sort-before-repartition). The regroup ban is
+    // therefore spelled as "no aggregate, no generate, no
+    // ENSURE_REQUIREMENTS exchange" rather than "no hash exchange".
     val p = plan("sample_weighted")
     assert(p.contains("TakeOrderedAndProject"),
       s"bottom-k must be a TakeOrdered heap:\n$p")
-    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Generate"),
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("Generate") && !p.contains("ENSURE_REQUIREMENTS"),
       s"replica-min must stay row-local (no explode, no regroup):\n$p")
     assert(p.contains("minticket"),
       s"lottery must ride the codegen'd expression, not the HOF:\n$p")
