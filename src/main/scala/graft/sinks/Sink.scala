@@ -130,7 +130,9 @@ case object UpdateInsertDialect extends MergeDialect {
   * `numPartitions` bound parallel connections against the RDBMS —
   * "parallel processing" (README.md:8) has to be capped at what the
   * target server tolerates, not at Spark's parallelism. */
-final class JdbcSink(
+/** Not final: JdbcRetrySpec subclasses [[stageLoad]] to inject a
+  * duplicated task commit. */
+class JdbcSink(
     url: String,
     user: String,
     password: String,
@@ -174,16 +176,60 @@ final class JdbcSink(
     * order-dependent — so a duplicate-key batch fails HERE, loudly,
     * before any row lands. Producers that can emit duplicates
     * pre-aggregate latest-wins first (see `etl_cdc_apply`). */
+  /** Staging load, factored out so the retry spec can inject a
+    * duplicated task commit (a task that committed its transaction but
+    * failed to REPORT is re-run by Spark and commits again — the one
+    * JDBC hazard local-mode single-threading hides; see
+    * [[graft.core.Sessions]]). */
+  protected def stageLoad(df: DataFrame, staging: String): Unit =
+    write(df, staging, SaveMode.Overwrite)
+
+  /** One scalar off the target database. */
+  private def jdbcCount(table: String): Long = {
+    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next(); rs.getLong(1)
+      } finally st.close()
+    } finally conn.close()
+  }
+
   def upsert(df: DataFrame, table: String, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
-    import org.apache.spark.sql.functions.{col, count, lit}
-    val dupKeys = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).count()
-    require(dupKeys == 0,
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    // ONE pass computes both preconditions (r15 — was a separate
+    // dup-check job): per-key counts fold into (batch size, max
+    // multiplicity); multiplicity > 1 makes MERGE undefined, so fail
+    // loudly before any row lands.
+    val pre = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_n")), max(col("_n"))).head()
+    val expected = if (pre.isNullAt(0)) 0L else pre.getLong(0)
+    require(pre.isNullAt(1) || pre.getLong(1) <= 1,
       s"upsert batch has duplicate rows per key (${keyCols.mkString(", ")}); " +
         "MERGE semantics are undefined — pre-aggregate latest-wins first")
     val staging = table + "_stage"
-    write(df, staging, SaveMode.Overwrite)
+    // Stage + verify + MERGE (r15, r13 advice #4): the staging load
+    // commits one transaction per task, so a task retry AFTER its
+    // commit (commit landed, report lost) duplicates that partition's
+    // rows in staging — and a duplicated staging makes the MERGE
+    // undefined (two source rows per target key). The staged count is
+    // compared against the batch size; a mismatch truncates and
+    // reloads once (Overwrite recreates the table) and re-verifies, so
+    // the MERGE only ever runs against a staging that provably equals
+    // the batch. JdbcRetrySpec injects exactly this duplicated commit
+    // and pins both the heal and the refuse-on-unhealed paths.
+    stageLoad(df, staging)
+    if (jdbcCount(staging) != expected) {
+      write(df, staging, SaveMode.Overwrite)
+      val staged = jdbcCount(staging)
+      require(staged == expected,
+        s"staging $staging holds $staged rows after reload, batch has " +
+          s"$expected — refusing to MERGE from a staging that does not " +
+          "equal the batch")
+    }
     val stmts = dialect.upsertStatements(table, staging, df.columns.toSeq, keyCols)
     val conn = java.sql.DriverManager.getConnection(url, user, password)
     try {
