@@ -395,5 +395,12 @@ object ScaleUp {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dst, LevelMarker),
       level.toString.getBytes)
+    // the dst dir was just written in this JVM: drop any per-dir
+    // metadata memos taken before/while it existed (r14 advice #1 —
+    // the events ns-probe and the embeddings count are both keyed on
+    // the dir path under a write-once contract this flow is the one
+    // legitimate exception to)
+    core.Tables.invalidateDirCaches(dst)
+    graft.llm.Similarity.invalidateDirCaches(dst)
   }
 }

@@ -90,6 +90,13 @@ object Tables {
   private val eventsNanosCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Drop the memoized footer probe for a dir whose events table was
+    * just (re)written in THIS JVM — [[graft.ScaleUp]] calls it on its
+    * dst (it writes events as plain µs where driver testdata stores raw
+    * ns), closing the r14 advice's stale-probe hazard. */
+  private[graft] def invalidateDirCaches(dir: String): Unit =
+    eventsNanosCache.remove(dir)
+
   /** Read one of the ten tables with its explicit schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {

@@ -50,6 +50,13 @@ object Similarity {
     embCountCache.computeIfAbsent(d,
       _ => java.lang.Long.valueOf(emb(s, d).count())).longValue()
 
+  /** Drop the memoized n for a dir whose tables were just (re)written
+    * in THIS JVM — [[graft.ScaleUp]] calls it on its dst so the
+    * write-once contract above cannot be violated by the one flow that
+    * legitimately writes a scale dir (r14 advice #1). */
+  private[graft] def invalidateDirCaches(dir: String): Unit =
+    embCountCache.remove(dir)
+
   /** Sequential-order dot product of two float vectors in double math —
     * mirrors the oracle's list_dot_product over DOUBLE[] casts. The
     * codegen'd [[DotProduct]] expression is bit-identical to this HOF
